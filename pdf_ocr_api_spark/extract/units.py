@@ -1,0 +1,127 @@
+"""Unit-dimension lookups J1/J4/J5 (SURVEY.md §2.3).
+
+Behavior-faithful reimplementation of the reference's unit resolution:
+* ``normalize_unidade``  — ref parser/normalizeUnidade.js:25-66 (J1)
+* ``detect_unidade``     — ref parser/parseServices.js:70-105 (J4)
+* ``infer_unidade_from_descricao`` — ref parser/parseServices.js:107-119 (J5)
+
+These run inside the per-turn parser cascade (the unit token is *stripped
+from the line*, so resolution cannot be deferred to a join). The
+DataFrame-level broadcast-join equivalent of J1 lives in
+``pdf_ocr_api_spark.conversation`` for SQL-expressible normalization of
+already-extracted unit strings.
+
+Order sensitivity: both J1 and J4 iterate the unit list in its given
+order, first match wins — preserved exactly.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..functions.normalize import clean_ocr, normalize_header
+
+# ref parser/normalizeUnidade.js:3-11
+ALIASES: dict[str, list[str]] = {
+    "METROQUADRADO": ["M2", "M²", "METROQUADRADO"],
+    "METROCUBICO": ["M3", "M³", "METROCUBICO"],
+    "QUILOGRAMA": ["KG", "QUILOGRAMA"],
+    "METRO": ["M", "METRO"],
+    "UNIDADE": ["UN", "UNIDADE", "UT"],
+    "MES": ["MES", "MÊS"],
+    "HORA": ["H", "HORA"],
+}
+
+
+def _raw_nome(item: dict) -> str:
+    return item.get("unidadeNome") or item.get("valor") or item.get("nome") or ""
+
+
+def normalize_unidade(unidade_extraida: str | None, lista_unidades) -> int | None:
+    """J1 — exact match on cleaned sigla or full name, then alias fallback."""
+    if not unidade_extraida:
+        return None
+    if not isinstance(lista_unidades, list):
+        return None
+
+    limpa = clean_ocr(unidade_extraida)
+
+    for item in lista_unidades:
+        raw = _raw_nome(item)
+        if not raw:
+            continue
+        partes = raw.split(" - ")
+        primeiro = (partes[0] or "").strip()
+        sigla_limpa = clean_ocr(
+            primeiro.split()[0] if " " in primeiro and primeiro.split() else primeiro
+        )
+        nome_limpo = clean_ocr(partes[1] if len(partes) > 1 else "")
+        if limpa in (sigla_limpa, nome_limpo):
+            return item["id"]
+
+    for variantes in ALIASES.values():
+        if not any(clean_ocr(v) == limpa for v in variantes):
+            continue
+        for item in lista_unidades:
+            raw = _raw_nome(item)
+            sigla = clean_ocr((raw.split(" - ")[0] or ""))
+            if any(clean_ocr(v) == sigla for v in variantes):
+                return item["id"]
+
+    return None
+
+
+_WORDLIKE = re.compile(r"^[A-Za-z0-9_]+$")
+
+
+def _build_unit_regex(termo: str) -> re.Pattern:
+    """ref parseServices.js:73-78 — escape; \\b wrap only for word-like
+    terms (JS \\b is ASCII → re.ASCII for the word-like branch)."""
+    escaped = re.escape(termo)
+    if _WORDLIKE.match(termo):
+        return re.compile(rf"\b{escaped}\b", re.IGNORECASE | re.ASCII)
+    return re.compile(escaped, re.IGNORECASE)
+
+
+def _partes(item: dict) -> list[str]:
+    raw = _raw_nome(item)
+    parts = raw.split(" - ")
+    sigla = (parts[0] or "").strip()
+    nome_completo = " - ".join(parts[1:]).strip()
+    return [p for p in (sigla, nome_completo) if p]
+
+
+def detect_unidade(linha: str | None, lista_unidades) -> tuple[int | None, str]:
+    """J4 — scan the line for any unit sigla/full-name; strip the first
+    matched token; first match in list order wins."""
+    if not linha:
+        return None, linha or ""
+
+    for item in lista_unidades or []:
+        termos = _partes(item)
+        if not termos or not termos[0]:
+            continue
+        for termo in termos:
+            if not termo:
+                continue
+            rx = _build_unit_regex(termo)
+            m = rx.search(linha)
+            if m:
+                nova = (linha[: m.start()] + linha[m.end():]).strip()
+                return normalize_unidade(termo, lista_unidades), nova
+
+    return None, linha
+
+
+_PCT_WORDS = re.compile(r"\bPOR\s+CENTO\b|\bPERCENT(UAL|O)?\b", re.ASCII)
+
+
+def infer_unidade_from_descricao(descricao: str | None, lista_unidades) -> int | None:
+    """J5 — '%' anywhere, or POR CENTO / PERCENT(UAL|O) in normalized text."""
+    if not descricao:
+        return None
+    if "%" in descricao:
+        return normalize_unidade("%", lista_unidades)
+    if _PCT_WORDS.search(normalize_header(descricao)):
+        return normalize_unidade("%", lista_unidades)
+    return None

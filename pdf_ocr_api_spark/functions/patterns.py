@@ -1,0 +1,240 @@
+"""Regex/pattern layer: F2-F12 predicates, T7-T14 extractors (SURVEY.md §2.2/2.7).
+
+All patterns are behavior-faithful translations of the reference's JS
+regexes (file:line cited inline). JS regexes are NOT unicode-aware by
+default (``\\b``/``\\d``/``\\w`` are ASCII), so patterns relying on
+boundaries/digit classes are compiled with ``re.ASCII``; patterns with
+accented character classes keep unicode case folding (JS ``/i`` does
+simple unicode folding even without ``u``).
+"""
+
+from __future__ import annotations
+
+import re
+
+# ---------------------------------------------------------------------------
+# F2 — boilerplate deny-list, ref parser/parseDocument.js:139-180 (36 patterns)
+# Applied to `${Categoria} ${Descricao}`.trim() in the reference; our text
+# path additionally applies it line-wise to strip boilerplate lines.
+# ---------------------------------------------------------------------------
+
+BOILERPLATE_PATTERNS_SRC: list[str] = [
+    r"Certidão\s+de\s+Acervo\s+Técnico",
+    r"Conselho\s+Regional\s+de\s+Engenharia\s+(e\s+)?Agronomia",
+    r"Conselho\s+Regional\s+de\s+Engenharia\s*$",
+    r"Regional\s+de\s+Engenharia\s+.*Agronomia\s+da\s+Bahia",
+    r"CREA-\s*BA|CREA\s*-\s*BA",
+    r"Página\s*\d+\s*\/\s*\d+",
+    r"vinculado\s+à\s+Certidão",
+    r"Chave\s+de\s+Impress[ãa]?o?",
+    r"Certidão\s*[°º]\s*\d+\s*\/\s*\d*",
+    r"\/\d{2}\/\d{4},\s*\d{2}:\s*$",
+    r"^\/\d{2}\/\d{4},\s*\d{2}:$",
+    r"Tel:\s*\+\s*55\s*\(\d{2}\)",
+    r"Avenida\s+\d+|Avanida\s+\d+",
+    r"Rua\s+[A-ZÀ-Ú]",
+    r"Plataforma\s+[GL]\s*,?\s*Lado\s+[AB]",
+    r"Centro\s+Administrativo\s+da\s+Bahia",
+    r"Salvador-Bahia\s+CEP",
+    r"Impresso\s+em:\s*\d{2}\/\d{2}\/\d{4}",
+    r"Este\s+documento\s+encontra-se\s+registrado",
+    r"O\s+documento\s+neste\s+ato\s+registrado",
+    r"Resolução\s+N[°º]\s*\d+",
+    r"CERTIFICAMOS\s*,",
+    r"Coordenação\s+Executiva\s+de\s+Infraestrutura\s+da\s+Rede",
+    r"Declaramos\s+que\s+todos\s+os\s+serviços",
+    r"Comissão\s+Transitória\s+de\s+Recebimento",
+    r"Coordenador\s+Executivo\s*$",
+    r"Mat\.\s*\d+\.\d+\.\d+-\d*",
+    r"E-mail:\s*creaba@creaba",
+    r"Fax:\s*\+\s*55",
+    r"Site:\s*www\.",
+    r"GOVERNO\s+DO\s+ESTADO",
+    r"Secretaria\s+da\s+Saúde\s+do\s+Estado",
+    r"under\s+F\.L\.",
+    r"^un\s*$",
+    r"(?:Silvia|ílvia|Sílvia)\s+Maria\s+Pereira",
+    r"Fernando\s+\.?\s*da\s+Cunha",
+    r"Cesar\s+Maurício\s+B",
+    r"ésar\s+Mauricio\s+Chastinet",
+    r"^\d{2}\/\d{2}\/\d{4},\s*09:\s*$",
+    r"^\s*\/\d{2}\/\d{4},\s*\d{2}:\s*$",
+]
+
+BOILERPLATE_PATTERNS = [re.compile(p, re.IGNORECASE) for p in BOILERPLATE_PATTERNS_SRC]
+
+# One alternation for vectorized pandas `.str.contains` — patterns have no
+# capture-group interactions, and `^`/`$` anchors keep per-pattern meaning
+# inside a (?:...) alternation with re.M off (matching per full string).
+BOILERPLATE_COMBINED = re.compile(
+    "|".join(f"(?:{p})" for p in BOILERPLATE_PATTERNS_SRC), re.IGNORECASE
+)
+
+# Java-regex flavor for Spark `rlike` (same syntax here; prefix (?i)).
+BOILERPLATE_COMBINED_JAVA = "(?i)" + "|".join(
+    f"(?:{p})" for p in BOILERPLATE_PATTERNS_SRC
+)
+
+DESC_MAX_LENGTH = 600  # ref parser/parseDocument.js:181
+
+
+def is_boilerplate(text: str) -> bool:
+    """F2 — any of the 36 patterns matches (ref parseDocument.js:202-214)."""
+    return BOILERPLATE_COMBINED.search(text) is not None
+
+
+# ---------------------------------------------------------------------------
+# F4-F6 garbage predicates, ref parser/parseDocument.js:183-201
+# ---------------------------------------------------------------------------
+
+_PUNCT_ONLY = re.compile(r"^[.,;:\s]+$")
+_DIGITS_ONLY = re.compile(r"^\d+$", re.ASCII)
+_NUMERIC_ONLY = re.compile(r"^[\d.,]+$", re.ASCII)
+_NON_DIGIT = re.compile(r"\D", re.ASCII)
+
+
+def is_garbage_quantidade(qtd: str | None) -> bool:
+    """F4 — ref parseDocument.js:183-190."""
+    if qtd is None:
+        return False
+    s = str(qtd).strip()
+    if _PUNCT_ONLY.match(s) or s == "" or len(s) > 25:
+        return True
+    if _DIGITS_ONLY.match(s) and len(s) > 12:
+        return True
+    if _NUMERIC_ONLY.match(s) and len(_NON_DIGIT.sub("", s)) > 15:
+        return True
+    return False
+
+
+def is_garbage_item(item: str | None) -> bool:
+    """F5 — ref parseDocument.js:191-195."""
+    if item is None:
+        return False
+    s = str(item).strip()
+    return bool(_DIGITS_ONLY.match(s)) and len(s) > 10
+
+
+_IDX_LIKE = re.compile(r"^\d{1,4}$", re.ASCII)
+
+
+def unidade_parece_indice(unidade) -> bool:
+    """F6 — ref parseDocument.js:197-201 (1-4 digit positive number)."""
+    if unidade is None:
+        return False
+    u = str(unidade).strip()
+    return bool(_IDX_LIKE.match(u)) and int(u) > 0
+
+
+PAGINA_DESC = re.compile(r"^Página\s*\d+\s*\/?\s*$", re.IGNORECASE)  # F12, :208
+
+
+# ---------------------------------------------------------------------------
+# T7/T8 — quantity / item detection, ref parser/parseServices.js:50-68
+# ---------------------------------------------------------------------------
+
+QUANTIDADE_TRAILING = re.compile(r"([\d.,]+)$", re.ASCII)
+ITEM_LEADING = re.compile(r"^\d+(\.\d+)*", re.ASCII)
+ITEM_FULL = re.compile(r"^\d+(\.\d+)*$", re.ASCII)  # parseServices.js:176
+
+
+def detect_quantidade(linha: str) -> tuple[str | None, str]:
+    """T7 — trailing `[\\d.,]+` → (qty, residual-trimmed)."""
+    m = QUANTIDADE_TRAILING.search(linha)
+    if not m:
+        return None, linha
+    return m.group(1), QUANTIDADE_TRAILING.sub("", linha, count=1).strip()
+
+
+def detect_item(linha: str) -> tuple[str | None, str]:
+    """T8 — leading dotted number → (item, residual-trimmed).
+
+    The reference strips via ``String.replace(match[0])`` (string arg →
+    first literal occurrence, which for a leading match is the prefix).
+    """
+    m = ITEM_LEADING.match(linha)
+    if not m:
+        return None, linha
+    return m.group(0), linha[m.end():].strip()
+
+
+# ---------------------------------------------------------------------------
+# T10/T11 — numero / estado scalar extractions, ref parseDocument.js:85-91
+# (JS \b and \d are ASCII → re.ASCII mirrors the semantics.)
+# ---------------------------------------------------------------------------
+
+NUMERO_RE = re.compile(r"\b\d{5,}/\d{4}\b", re.ASCII)
+UF_RE = re.compile(
+    r"\b(AC|AL|AP|AM|BA|CE|DF|ES|GO|MA|MT|MS|MG|PA|PB|PR|PE|PI|RJ|RN|RS|RO|RR|SC|SP|SE|TO)\b",
+    re.ASCII,
+)
+
+# Spark/Java-regex twins (Java \b/\d are ASCII by default → direct reuse).
+NUMERO_RE_JAVA = r"\b\d{5,}/\d{4}\b"
+UF_RE_JAVA = (
+    r"\b(AC|AL|AP|AM|BA|CE|DF|ES|GO|MA|MT|MS|MG|PA|PB|PR|PE|PI|RJ|RN|RS|RO|RR|SC|SP|SE|TO)\b"
+)
+
+
+def extract_numero(texto: str) -> str | None:
+    m = NUMERO_RE.search(texto)
+    return m.group(0) if m else None
+
+
+def extract_estado(texto: str) -> str | None:
+    m = UF_RE.search(texto)
+    return m.group(1) if m else None
+
+
+# ---------------------------------------------------------------------------
+# X2/X3 — tier-2 CAT splitter + tier-3 section markers,
+# ref parser/parseServices.js:218-241, 249-253
+# ---------------------------------------------------------------------------
+
+CAT_SPLIT = re.compile(
+    r";\s*(?=\d+\s*-\s*(?:Execução|Coordenação|Elaboração|Planejamento|Projeto|obra|Obra|serviço|Serviço|técnico|Técnico))",
+    re.IGNORECASE,
+)
+ATIVIDADE_PREFIX = re.compile(r"^Atividade\s+Técnica:\s*", re.IGNORECASE)
+
+PLANILHA_MARKERS = [
+    re.compile(r"PLANILHA\s+(?:DOS\s+)?SERVI[CÇ]OS\s+EXECUTADOS", re.IGNORECASE),
+    re.compile(r"ITEM\s+UND\.?\s+QUANT", re.IGNORECASE),
+    re.compile(r"\d+\.\s*PLANILHA", re.IGNORECASE),
+]
+
+CATEGORIA_LINE = re.compile(r"^[A-Z\s]+$")  # parseServices.js:287 (ASCII class in JS)
+TOTAL_PREFIX = re.compile(r"^TOTAL\b", re.ASCII)  # parseServices.js:179 (on normalized text)
+
+# ---------------------------------------------------------------------------
+# T16 — header→column mapping regexes, ref parseServices.js:24-41
+# (applied to normalize_header output: ASCII-only by construction)
+# ---------------------------------------------------------------------------
+
+HDR_ITEM = re.compile(r"\bITEM\b", re.ASCII)
+HDR_UNIDADE = re.compile(r"\bUNIDADE\b", re.ASCII)
+HDR_QUANTIDADE = re.compile(r"\bQUANTIDADE\b|\bQTD\b", re.ASCII)
+HDR_DESCRICAO = re.compile(r"\bNATUREZA\b|\bSERVIC|\bDESCRIC", re.ASCII)
+
+# F10 — legacy isServicoValido deny-list, ref parser/formatFinalResponse.js:1-13
+ITEM_DENY = [
+    re.compile(r"^UF:", re.IGNORECASE),
+    re.compile(r"^CEP:", re.IGNORECASE),
+    re.compile(r"^Início da Obra", re.IGNORECASE),
+    re.compile(r"^Término da Obra", re.IGNORECASE),
+    re.compile(r"ENGENHEIRO", re.IGNORECASE),
+]
+
+# T13 — OCR scrub chain, ref ocr-tesseract.cjs:31-35 (global, /i where noted)
+OCR_SCRUB = [
+    (re.compile(r"\b[eac]{3,}\b", re.ASCII | re.IGNORECASE), ""),
+    (re.compile(r"\s{2,}"), " "),
+    (re.compile(r"(\n\s*){2,}"), "\n"),
+    (re.compile(r"\s+([.,;:])"), r"\1"),
+]
+
+
+def ocr_scrub(texto: str) -> str:
+    for rx, rep in OCR_SCRUB:
+        texto = rx.sub(rep, texto)
+    return texto
