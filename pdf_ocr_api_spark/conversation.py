@@ -1,0 +1,251 @@
+"""Conversation-level assembly — pure Spark exprs (SURVEY §2.4, Phase 3).
+
+The distributed twin of ``extract/document.py``: takes the per-turn
+extraction output (``pipeline.extract_transcripts``) and reproduces the
+reference's document assembly (ref parser/parseDocument.js:54-237) with
+window functions and column predicates only — **no Python in the loop**:
+
+* A5/A6  item renumbering   → bool_and + running sum windows (ref :104-114)
+* A4     category inherit   → last(..., ignorenulls) window (ref :30-52)
+* F7     header dedupe      → filter (ref :123-133)
+* F2-F12 garbage filters    → column predicates + one rlike (ref :139-215)
+* T10/11 numero/estado      → regexp_extract on the A1 concat (ref :85-91)
+* J6     tipo detection     → accent-translate + contains flags +
+                              broadcast lookup join (ref detectTipoCertidao.js)
+
+All conversation-scoped windows share ONE partitioning (conv_id) and one
+ordering (turn_idx, svc_idx), so Catalyst plans a single sort+window stage;
+the only shuffles are the window hash-partition and the final groupBy —
+both on conv_id, so AQE coalesces them and the exchange is reused.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .functions.patterns import (
+    BOILERPLATE_COMBINED_JAVA,
+    DESC_MAX_LENGTH,
+    NUMERO_RE_JAVA,
+    UF_RE_JAVA,
+)
+
+# Portuguese accent fold for the J6 normalize (ref detectTipoCertidao.js:1-7
+# upper → NFD-strip → [^A-Z0-9] removal); Spark has no NFD builtin, but the
+# PT-relevant accent set is finite.
+_ACC_SRC = "ÁÀÂÃÄÉÈÊËÍÌÎÏÓÒÔÕÖÚÙÛÜÇÑ"
+_ACC_DST = "AAAAAEEEEIIIIOOOOOUUUUCN"
+
+
+def _norm_tipo_col(c):
+    return F.regexp_replace(F.translate(F.upper(c), _ACC_SRC, _ACC_DST), "[^A-Z0-9]", "")
+
+
+def _trim_or_empty(c):
+    return F.trim(F.coalesce(c.cast("string"), F.lit("")))
+
+
+def explode_services(extracted: DataFrame) -> DataFrame:
+    """A8 — per-turn services array → one row per service, keyed
+    (conv_id, turn_idx, svc_idx) for the stable conversation-global order."""
+    return extracted.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode_outer("services").alias("svc_idx", "svc"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "svc_idx",
+        F.col("svc.Item").alias("Item"),
+        F.col("svc.Categoria").alias("Categoria"),
+        F.col("svc.Descricao").alias("Descricao"),
+        F.col("svc.Unidade").alias("Unidade"),
+        F.col("svc.Quantidade").alias("Quantidade"),
+    )
+
+
+def assemble_services(svc: DataFrame) -> DataFrame:
+    """Renumber (A5/A6) → inherit category (A4) → dedupe (F7) → filter
+    (F2-F12), semantics of ref parseDocument.js:104-215.
+
+    Input: output of ``explode_services`` (null svc rows from empty arrays
+    are tolerated and dropped first).
+    """
+    svc = svc.filter(F.col("svc_idx").isNotNull())
+
+    conv = Window.partitionBy("conv_id")
+    ordered = Window.partitionBy("conv_id").orderBy("turn_idx", "svc_idx")
+    running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    has_qty = F.trim(F.coalesce(F.col("Quantidade"), F.lit(""))) != ""
+    item_blank = F.trim(F.coalesce(F.col("Item"), F.lit(""))) == ""
+
+    # A5: every item blank in the conversation (ref :104-106)
+    all_blank = F.min(F.when(item_blank, 1).otherwise(0)).over(conv) == 1
+
+    # A6: running counter over rows WITH quantity (ref :107-114)
+    counter = F.sum(has_qty.cast("int")).over(running)
+    item = F.when(
+        all_blank,
+        F.when(has_qty, counter.cast("string")).otherwise(F.lit(None).cast("string")),
+    ).otherwise(F.col("Item"))
+    svc = svc.withColumn("Item", item)
+
+    # A4: category inheritance — mother = row without quantity whose
+    # Descricao is truthy (ref :30-52; JS truthy = non-null, non-empty)
+    is_mother = (~has_qty) & F.col("Descricao").isNotNull() & (F.col("Descricao") != "")
+    vigente = F.last(F.when(is_mother, F.trim(F.col("Descricao"))), ignorenulls=True).over(running)
+
+    # T9 prefix fallback: cut at the EARLIER of " - " / ":" (ref :13-24)
+    d = F.trim(F.coalesce(F.col("Descricao"), F.lit("")))
+    cut = F.least(F.nullif(F.locate(" - ", d), F.lit(0)), F.nullif(F.locate(":", d), F.lit(0)))
+    prefixo = F.nullif(F.trim(F.when(cut.isNotNull(), F.substring(d, 1, cut - 1)).otherwise(d)), F.lit(""))
+    prefixo = F.when(F.col("Descricao").isNotNull(), prefixo)
+
+    svc = svc.withColumn("Categoria", F.coalesce(vigente, prefixo))
+
+    # F7: drop pure category-header rows (ref :123-133)
+    cat_t = _trim_or_empty(F.col("Categoria"))
+    desc_t = _trim_or_empty(F.col("Descricao"))
+    sem_item = _trim_or_empty(F.col("Item")) == ""
+    sem_unid = _trim_or_empty(F.col("Unidade")) == ""
+    sem_qtd = _trim_or_empty(F.col("Quantidade")) == ""
+    svc = svc.filter(~(sem_item & sem_unid & sem_qtd & (cat_t != "") & (cat_t == desc_t)))
+
+    # F2-F12 (ref :181-215)
+    qtd_t = _trim_or_empty(F.col("Quantidade"))
+    item_t = _trim_or_empty(F.col("Item"))
+    text = F.trim(F.concat_ws(" ", cat_t, desc_t))
+
+    garbage_qtd = F.col("Quantidade").isNotNull() & (
+        qtd_t.rlike(r"^[.,;:\s]+$")
+        | (qtd_t == "")
+        | (F.length(qtd_t) > 25)
+        | (qtd_t.rlike(r"^\d+$") & (F.length(qtd_t) > 12))
+        | (qtd_t.rlike(r"^[\d.,]+$") & (F.length(F.regexp_replace(qtd_t, r"\D", "")) > 15))
+    )
+    garbage_item = F.col("Item").isNotNull() & item_t.rlike(r"^\d+$") & (F.length(item_t) > 10)
+    # F6: our Unidade is already the int dimension id → any 1-4 digit id > 0
+    unidade_indice = F.col("Unidade").isNotNull() & (F.col("Unidade") > 0) & (F.col("Unidade") <= 9999)
+    # JS falsy (null or '') for the 'un' rule (ref :211)
+    qtd_falsy = F.col("Quantidade").isNull() | (F.col("Quantidade") == "")
+    item_falsy = F.col("Item").isNull() | (F.col("Item") == "")
+
+    keep = (
+        (F.length(text) <= DESC_MAX_LENGTH)
+        & ~((desc_t != "") & desc_t.rlike(r"(?i)^Página\s*\d+\s*/?\s*$"))
+        & ~((qtd_t == "47") & (desc_t == ""))
+        & ~garbage_qtd
+        & ~garbage_item
+        & ~(((cat_t == "un") | (desc_t == "un")) & qtd_falsy & item_falsy)
+        & ~(unidade_indice & sem_qtd & (cat_t != "") & (cat_t == desc_t))
+        & ~text.rlike(BOILERPLATE_COMBINED_JAVA)
+    )
+    return svc.filter(keep)
+
+
+def conversation_text(extracted: DataFrame) -> DataFrame:
+    """A1 — ordered concat of per-turn document text (ref :59-61).
+
+    ``doc_text`` (emitted by the pipeline) is what the reference's
+    parseDocument sees per chunk: the raw payload text for prose turns, the
+    embedded ``text`` field for Document-AI payloads, the extracted clean
+    text for html/layout turns (payload kinds the reference outsourced to
+    cloud services).
+    """
+    e = extracted.withColumn("_doc_text", F.coalesce(F.col("doc_text"), F.lit("")))
+    return e.groupBy("conv_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "_doc_text"))),
+                lambda s: s["_doc_text"],
+            ),
+        ).alias("conv_text")
+    )
+
+
+def conversation_records(extracted: DataFrame, tipo_dim: DataFrame | None = None) -> DataFrame:
+    """Full per-conversation record (ref :227-236): scalar fields + the
+    filtered, ordered services array.
+
+    ``tipo_dim``: DataFrame(id INT, nome_norm STRING) — the tipoCertidao
+    dimension with pre-normalized names; broadcast-joined (J6).
+    """
+    texts = conversation_text(extracted)
+
+    numero = F.nullif(F.regexp_extract("conv_text", NUMERO_RE_JAVA, 0), F.lit(""))
+    estado = F.nullif(F.regexp_extract("conv_text", UF_RE_JAVA, 1), F.lit(""))
+
+    up = _norm_tipo_col(F.col("conv_text"))
+    is_cat = up.contains("ACERVOTECNICO") | up.contains("CAT")
+    is_cao = up.contains("ACERVOOPERACIONAL") | up.contains("CAO")
+    combos = [
+        (is_cat, "CREA", "CATCREA"), (is_cao, "CREA", "CAOCREA"),
+        (is_cat, "CAU", "CATCAU"), (is_cao, "CAU", "CAOCAU"),
+        (is_cat, "CRT", "CATCRT"), (is_cao, "CRT", "CAOCRT"),
+        (is_cat, "CRA", "CATCRA"), (is_cao, "CRA", "CAOCRA"),
+        (is_cao, "CFTA", "CAOCFTA"),
+    ]
+    nome = F.lit(None).cast("string")
+    for kind_flag, council, combo in reversed(combos):
+        nome = F.when(kind_flag & up.contains(council), combo).otherwise(nome)
+
+    scalars = texts.select(
+        "conv_id",
+        numero.alias("NumerodaCertidao"),
+        estado.alias("Estado"),
+        nome.alias("_tipo_nome"),
+    )
+    if tipo_dim is not None:
+        scalars = scalars.join(
+            F.broadcast(tipo_dim.select(F.col("id").alias("TipodaCertidao"), "nome_norm")),
+            scalars["_tipo_nome"] == F.col("nome_norm"),
+            "left",
+        ).drop("nome_norm")
+    else:
+        scalars = scalars.withColumn("TipodaCertidao", F.lit(None).cast("int"))
+    scalars = scalars.drop("_tipo_nome")
+
+    svcs = assemble_services(explode_services(extracted))
+    svc_arr = svcs.groupBy("conv_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("turn_idx", "svc_idx", "Item", "Categoria", "Descricao", "Unidade", "Quantidade")
+                )
+            ),
+            lambda s: F.struct(
+                s["Item"].alias("Item"),
+                s["Categoria"].alias("Categoria"),
+                s["Descricao"].alias("Descricao"),
+                s["Unidade"].alias("Unidade"),
+                s["Quantidade"].alias("Quantidade"),
+            ),
+        ).alias("Servicos")
+    )
+
+    return scalars.join(svc_arr, "conv_id", "left").select(
+        "conv_id",
+        "NumerodaCertidao",
+        "TipodaCertidao",
+        "Estado",
+        F.coalesce("Servicos", F.array().cast(svc_arr.schema["Servicos"].dataType)).alias("Servicos"),
+    )
+
+
+def tipo_dim_df(spark, lista_tipos: list[dict]) -> DataFrame:
+    """Build the J6 broadcast dimension (normalized names precomputed
+    driver-side with the exact NFD semantics of the Python twin)."""
+    from .functions.normalize import normalize_tipo
+
+    rows = []
+    seen = set()
+    for item in lista_tipos:
+        nome = normalize_tipo(item.get("tipoCertidao") or item.get("valor") or "")
+        if nome in seen:
+            continue  # reference takes the FIRST list match (ref :39-44)
+        seen.add(nome)
+        rows.append((item["id"], nome))
+    return spark.createDataFrame(rows, "id INT, nome_norm STRING")

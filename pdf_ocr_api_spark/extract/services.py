@@ -68,8 +68,17 @@ def _parse_tables(doc: dict, depara: dict) -> list[dict]:
     doc_text = doc.get("text") or ""
     unidades = depara.get("unidades") or []
 
-    for page in doc.get("pages") or []:
-        for table in page.get("tables") or []:
+    # defensive at 10^12-turn scale: malformed payloads (non-list pages/
+    # tables) must not kill the task — the reference would throw here
+    def _lst(v):
+        return v if isinstance(v, list) else []
+
+    for page in _lst(doc.get("pages")):
+        if not isinstance(page, dict):
+            continue
+        for table in _lst(page.get("tables")):
+            if not isinstance(table, dict):
+                continue
             header_rows = table.get("headerRows") or []
             header_row = header_rows[0] if header_rows else None
             body_rows = list(table.get("bodyRows") or [])
@@ -227,16 +236,25 @@ def _parse_lines(texto_completo: str, depara: dict) -> list[dict]:
     return resultado
 
 
-def parse_services(doc: dict, depara: dict) -> list[dict]:
-    """X4 cascade — tier 1, else tier 2, else tier 3 (ref :210,240)."""
+def parse_services_tiered(doc: dict, depara: dict) -> tuple[list[dict], str | None]:
+    """X4 cascade — tier 1, else tier 2, else tier 3 (ref :210,240).
+
+    Returns ``(services, tier)`` with tier in {'table', 'cat', 'lines', None}.
+    """
     resultado = _parse_tables(doc, depara)
     if resultado:
-        return resultado
+        return resultado, "table"
 
     texto_completo = (doc.get("text") or "").replace("\r\n", "\n")
 
     resultado = _parse_cat(texto_completo, depara)
     if resultado:
-        return resultado
+        return resultado, "cat"
 
-    return _parse_lines(texto_completo, depara)
+    resultado = _parse_lines(texto_completo, depara)
+    return resultado, ("lines" if resultado else None)
+
+
+def parse_services(doc: dict, depara: dict) -> list[dict]:
+    """X4 cascade, reference-shaped return (ref :210,240)."""
+    return parse_services_tiered(doc, depara)[0]

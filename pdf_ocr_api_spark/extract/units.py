@@ -17,6 +17,7 @@ order, first match wins — preserved exactly.
 
 from __future__ import annotations
 
+import functools
 import re
 
 from ..functions.normalize import clean_ocr, normalize_header
@@ -74,6 +75,7 @@ def normalize_unidade(unidade_extraida: str | None, lista_unidades) -> int | Non
 _WORDLIKE = re.compile(r"^[A-Za-z0-9_]+$")
 
 
+@functools.lru_cache(maxsize=4096)
 def _build_unit_regex(termo: str) -> re.Pattern:
     """ref parseServices.js:73-78 — escape; \\b wrap only for word-like
     terms (JS \\b is ASCII → re.ASCII for the word-like branch)."""

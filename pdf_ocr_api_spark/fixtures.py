@@ -171,8 +171,10 @@ def _maybe_idents(rng: random.Random) -> list[str]:
     conversation-level scalar extractions (T10/T11, J6) have targets."""
     out = []
     if rng.random() < 0.30:
+        # phrased to carry CAT/CREA + numero signals WITHOUT matching any
+        # of the 36 boilerplate patterns (those lines must survive F2)
         out.append(
-            f"Certidão de Acervo Técnico CAT CREA número {rng.randint(10000, 999999)}/{rng.randint(2015, 2025)}."
+            f"Registro de acervo CAT CREA sob numero {rng.randint(10000, 999999)}/{rng.randint(2015, 2025)}."
         )
     if rng.random() < 0.30:
         out.append(f"Obra executada no estado {rng.choice(_UF_CODES)} conforme contrato.")
@@ -351,7 +353,10 @@ def _gen_cat(rng: random.Random) -> tuple[str, dict]:
 
 
 def _gen_lines(rng: random.Random) -> tuple[str, dict]:
-    out = [_sentence(rng), "PLANILHA DE SERVIÇOS EXECUTADOS"]
+    marker = rng.choice(
+        ["PLANILHA DOS SERVIÇOS EXECUTADOS", "PLANILHA DE SERVIÇOS EXECUTADOS", "ITEM UND. QUANT"]
+    )
+    out = [_sentence(rng), marker]
     n = rng.randint(3, 7)
     for i in range(1, n + 1):
         if rng.random() < 0.25:

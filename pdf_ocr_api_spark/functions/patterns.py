@@ -63,16 +63,25 @@ BOILERPLATE_PATTERNS_SRC: list[str] = [
 
 BOILERPLATE_PATTERNS = [re.compile(p, re.IGNORECASE) for p in BOILERPLATE_PATTERNS_SRC]
 
-# One alternation for vectorized pandas `.str.contains` — patterns have no
-# capture-group interactions, and `^`/`$` anchors keep per-pattern meaning
+# One alternation for vectorized pandas `.str.contains`; capturing groups
+# are rewritten non-capturing (no backreferences exist in the sources) so
+# pandas treats it as a pure match. `^`/`$` anchors keep per-pattern meaning
 # inside a (?:...) alternation with re.M off (matching per full string).
+def _noncapturing(p: str) -> str:
+    # rewrite unescaped capturing groups only (no backrefs in the sources)
+    return re.sub(r"(?<!\\)\((?![?])", "(?:", p)
+
+
 BOILERPLATE_COMBINED = re.compile(
-    "|".join(f"(?:{p})" for p in BOILERPLATE_PATTERNS_SRC), re.IGNORECASE
+    "|".join(f"(?:{_noncapturing(p)})" for p in BOILERPLATE_PATTERNS_SRC),
+    re.IGNORECASE,
 )
 
-# Java-regex flavor for Spark `rlike` (same syntax here; prefix (?i)).
-BOILERPLATE_COMBINED_JAVA = "(?i)" + "|".join(
-    f"(?:{p})" for p in BOILERPLATE_PATTERNS_SRC
+# Java-regex flavor for Spark `rlike`. (?iu): Java's bare (?i) folds ASCII
+# only, while JS /i folds Unicode — (?u) restores parity for the accented
+# pattern literals ( Técnico, à, º, …).
+BOILERPLATE_COMBINED_JAVA = "(?iu)" + "|".join(
+    f"(?:{_noncapturing(p)})" for p in BOILERPLATE_PATTERNS_SRC
 )
 
 DESC_MAX_LENGTH = 600  # ref parser/parseDocument.js:181
@@ -169,10 +178,15 @@ UF_RE = re.compile(
     re.ASCII,
 )
 
-# Spark/Java-regex twins (Java \b/\d are ASCII by default → direct reuse).
-NUMERO_RE_JAVA = r"\b\d{5,}/\d{4}\b"
+# Spark/Java-regex twins. Java's \b is Unicode-aware (unlike JS / Python
+# re.ASCII, where accented letters are non-word chars, so e.g. the "ES"
+# inside "VERIFICAÇÕES" *is* a match in the reference) — replicate the JS
+# semantics with explicit ASCII lookarounds.
+_B_L = r"(?<![A-Za-z0-9_])"
+_B_R = r"(?![A-Za-z0-9_])"
+NUMERO_RE_JAVA = rf"{_B_L}\d{{5,}}/\d{{4}}{_B_R}"
 UF_RE_JAVA = (
-    r"\b(AC|AL|AP|AM|BA|CE|DF|ES|GO|MA|MT|MS|MG|PA|PB|PR|PE|PI|RJ|RN|RS|RO|RR|SC|SP|SE|TO)\b"
+    rf"{_B_L}(AC|AL|AP|AM|BA|CE|DF|ES|GO|MA|MT|MS|MG|PA|PB|PR|PE|PI|RJ|RN|RS|RO|RR|SC|SP|SE|TO){_B_R}"
 )
 
 

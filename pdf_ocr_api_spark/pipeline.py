@@ -1,0 +1,277 @@
+"""The per-turn extraction pipeline — one mapInPandas UDF (SURVEY §2.10).
+
+Replaces the reference's sequential worker loop (ref worker/processJob.js:74-87,
+flagged as the bottleneck by its own audit, ANALISE_PROJETO.md:142-153) with
+Spark task parallelism: a content-sniffing router inside Arrow batches
+dispatches each turn's payload to one of four extractors —
+
+* **text path** (plain / boilerplate-laden prose): vectorized pandas line
+  pipeline — T6 clean, F2 boilerplate strip, span assembly — no per-row
+  Python for the 55 % majority of turns;
+* **pdf_table** (Document-AI-shaped JSON, ref parser/parseServices.js:7-13):
+  span-slice cells + tier-1 table parse;
+* **pdf_layout** (Adobe element model, ref result.zip → structuredData.json):
+  geometric reading-order recovery;
+* **html**: DOM-heuristics main-content extraction.
+
+Every turn also runs the reference's service-extraction cascade (X4) so the
+conversation-level assembly (``conversation.py``) sees exactly what the
+reference's parseDocument would see.
+
+Scale design (100 TB / 10^12 turns):
+* extraction is **shuffle-free** — mapInPandas rides the scan partitions;
+  `repartition_salted` is opt-in for skewed inputs (hot conversations);
+* batch size bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``;
+* all routing is boolean-mask based; Python-level iteration happens only
+  per *payload document*, never per extracted row.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pandas as pd
+
+from .extract.html_extract import extract_html
+from .extract.pdf_layout import extract_pdf_layout
+from .extract.services import parse_services_tiered
+from .functions import patterns as P
+from .functions.normalize import v_clean_line
+
+_HTML_RX = re.compile(r"(?i)<\s*(?:!doctype|html|head|body|div|p|h[1-6]|nav|table|ul|article)\b")
+
+SPAN_FIELDS = "start INT, end INT, kind STRING"
+SERVICE_FIELDS = (
+    "Item STRING, Categoria STRING, Descricao STRING, Unidade INT, Quantidade STRING"
+)
+EXTRACT_SCHEMA = (
+    "conv_id STRING, turn_idx INT, role STRING, kind STRING, "
+    "clean_text STRING, "
+    f"spans ARRAY<STRUCT<{SPAN_FIELDS}>>, "
+    f"services ARRAY<STRUCT<{SERVICE_FIELDS}>>, "
+    "doc_text STRING, n_chars_in BIGINT, n_chars_out BIGINT"
+)
+
+
+def _span(start: int, end: int, kind: str) -> dict:
+    return {"start": int(start), "end": int(end), "kind": kind}
+
+
+def classify_batch(text: pd.Series) -> pd.Series:
+    """Vectorized payload-kind sniff → {'json', 'html', 'text'} per row."""
+    head = text.fillna("").str.slice(0, 512).str.lstrip()
+    is_json = head.str.startswith("{")
+    is_html = ~is_json & head.str.contains(_HTML_RX, regex=True)
+    out = pd.Series("text", index=text.index, dtype=object)
+    out[is_json] = "json"
+    out[is_html] = "html"
+    return out
+
+
+def _text_path(raw: pd.Series) -> pd.DataFrame:
+    """Vectorized line pipeline for prose turns: T6 clean + F2 strip + spans.
+
+    Returns a frame indexed like ``raw`` with columns
+    (clean_text, spans, dropped_boiler).
+    """
+    if raw.empty:
+        return pd.DataFrame(
+            {"clean_text": pd.Series(dtype=object), "spans": pd.Series(dtype=object),
+             "dropped_boiler": pd.Series(dtype=int)}
+        )
+    lines = raw.fillna("").str.split("\n").explode()
+    cleaned = v_clean_line(lines)
+    nonempty = cleaned != ""
+    boiler = nonempty & cleaned.str.contains(P.BOILERPLATE_COMBINED, regex=True)
+    keep = nonempty & ~boiler
+
+    kept = cleaned[keep]
+    lens = kept.str.len()
+    grp = lens.groupby(level=0)
+    # start offset of each kept line inside its turn's joined clean_text
+    starts = grp.cumsum() - lens
+    starts = starts + grp.cumcount()  # account for '\n' separators
+
+    if kept.empty:
+        spans = pd.Series(dtype=object)
+        clean_text = pd.Series(dtype=object)
+    else:
+        span_rows = pd.DataFrame({"s": starts, "e": starts + lens, "t": kept})
+        spans = span_rows.groupby(level=0).apply(
+            lambda g: [_span(s, e, "line") for s, e in zip(g["s"], g["e"])]
+        )
+        clean_text = kept.groupby(level=0).agg("\n".join)
+    dropped = boiler.groupby(level=0).sum()
+
+    out = pd.DataFrame(index=raw.index)
+    out["clean_text"] = clean_text.reindex(raw.index, fill_value="")
+    # reindex on an object column turns missing into NaN — normalize to []
+    out["spans"] = spans.reindex(raw.index)
+    out["spans"] = out["spans"].apply(lambda v: v if isinstance(v, list) else [])
+    out["dropped_boiler"] = dropped.reindex(raw.index, fill_value=0).astype(int)
+    return out
+
+
+def _cells_spans(doc: dict) -> list[dict]:
+    """Spans for a Document-AI-shaped doc: one per table cell (P1 semantics,
+    ref parser/parseServices.js:7-13) — offsets index into doc['text']."""
+    spans = []
+    n = len(doc.get("text") or "")
+
+    def _lst(v):
+        return v if isinstance(v, list) else []
+
+    for page in _lst(doc.get("pages")):
+        if not isinstance(page, dict):
+            continue
+        for table in _lst(page.get("tables")):
+            if not isinstance(table, dict):
+                continue
+            for row in _lst(table.get("headerRows")) + _lst(table.get("bodyRows")):
+                if not isinstance(row, dict):
+                    continue
+                for cell in _lst(row.get("cells")):
+                    segs = ((cell or {}).get("layout") or {}).get("textAnchor", {}).get("textSegments")
+                    if segs:
+                        s = max(0, min(n, int(segs[0].get("startIndex", 0) or 0)))
+                        e = max(0, min(n, int(segs[0].get("endIndex", 0) or 0)))
+                        if s > e:
+                            s, e = e, s
+                        spans.append(_span(s, e, "cell"))
+    return spans
+
+
+def make_extractor(depara: dict):
+    """Build the mapInPandas function (depara captured in the closure —
+    the dimension lists are tiny; this is the broadcast-dict analogue of
+    the reference's per-job depara payload, ref server.cjs:34-43)."""
+
+    def extract(batches):
+        for pdf in batches:
+            yield _extract_frame(pdf, depara)
+
+    return extract
+
+
+def _extract_frame(pdf: pd.DataFrame, depara: dict) -> pd.DataFrame:
+    route = classify_batch(pdf["text"])
+
+    n = len(pdf)
+    kind = pd.Series("plain", index=pdf.index, dtype=object)
+    clean = pd.Series("", index=pdf.index, dtype=object)
+    spans = pd.Series([[] for _ in range(n)], index=pdf.index, dtype=object)
+    services = pd.Series([[] for _ in range(n)], index=pdf.index, dtype=object)
+    # what the reference's parseDocument would see as this chunk's doc.text
+    # (A1 input, ref parseDocument.js:59-61)
+    doc_text = pdf["text"].fillna("").astype(object)
+
+    # ---------------- text path (vectorized) ----------------
+    tmask = route == "text"
+    if tmask.any():
+        tp = _text_path(pdf.loc[tmask, "text"])
+        clean[tmask] = tp["clean_text"]
+        spans[tmask] = tp["spans"]
+        for i in pdf.index[tmask]:
+            raw = pdf.at[i, "text"] or ""
+            svcs, tier = parse_services_tiered({"text": raw, "pages": []}, depara)
+            services.at[i] = svcs
+            if tier == "cat":
+                kind.at[i] = "cat"
+            elif tier == "lines" and (
+                any(rx.search(raw) for rx in P.PLANILHA_MARKERS)
+                or any(s["Item"] is not None or s["Unidade"] is not None for s in svcs)
+            ):
+                kind.at[i] = "lines"
+            elif tp.at[i, "dropped_boiler"] > 0:
+                kind.at[i] = "boiler"
+
+    # ---------------- html path ----------------
+    hmask = route == "html"
+    for i in pdf.index[hmask]:
+        raw = pdf.at[i, "text"] or ""
+        text, sp = extract_html(raw)
+        svcs, _ = parse_services_tiered({"text": text, "pages": []}, depara)
+        kind.at[i] = "html"
+        clean.at[i] = text
+        spans.at[i] = [_span(*t) for t in sp]
+        services.at[i] = svcs
+        doc_text.at[i] = text
+
+    # ---------------- json payloads ----------------
+    jmask = route == "json"
+    for i in pdf.index[jmask]:
+        raw = pdf.at[i, "text"] or ""
+        try:
+            doc = json.loads(raw)
+            if not isinstance(doc, dict):
+                raise ValueError("not an object")
+        except Exception:
+            # malformed JSON → degrade to the text path for this turn
+            tp = _text_path(pdf.loc[[i], "text"])
+            clean.at[i] = tp["clean_text"].iloc[0]
+            spans.at[i] = tp["spans"].iloc[0]
+            svcs, _ = parse_services_tiered({"text": raw, "pages": []}, depara)
+            services.at[i] = svcs
+            kind.at[i] = "plain"
+            continue
+
+        if "elements" in doc:
+            text, sp = extract_pdf_layout(doc)
+            svcs, _ = parse_services_tiered({"text": text, "pages": []}, depara)
+            kind.at[i] = "pdf_layout"
+            clean.at[i] = text
+            spans.at[i] = [_span(*t) for t in sp]
+            services.at[i] = svcs
+            doc_text.at[i] = text
+        else:
+            svcs, tier = parse_services_tiered(doc, depara)
+            kind.at[i] = "pdf_table" if tier == "table" else {"cat": "cat"}.get(tier, "pdf_text")
+            clean.at[i] = doc.get("text") or ""
+            spans.at[i] = _cells_spans(doc)
+            services.at[i] = svcs
+            doc_text.at[i] = doc.get("text") or ""
+
+    out = pd.DataFrame(
+        {
+            "conv_id": pdf["conv_id"],
+            "turn_idx": pdf["turn_idx"].astype("int32"),
+            "role": pdf["role"],
+            "kind": kind,
+            "clean_text": clean,
+            "spans": spans,
+            "services": services,
+            "doc_text": doc_text,
+            "n_chars_in": pdf["text"].fillna("").str.len().astype("int64"),
+            "n_chars_out": clean.str.len().astype("int64"),
+        }
+    )
+    return out
+
+
+def extract_transcripts(df, depara: dict | None = None, salt: int | None = None):
+    """Run the extraction pipeline over a transcripts DataFrame.
+
+    Shuffle-free by default (extraction is per-turn independent — the map
+    rides the scan partitions). Pass ``salt`` to force a salted round-robin
+    repartition first when the input files are skewed (hot conversations
+    pinned in one file — the distributed answer to the reference's
+    single-process pin).
+    """
+    from pyspark.sql import functions as F  # noqa: N812
+
+    if depara is None:
+        from . import fixtures
+
+        depara = fixtures.runtime_depara()
+
+    if salt:
+        df = df.repartition(
+            F.concat_ws(
+                "#",
+                F.col("conv_id"),
+                (F.crc32(F.concat_ws(":", F.col("conv_id"), F.col("turn_idx").cast("string"))) % salt).cast("string"),
+            )
+        )
+
+    return df.mapInPandas(make_extractor(depara), schema=EXTRACT_SCHEMA)

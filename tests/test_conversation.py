@@ -1,0 +1,79 @@
+"""Spark window-expr conversation assembly vs the node-parity Python twin.
+
+``extract/document.py`` is byte-parity-verified against the reference
+(test_document_parity); here the DISTRIBUTED implementation (windows +
+column predicates, conversation.py) must equal that twin on the fixture
+table — proving A4/A5/A6/F2-F12/T10-T11/J6 survive the move to Spark.
+"""
+
+import json
+
+import pytest
+
+from pdf_ocr_api_spark import conversation, fixtures, pipeline
+from pdf_ocr_api_spark.extract.document import parse_document_py
+
+
+@pytest.fixture(scope="module")
+def assembled(spark, depara):
+    meta = fixtures.fixture_frame(30, with_meta=True)
+    sdf = spark.createDataFrame(meta[fixtures.TRANSCRIPT_COLUMNS])
+    ext = pipeline.extract_transcripts(sdf, depara)
+    tipo_dim = conversation.tipo_dim_df(spark, fixtures.DEPARA_RAW["tipoCertidao"])
+    recs = conversation.conversation_records(ext, tipo_dim).toPandas().set_index("conv_id")
+    ext_pd = pipeline._extract_frame(meta[fixtures.TRANSCRIPT_COLUMNS], depara)
+    return meta, recs, ext_pd
+
+
+def _twin_docs(meta, ext_pd, cid):
+    grp = ext_pd[ext_pd.conv_id == cid].sort_values("turn_idx")
+    docs = []
+    for _, row in grp.iterrows():
+        raw = meta.loc[(meta.conv_id == cid) & (meta.turn_idx == row.turn_idx), "text"].iloc[0]
+        t = (raw or "").lstrip()
+        if t.startswith("{"):
+            try:
+                d = json.loads(raw)
+                if isinstance(d, dict) and "elements" not in d:
+                    docs.append(d)
+                    continue
+            except Exception:
+                pass
+        docs.append({"text": row.doc_text, "pages": []})
+    return docs
+
+
+def test_conversation_records_match_twin(assembled, depara):
+    meta, recs, ext_pd = assembled
+    checked = 0
+    for cid in sorted(ext_pd.conv_id.unique()):
+        want = parse_document_py(_twin_docs(meta, ext_pd, cid), depara)
+        got = recs.loc[cid]
+        g_svcs = []
+        for s in got.Servicos:
+            d = s.asDict() if hasattr(s, 'asDict') else dict(s)
+            if d["Unidade"] is not None:
+                d["Unidade"] = int(d["Unidade"])
+            g_svcs.append(d)
+        tipo = got.TipodaCertidao
+        tipo = None if tipo is None or tipo != tipo else int(tipo)
+        assert want["NumerodaCertidao"] == got.NumerodaCertidao, cid
+        assert want["Estado"] == got.Estado, cid
+        assert want["TipodaCertidao"] == tipo, cid
+        assert want["Servicos"] == g_svcs, cid
+        checked += 1
+    assert checked >= 25
+
+
+def test_assemble_explains_single_window_exchange(spark, depara):
+    """Plan shape guard: the service-assembly windows must share one
+    partitioning — exactly one Exchange below the Window operators."""
+    meta = fixtures.fixture_frame(8)
+    sdf = spark.createDataFrame(meta)
+    ext = pipeline.extract_transcripts(sdf, depara)
+    svc = conversation.assemble_services(conversation.explode_services(ext))
+    plan = svc._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 1
+    # windows over the same (conv_id | turn_idx, svc_idx) spec collapse
+    # into one sort; no second exchange between them
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -1,0 +1,75 @@
+"""HTML DOM-heuristics and PDF geometric layout extractors (Phase 2 b/c)."""
+
+import json
+import zipfile
+
+import pytest
+
+from pdf_ocr_api_spark import fixtures
+from pdf_ocr_api_spark.extract.html_extract import extract_html
+from pdf_ocr_api_spark.extract.pdf_layout import extract_pdf_layout
+
+
+def test_html_main_content_recovery():
+    """Generated pages: nav/footer link blocks must be pruned, main div
+    block texts recovered verbatim in document order."""
+    for i in range(100):
+        rng = fixtures.rng_for("t-html", i)
+        text, exp = fixtures._gen_html(rng)
+        clean, spans = extract_html(text)
+        want = "\n".join(t for _, t in exp["blocks"])
+        assert clean == want, f"case {i}"
+        # spans slice exactly the block texts
+        for (s, e, tag), (wtag, wtext) in zip(spans, exp["blocks"]):
+            assert clean[s:e] == wtext
+            assert tag == wtag
+
+
+def test_html_malformed_inputs():
+    # must not raise, must return something sane
+    for payload in ["<div><p>aberto", "<<<", "<html>", "", "<body><p>x</p><p>y</p>"]:
+        clean, spans = extract_html(payload)
+        assert isinstance(clean, str)
+        for s, e, _ in spans:
+            assert 0 <= s <= e <= len(clean)
+
+
+def test_html_link_density_pruning():
+    page = (
+        "<body><div id='menu'><li><a href='/'>aaaa</a></li><li><a href='/'>bbbb</a></li></div>"
+        "<div id='main'><p>conteudo principal com bastante texto corrido aqui dentro</p>"
+        "<p>segundo paragrafo igualmente longo para pesar o container</p></div></body>"
+    )
+    clean, _ = extract_html(page)
+    assert "conteudo principal" in clean
+    assert "aaaa" not in clean
+
+
+def test_pdf_layout_reading_order():
+    """Shuffled two-column pages must come back in reading order."""
+    for i in range(100):
+        rng = fixtures.rng_for("t-layout", i)
+        text, exp = fixtures._gen_pdf_layout(rng)
+        clean, spans = extract_pdf_layout(json.loads(text))
+        assert clean == "\n".join(exp["reading_order"]), f"case {i}"
+        for s, e, kind in spans:
+            assert clean[s:e] == clean[s:e].strip()
+
+
+def test_pdf_layout_real_adobe_sample(tmp_path):
+    """The reference repo's own golden output (result.zip →
+    structuredData.json, ref SURVEY §5) must extract without error and
+    keep every non-empty Text element."""
+    with zipfile.ZipFile("/root/reference/result.zip") as z:
+        doc = json.loads(z.read("structuredData.json"))
+    clean, spans = extract_pdf_layout(doc)
+    n_text_elements = sum(1 for e in doc["elements"] if (e.get("Text") or "").strip())
+    assert len(spans) == n_text_elements
+    assert "CERTIDÃO DE ACERVO TÉCNICO" in clean
+    for s, e, _ in spans:
+        assert 0 <= s <= e <= len(clean)
+
+
+def test_pdf_layout_empty_and_missing():
+    assert extract_pdf_layout({}) == ("", [])
+    assert extract_pdf_layout({"elements": [{"Path": "//P"}]}) == ("", [])

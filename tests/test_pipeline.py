@@ -1,0 +1,141 @@
+"""End-to-end Spark tests of the extraction pipeline (mapInPandas)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_ocr_api_spark import fixtures, pipeline
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    meta = fixtures.fixture_frame(40, with_meta=True)
+    sdf = spark.createDataFrame(meta[fixtures.TRANSCRIPT_COLUMNS])
+    return meta, sdf
+
+
+def _collect_sorted(df):
+    return df.orderBy("conv_id", "turn_idx").toPandas()
+
+
+def test_per_turn_equality_vs_generation_intent(spark, tiny, depara):
+    """The per-turn text-equality gate (north rule): every turn's
+    clean_text must equal the generation intent byte-for-byte, under
+    stable (conv_id, turn_idx) ordering."""
+    meta, sdf = tiny
+    res = _collect_sorted(pipeline.extract_transcripts(sdf, depara))
+    meta = meta.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(res) == len(meta)
+
+    for i in range(len(meta)):
+        gk, exp, row = meta.gen_kind[i], meta.expected[i], res.iloc[i]
+        key = f"{row.conv_id}/{row.turn_idx} gen={gk}"
+        if gk in ("plain", "boiler"):
+            assert row.clean_text == "\n".join(exp["clean_lines"]), key
+            assert row["kind"] == gk, key
+        elif gk == "html":
+            assert row.clean_text == "\n".join(t for _, t in exp["blocks"]), key
+            assert row["kind"] == "html", key
+        elif gk == "pdf_layout":
+            assert row.clean_text == "\n".join(exp["reading_order"]), key
+            assert row["kind"] == "pdf_layout", key
+        elif gk == "pdf_table":
+            assert row["kind"] == "pdf_table", key
+            assert len(row.services) > 0, key
+        elif gk == "cat":
+            assert row["kind"] == "cat", key
+        elif gk == "lines":
+            assert row["kind"] == "lines", key
+
+
+def test_spans_slice_clean_text(spark, tiny, depara):
+    meta, sdf = tiny
+    res = _collect_sorted(pipeline.extract_transcripts(sdf, depara))
+    for _, row in res.iterrows():
+        for sp in row.spans:
+            s, e = sp["start"], sp["end"]
+            assert 0 <= s <= e <= len(row.clean_text)
+            if row["kind"] in ("plain", "boiler", "html", "pdf_layout"):
+                seg = row.clean_text[s:e]
+                assert "\n" not in seg
+                assert seg == seg.strip()
+
+
+def test_partition_invariance(spark, tiny, depara):
+    """Same bytes out for 1 vs 16 input partitions and under salting —
+    extraction must be a pure per-turn function (SURVEY §5.4)."""
+    _, sdf = tiny
+    a = _collect_sorted(pipeline.extract_transcripts(sdf.repartition(1), depara))
+    b = _collect_sorted(pipeline.extract_transcripts(sdf.repartition(16), depara))
+    c = _collect_sorted(pipeline.extract_transcripts(sdf, depara, salt=4))
+    for col in ("conv_id", "turn_idx", "kind", "clean_text"):
+        assert a[col].tolist() == b[col].tolist() == c[col].tolist(), col
+    assert a["spans"].map(len).tolist() == b["spans"].map(len).tolist()
+    assert a["services"].map(len).tolist() == c["services"].map(len).tolist()
+
+
+def test_services_match_reference_cascade(spark, tiny, depara):
+    """Spark-side services must equal the (node-parity-verified) local
+    cascade output for every turn."""
+    from pdf_ocr_api_spark.extract.services import parse_services
+
+    meta, sdf = tiny
+    res = _collect_sorted(pipeline.extract_transcripts(sdf, depara))
+    meta = meta.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    for i in range(len(meta)):
+        raw = meta.text[i]
+        row = res.iloc[i]
+        t = (raw or "").lstrip()
+        if t.startswith("{"):
+            try:
+                doc = json.loads(raw)
+            except Exception:
+                doc = {"text": raw, "pages": []}
+            if isinstance(doc, dict) and "elements" in doc:
+                doc = {"text": row.clean_text, "pages": []}
+        elif row["kind"] == "html":
+            doc = {"text": row.clean_text, "pages": []}
+        else:
+            doc = {"text": raw, "pages": []}
+        want = parse_services(doc, depara)
+        got = [
+            {**(s.asDict() if hasattr(s, 'asDict') else dict(s)), 'Unidade': None if (s['Unidade'] if isinstance(s, dict) else s.Unidade) is None else int(s['Unidade'] if isinstance(s, dict) else s.Unidade)}
+            for s in row.services
+        ]
+        assert got == want, f"{row.conv_id}/{row.turn_idx}"
+
+
+def test_malformed_payloads_do_not_crash(spark, depara):
+    rows = [
+        ("c0", 0, "user", "{not json at all", None),
+        ("c0", 1, "assistant", "{}", None),
+        ("c0", 2, "tool", None, "search"),
+        ("c0", 3, "user", "", None),
+        ("c0", 4, "user", '{"elements": "garbage"}', None),
+        ("c0", 5, "user", '{"pages": 17, "text": "x"}', None),
+        ("c0", 6, "user", "<div>só um fragmento<", None),
+    ]
+    sdf = spark.createDataFrame(rows, "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING")
+    res = _collect_sorted(pipeline.extract_transcripts(sdf, depara))
+    assert len(res) == len(rows)
+    assert (res.n_chars_out >= 0).all()
+
+
+def test_hot_conversation_skew_fixture():
+    """conv-000000 must hold ~20% of all turns (FIXTURES.md §1)."""
+    pdf = fixtures.fixture_frame(60)
+    share = (pdf.conv_id == "conv-000000").mean()
+    assert 0.10 < share < 0.35
+
+
+def test_distributed_generation_matches_driver(spark):
+    want = fixtures.fixture_frame(12)
+    got = (
+        fixtures.spark_transcripts(spark, 12)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    want = want.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert got["text"].tolist() == want["text"].tolist()
+    assert got["role"].tolist() == want["role"].tolist()
