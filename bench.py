@@ -1,0 +1,249 @@
+"""Benchmark harness.
+
+Default mode (driver per-round): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "extract_turns_per_sec": ...}
+
+``--scaling`` mode: the two-cluster-size proxy from BASELINE.md — the same
+extraction job at local[8] and local[32] over the same cached input,
+reporting throughput at both plus efficiency = (T_32/T_8)/4.
+
+The bench transcript table is generated deterministically (seed 42,
+FIXTURES.md §1) once per scale and cached under .data/ — generation cost
+never pollutes the timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "4000"))
+DATA_DIR = REPO / ".data"
+
+
+def build_session(cores: int):
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(8, cores)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # small bench files must not be coalesced into one task wave:
+        # one wave at local[32] makes the slowest task the wall clock
+        # (73% core utilization measured); fine splits restore the
+        # many-wave regime a real cluster scan has naturally
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "262144")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def bench_transcripts(spark, n_convs: int):
+    """Deterministic cached bench table; 4× the executor count in files so
+    every core has work without tiny-partition overhead."""
+    from pdf_ocr_api_spark import fixtures
+
+    path = DATA_DIR / f"transcripts_c{n_convs}_p128"
+    if not (path / "_SUCCESS").exists():
+        df = fixtures.spark_transcripts(spark, n_convs)
+        # 128 files, kept un-coalesced by maxPartitionBytes → 4 waves at 32 cores
+        df.repartition(128).write.mode("overwrite").parquet(str(path))
+    return spark.read.parquet(str(path))
+
+
+def _count(df) -> int:
+    return df.count()
+
+
+def headline_queries(spark, transcripts):
+    """name → (thunk returning row count). Extraction is the flagship."""
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_api_spark import conversation, fixtures, pipeline
+    from pdf_ocr_api_spark.ops import dedup, similarity, textstats
+
+    def q_extract():
+        return _count(pipeline.extract_transcripts(transcripts))
+
+    def q_conversation():
+        # persist the extraction once — conversation_records fans out into
+        # two branches (A1 text concat + service assembly); without the
+        # persist each branch would re-run the UDF (at real scale the
+        # extraction output is a stored table — see lineage.run)
+        ext = pipeline.extract_transcripts(transcripts).persist()
+        try:
+            tipo = conversation.tipo_dim_df(spark, fixtures.DEPARA_RAW["tipoCertidao"])
+            return _count(conversation.conversation_records(ext, tipo))
+        finally:
+            ext.unpersist()
+
+    def q_pricing():
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        return _count(
+            li.groupBy("l_returnflag", "l_linestatus").agg(
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sum_qty"),
+                F.count("*").alias("n"),
+            )
+        )
+
+    def q_sessionize():
+        import __spark_entry__ as entry
+
+        return _count(entry.q_w_sessionize(spark, SF_DIR))
+
+    def q_minhash():
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return _count(dedup.minhash_lsh_pairs(d, num_hashes=32, bands=8, parallelism=4 * CPUS))
+
+    def q_simhash():
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return _count(dedup.simhash_near_pairs(dedup.simhash64(d, parallelism=4 * CPUS), max_hamming=8, prefix_bits=12))
+
+    def q_quality():
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return _count(textstats.quality_features(d))
+
+    def q_ann():
+        e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return _count(similarity.brute_force_topk(e.filter(F.col("vec_id") != 0), list(qv), k=10))
+
+    return {
+        "extract": q_extract,
+        "conversation": q_conversation,
+        "pricing_agg": q_pricing,
+        "sessionize": q_sessionize,
+        "minhash_lsh": q_minhash,
+        "simhash": q_simhash,
+        "quality": q_quality,
+        "ann_cosine": q_ann,
+    }
+
+
+def run_default() -> dict:
+    spark = build_session(CPUS)
+    transcripts = bench_transcripts(spark, BENCH_CONVS)
+    n_turns = transcripts.count()
+
+    qs = headline_queries(spark, transcripts)
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "bench_turns": n_turns,
+        "extract_turns_per_sec": round(n_turns / timings["extract"], 1) if timings["extract"] else None,
+        "cores": CPUS,
+    }
+    spark.stop()
+    return result
+
+
+def scaling_worker(cores: int, n_convs: int) -> dict:
+    """One confined measurement: local[cores] on a cpuset of that size
+    (launched via taskset by run_scaling). Warm full pass first — the
+    timed second pass is steady-state throughput, the regime a
+    long-running cluster job is in for 99% of its life."""
+    spark = build_session(cores)
+    transcripts = bench_transcripts(spark, n_convs)
+    n_turns = transcripts.count()
+    from pdf_ocr_api_spark import pipeline
+
+    pipeline.extract_transcripts(transcripts).count()  # warm pass
+    times = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        pipeline.extract_transcripts(transcripts).count()
+        times.append(time.monotonic() - t0)
+    dt = min(times)  # min-of-3: GC/page-cache noise exceeds 15% run-to-run
+    spark.stop()
+    return {
+        "cores": cores,
+        "sec": round(dt, 2),
+        "all_sec": [round(x, 2) for x in times],
+        "turns_per_sec": round(n_turns / dt, 1),
+        "turns": n_turns,
+    }
+
+
+def run_scaling(n_convs: int | None = None) -> dict:
+    """The two-cluster-size proxy (BASELINE.md): the same extraction job
+    on an 8-core and a 32-core "cluster" over the same input.
+
+    Each run is PINNED to a cpuset of its size (`taskset -c 0-(N-1)`):
+    an un-pinned local[8] session leaks onto idle cores (8 JVM task
+    threads + 8 Python workers ≈ 16 busy cores on this box), inflating
+    the small-cluster baseline and understating true scaling. With
+    confinement each run behaves like an N-core executor host — JVM,
+    Python workers and shuffle all share the N cores, as they would on a
+    real cluster node.
+    """
+    import subprocess
+
+    n_convs = n_convs or int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "12000"))
+    # pre-generate the shared input outside either cpuset
+    spark = build_session(CPUS)
+    bench_transcripts(spark, n_convs)
+    spark.stop()
+
+    out = {}
+    n_turns = None
+    for cores in (8, 32):
+        proc = subprocess.run(
+            ["taskset", "-c", f"0-{cores - 1}", sys.executable, __file__,
+             "--scaling-worker", str(cores), str(n_convs)],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        r = json.loads(proc.stdout.strip().splitlines()[-1])
+        n_turns = r["turns"]
+        out[f"local[{cores}]"] = {"sec": r["sec"], "turns_per_sec": r["turns_per_sec"]}
+
+    eff = (out["local[32]"]["turns_per_sec"] / out["local[8]"]["turns_per_sec"]) / 4.0
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "turns": n_turns,
+        "cpuset_pinned": True,
+        "runs": out,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling-worker" in sys.argv:
+        i = sys.argv.index("--scaling-worker")
+        print(json.dumps(scaling_worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]))))
+    elif "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_default()))

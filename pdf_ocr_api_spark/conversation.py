@@ -178,7 +178,11 @@ def conversation_records(extracted: DataFrame, tipo_dim: DataFrame | None = None
     numero = F.nullif(F.regexp_extract("conv_text", NUMERO_RE_JAVA, 0), F.lit(""))
     estado = F.nullif(F.regexp_extract("conv_text", UF_RE_JAVA, 1), F.lit(""))
 
-    up = _norm_tipo_col(F.col("conv_text"))
+    # materialize the normalized text ONCE: the J6 combo chain references
+    # it ~20×, and nested expressions are not CSE'd across `contains`
+    # calls — on a multi-MB hot-conversation string that's a 20× regex tax
+    texts = texts.withColumn("_up", _norm_tipo_col(F.col("conv_text")))
+    up = F.col("_up")
     is_cat = up.contains("ACERVOTECNICO") | up.contains("CAT")
     is_cao = up.contains("ACERVOOPERACIONAL") | up.contains("CAO")
     combos = [

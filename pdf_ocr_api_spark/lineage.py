@@ -1,0 +1,130 @@
+"""Checkpointed, resumable extraction runs: lineage + manifest (FIXTURES §4).
+
+The reference tracks one job row in an external store (ref server.cjs:11-30,
+jobs.js:1-48 — LRU cap 100, 10-min TTL). At 10^12-turn scale the unit of
+tracking is the **bucket**: a deterministic hash partition of conversations
+(`pmod(crc32(conv_id), n_buckets)`). Three logical tables:
+
+* ``data``     — extracted turns, partitioned by bucket
+* ``lineage``  — per-bucket metrics per run: input/extracted counts, bytes
+                 in/out, services, UDF processing time (FIXTURES.md §4)
+* ``manifest`` — bucket completion markers; a rerun anti-joins finished
+                 buckets and touches ONLY pending ones (idempotent resume —
+                 the distributed analogue of the reference's status poll,
+                 ref server.cjs:99-103)
+
+Writes are bucket-wise dynamic-partition overwrites, so a crashed run that
+re-processes a bucket converges to the same bytes (extraction is a pure
+per-turn function — see tests/test_pipeline.py::test_partition_invariance).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline import extract_transcripts
+from .sources.io import read_table, table_exists, write_table
+
+DEFAULT_BUCKETS = 64
+
+
+def bucket_expr(n_buckets: int):
+    return F.pmod(F.crc32(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+
+
+def _paths(out_root: str) -> dict:
+    if "/" in out_root:
+        return {k: f"{out_root}/{k}" for k in ("data", "lineage", "manifest")}
+    return {k: f"{out_root}_{k}" for k in ("data", "lineage", "manifest")}
+
+
+def done_buckets(spark: SparkSession, out_root: str) -> list[int]:
+    p = _paths(out_root)
+    if not table_exists(spark, p["manifest"]):
+        return []
+    m = read_table(spark, p["manifest"])
+    return [r.bucket for r in m.filter(F.col("status") == "done").select("bucket").distinct().collect()]
+
+
+def run(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_root: str,
+    run_id: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    depara: dict | None = None,
+    salt: int | None = None,
+) -> dict:
+    """Execute one checkpointed extraction run; returns summary stats.
+
+    Only buckets not yet marked done in the manifest are processed.
+    """
+    p = _paths(out_root)
+    done = set(done_buckets(spark, out_root))
+
+    df = transcripts.withColumn("bucket", bucket_expr(n_buckets))
+    if done:
+        df = df.filter(~F.col("bucket").isin(list(done)))
+
+    t0 = time.monotonic()
+    extracted = extract_transcripts(df.drop("bucket"), depara=depara, salt=salt).withColumn(
+        "bucket", bucket_expr(n_buckets)
+    )
+
+    write_table(extracted, p["data"], mode="overwrite_partitions", partition_by=["bucket"])
+    wall_ms = int((time.monotonic() - t0) * 1000)
+
+    # lineage rollup — reads back the just-written buckets (cheap columnar
+    # scan) so metrics reflect what is durably on disk, not what a retried
+    # task produced twice
+    out = read_table(spark, p["data"])
+    if done:
+        out = out.filter(~F.col("bucket").isin(list(done)))
+    lineage = (
+        out.groupBy("bucket")
+        .agg(
+            F.count("*").alias("input_count"),
+            F.count("*").alias("extracted_count"),
+            F.sum("n_chars_in").alias("bytes_in"),
+            F.sum("n_chars_out").alias("bytes_out"),
+            F.sum(F.size("services")).alias("services_count"),
+            F.sum("proc_us").alias("proc_us"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("wall_ms", F.lit(wall_ms))
+        .withColumn("ts", F.current_timestamp())
+    )
+    write_table(lineage, p["lineage"], mode="append")
+
+    manifest = (
+        lineage.select("bucket")
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("status", F.lit("done"))
+        .withColumn("ts", F.current_timestamp())
+    )
+    write_table(manifest, p["manifest"], mode="append")
+
+    new_buckets = [r.bucket for r in lineage.select("bucket").collect()]
+    counts = lineage.agg(
+        F.coalesce(F.sum("extracted_count"), F.lit(0)).alias("turns"),
+        F.coalesce(F.sum("services_count"), F.lit(0)).alias("services"),
+    ).collect()[0]
+    return {
+        "run_id": run_id,
+        "wall_ms": wall_ms,
+        "buckets_processed": sorted(new_buckets),
+        "buckets_skipped": sorted(done),
+        "turns": counts.turns,
+        "services": counts.services,
+    }
+
+
+def read_output(spark: SparkSession, out_root: str) -> DataFrame:
+    return read_table(spark, _paths(out_root)["data"])
+
+
+def read_lineage(spark: SparkSession, out_root: str) -> DataFrame:
+    return read_table(spark, _paths(out_root)["lineage"])

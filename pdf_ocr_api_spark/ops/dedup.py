@@ -1,0 +1,207 @@
+"""Deduplication operators for training-data pipelines.
+
+All four families stay JVM-side (no Python UDFs) — shingling, hashing and
+banding are Spark array/hash expressions, so whole-stage codegen applies
+and the only shuffles are the groupBys on hash keys:
+
+* exact dedup        — md5(normalized text) groupBy
+* MinHash + LSH      — token shingles → per-seed xxhash64 min → band
+                       hashes → bucket join (near-dup candidate pairs)
+* SimHash            — per-token hash bit-vote via explode + 64 partial
+                       aggregates (map-side combine does the heavy lift)
+* n-gram Jaccard     — exact verify on LSH candidates via array_intersect
+
+Scale notes: at 10^12 docs the LSH band groupBy is the dominant shuffle;
+band keys are uniform by construction (hash values), so no skew handling
+is needed beyond AQE. The exact-verify join touches only candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(col):
+    """Dedup normalization: lower, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups: md5 over normalized text; returns one row
+    per duplicated hash with the member ids and the canonical keeper
+    (min id)."""
+    h = df.select(F.col(id_col).alias("id"), F.md5(normalized_text(F.col(text_col))).alias("h"))
+    return (
+        h.groupBy("h")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min("id").alias("keep_id"),
+            F.sort_array(F.collect_list("id")).alias("member_ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def shingles(col, k: int = 3):
+    """Word k-gram shingles as an array<string> (JVM-side)."""
+    toks = F.split(normalized_text(col), " ")
+    n = F.size(toks)
+    return F.when(n >= k, F.transform(F.sequence(F.lit(0), n - k), lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    k: int = 3,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """(id, sig array<bigint>) — MinHash signatures, staged for throughput:
+
+    1. hash each shingle STRING once (xxhash64) into a `_h0` column;
+    2. derive the per-seed family by re-hashing the resulting LONGS
+       (xxhash64(h, seed)) — ~15-20× cheaper than re-hashing strings per
+       seed, and min(xxhash64(·, seed) ∘ h) is still a MinHash family.
+
+    The two projections are deliberate: referencing `_h0` as an attribute
+    lets Spark evaluate the expensive shingle hashing once, where a single
+    nested expression repeats it per seed (no CSE across lambda scopes).
+
+    ``parallelism``: repartition before hashing — a small parquet file
+    arrives as ONE partition and would pin one core (the reference's
+    sequential-loop failure mode, ref worker/processJob.js:74-87).
+    """
+    if parallelism:
+        df = df.repartition(parallelism)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s)).alias("_h0"),
+    )
+    return base.select(
+        "id",
+        F.array(
+            *[
+                F.array_min(F.transform("_h0", lambda h: F.xxhash64(h, F.lit(seed))))
+                for seed in range(num_hashes)
+            ]
+        ).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded LSH over MinHash.
+
+    rows: (id_a, id_b, n_shared_bands) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, parallelism)
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.concat_ws(",", *[F.element_at("sig", b * rows_per_band + r + 1).cast("string") for r in range(rows_per_band)]))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+    return pairs
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs (array_intersect /
+    array_union on distinct shingle sets), keeping pairs ≥ threshold."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.array_distinct(shingles(F.col(text_col), k)).alias("sh")
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def simhash64(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """64-bit SimHash per document.
+
+    explode(tokens) → per-token xxhash64 → 64 bit-vote partial aggregates
+    (map-side combine) → reassemble bits. Returns (id, simhash BIGINT).
+    """
+    if parallelism:
+        df = df.repartition(parallelism)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("th", F.xxhash64("tok"))
+
+    votes = [
+        F.sum(
+            F.when(F.shiftright("th", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
+    """Near-pairs by SimHash: block on the top ``prefix_bits`` bits, then
+    exact hamming via bit_count(xor) ≤ max_hamming inside blocks."""
+    blocked = sim.withColumn("blk", F.shiftright("simhash", 64 - prefix_bits))
+    return (
+        blocked.alias("a")
+        .join(
+            blocked.alias("b"),
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn("hamming", F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+    )

@@ -50,7 +50,7 @@ EXTRACT_SCHEMA = (
     "clean_text STRING, "
     f"spans ARRAY<STRUCT<{SPAN_FIELDS}>>, "
     f"services ARRAY<STRUCT<{SERVICE_FIELDS}>>, "
-    "doc_text STRING, n_chars_in BIGINT, n_chars_out BIGINT"
+    "doc_text STRING, n_chars_in BIGINT, n_chars_out BIGINT, proc_us BIGINT"
 )
 
 
@@ -148,8 +148,17 @@ def make_extractor(depara: dict):
     the reference's per-job depara payload, ref server.cjs:34-43)."""
 
     def extract(batches):
+        import time
+
         for pdf in batches:
-            yield _extract_frame(pdf, depara)
+            t0 = time.monotonic()
+            out = _extract_frame(pdf, depara)
+            # per-row share of the batch's Python wall time — summing the
+            # column over any grouping gives that group's processing cost
+            # (lineage metric, FIXTURES.md §4)
+            elapsed_us = int((time.monotonic() - t0) * 1e6)
+            out["proc_us"] = elapsed_us // max(1, len(out)) if len(out) else 0
+            yield out
 
     return extract
 

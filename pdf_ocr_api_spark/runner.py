@@ -1,0 +1,107 @@
+"""spark-submit entry point (SURVEY §3.1 re-expression).
+
+The reference's POST /ocr/parse (ref server.cjs:34-96) becomes a batch job:
+
+    spark-submit --py-files pdf_ocr_api_spark.zip -m pdf_ocr_api_spark.runner \\
+        --input  /path/or/catalog.db.transcripts \\
+        --output /path/or/catalog.db/extract_run \\
+        --run-id $(date +%s) --buckets 256
+
+The job id is the Spark applicationId (the reference mints a UUID,
+ref server.cjs:53); job state lives in the manifest/lineage tables
+(the reference's Xano store, ref server.cjs:11-30); resume is automatic
+(only pending buckets run).
+
+``python -m pdf_ocr_api_spark.runner --selftest`` runs a small
+generate→extract→resume cycle on local[*] for smoke checking a deploy.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_session(app_name: str, master: str | None = None, shuffle_partitions: int | None = None):
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    b = (
+        b.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+    )
+    if shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return b.getOrCreate()
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="transcript main-content extraction job")
+    ap.add_argument("--input", help="transcripts table: parquet dir or catalog ident")
+    ap.add_argument("--output", help="output root (data/lineage/manifest live under it)")
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--salt", type=int, default=None, help="salted repartition for skewed inputs")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--records", action="store_true", help="also write conversation-level records")
+    ap.add_argument("--selftest", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.selftest:
+        return _selftest()
+
+    if not args.input or not args.output:
+        ap.error("--input and --output are required (or --selftest)")
+
+    from pyspark.sql import SparkSession
+
+    from . import conversation, fixtures, lineage
+    from .sources.io import read_table, write_table
+
+    spark = build_session("pdf-ocr-api-spark-extract", args.master, args.shuffle_partitions)
+    run_id = args.run_id or spark.sparkContext.applicationId
+
+    transcripts = read_table(spark, args.input)
+    summary = lineage.run(
+        spark,
+        transcripts,
+        args.output,
+        run_id=run_id,
+        n_buckets=args.buckets,
+        salt=args.salt,
+    )
+    print(json.dumps(summary))
+
+    if args.records:
+        ext = lineage.read_output(spark, args.output)
+        tipo_dim = conversation.tipo_dim_df(spark, fixtures.DEPARA_RAW["tipoCertidao"])
+        recs = conversation.conversation_records(ext, tipo_dim)
+        write_table(recs, f"{args.output}/records" if "/" in args.output else f"{args.output}_records", mode="create")
+    return 0
+
+
+def _selftest() -> int:
+    import tempfile
+
+    from . import fixtures, lineage
+
+    spark = build_session("pdf-ocr-api-spark-selftest", master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    with tempfile.TemporaryDirectory() as d:
+        df = fixtures.spark_transcripts(spark, 20)
+        s1 = lineage.run(spark, df, f"{d}/out", run_id="selftest-1", n_buckets=8)
+        s2 = lineage.run(spark, df, f"{d}/out", run_id="selftest-2", n_buckets=8)
+        ok = s1["turns"] > 0 and s2["turns"] == 0 and len(s2["buckets_skipped"]) == len(s1["buckets_processed"])
+        print(json.dumps({"first_run": s1, "resume_run": s2, "ok": ok}))
+    spark.stop()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,92 @@
+"""Iceberg-first table IO with parquet fallback (SURVEY §2.1 S2/S3/S9).
+
+The engine targets Iceberg tables (`north_rule`); this sandbox has no
+iceberg-spark-runtime jar, so every read/write goes through this thin
+layer: when an Iceberg catalog is configured on the session the code path
+is `spark.read/writeTo("catalog.db.table")`; otherwise the same logical
+tables live as parquet directories. The rest of the engine never branches.
+
+Production setup (documented for spark-submit deployments):
+    --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>
+    --conf spark.sql.extensions=org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions
+    --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog
+    --conf spark.sql.catalog.lake.type=hadoop|hive|rest
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is configured AND the runtime jar is
+    on the classpath."""
+    confs = spark.sparkContext.getConf().getAll()
+    has_catalog = any(k.startswith("spark.sql.catalog.") for k, _ in confs)
+    if not has_catalog:
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def is_table_ident(target: str) -> bool:
+    """catalog.db.table identifiers vs filesystem paths."""
+    return "/" not in target and not target.startswith(("s3:", "hdfs:", "file:"))
+
+
+def read_table(spark: SparkSession, target: str) -> DataFrame:
+    if is_table_ident(target):
+        return spark.read.table(target)
+    return spark.read.parquet(target)
+
+
+def write_table(
+    df: DataFrame,
+    target: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Append/overwrite a logical table.
+
+    Iceberg path: `writeTo(...).append()` / `overwritePartitions()` —
+    ACID, so concurrent/bucket-wise writes are safe. Parquet path:
+    directory writes with dynamic partition overwrite for the
+    `overwrite_partitions` mode (same idempotent-resume semantics).
+    """
+    if is_table_ident(target):
+        w = df.writeTo(target)
+        if mode == "append":
+            w.append()
+        elif mode == "overwrite_partitions":
+            w.overwritePartitions()
+        elif mode == "create":
+            if partition_by:
+                from pyspark.sql import functions as F  # noqa: N812
+
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()
+        else:
+            raise ValueError(mode)
+        return
+
+    writer = df.write
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if mode == "overwrite_partitions":
+        writer.option("partitionOverwriteMode", "dynamic").mode("overwrite").parquet(target)
+    elif mode in ("append", "create"):
+        writer.mode("append" if mode == "append" else "overwrite").parquet(target)
+    else:
+        raise ValueError(mode)
+
+
+def table_exists(spark: SparkSession, target: str) -> bool:
+    if is_table_ident(target):
+        return spark.catalog.tableExists(target)
+    from pathlib import Path
+
+    p = Path(target)
+    return p.exists() and any(p.rglob("*.parquet"))

@@ -1,0 +1,83 @@
+"""Structured Streaming ingest for the extraction pipeline.
+
+The reference is a request/async-batch service (ref server.cjs:66-95 —
+fire-and-forget worker per job); the streaming analogue is a continuous
+ingest: new transcript files land in a directory / Iceberg table, each
+micro-batch flows through the SAME stateless mapInPandas extractor
+(`pipeline.make_extractor`), and results append to the output table with
+exactly-once file-sink semantics (checkpointed offsets — the streaming
+counterpart of the batch manifest in lineage.py).
+
+Late/out-of-order turns: extraction is per-turn pure, so no watermark is
+needed for correctness; the optional windowed throughput monitor keeps a
+1-minute event-time window with a 10-minute watermark (A-layer rollup in
+stream form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline import EXTRACT_SCHEMA, make_extractor
+
+TRANSCRIPT_DDL = (
+    "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP"
+)
+
+
+def read_transcript_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int = 32,
+) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def extract_stream(stream_df: DataFrame, depara: dict | None = None) -> DataFrame:
+    """Stateless streaming extraction — identical per-turn bytes to the
+    batch path (same UDF closure)."""
+    if depara is None:
+        from .. import fixtures
+
+        depara = fixtures.runtime_depara()
+    return stream_df.mapInPandas(make_extractor(depara), schema=EXTRACT_SCHEMA)
+
+
+def start_extraction_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    depara: dict | None = None,
+    available_now: bool = False,
+):
+    """Start (or drain, with available_now) the extraction stream."""
+    out = extract_stream(read_transcript_stream(spark, source_dir), depara)
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def throughput_monitor(stream_df: DataFrame) -> DataFrame:
+    """Windowed event-time rollup: turns and bytes per 1-minute window,
+    10-minute watermark for late turns."""
+    return (
+        stream_df.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("win"))
+        .agg(
+            F.count("*").alias("turns"),
+            F.sum(F.length("text")).alias("bytes_in"),
+        )
+        .select(F.col("win.start").alias("window_start"), "turns", "bytes_in")
+    )

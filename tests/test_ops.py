@@ -1,0 +1,140 @@
+"""Tests for the training-data pipeline operators (ops/)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_ocr_api_spark.ops import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat near the river bank today"),  # near dup of 0
+        (3, "spark processes distributed data with resilient datasets and catalyst optimizer"),
+        (4, "completely different content about cooking pasta with tomato sauce and basil"),
+        (5, "El rápido zorro marrón salta sobre el perro perezoso cerca de la orilla"),
+        (6, "THE QUICK  BROWN fox jumps over the lazy dog near the river bank today"),  # case/ws dup of 0
+    ]
+    return spark.createDataFrame(base, "doc_id LONG, text STRING")
+
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g.dup_count == 3  # 0, 1, 6 (case/whitespace-normalized)
+    assert g.keep_id == 0
+    assert list(g.member_ids) == [0, 1, 6]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    # bands=16 (r=2): P(collide) = 1-(1-j^2)^16 ≈ 0.9998 at j=0.65 — the
+    # recall-tuned banding for near-dup candidates
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=16)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 6) in got and (1, 6) in got  # exact dups always collide
+    assert (0, 2) in got  # one-token change shares most shingles
+    assert (0, 4) not in got and (3, 4) not in got  # unrelated never pair
+
+
+def test_jaccard_verify(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=16)
+    verified = dedup.jaccard_verify(docs, pairs, threshold=0.5).collect()
+    jac = {(r.id_a, r.id_b): r.jaccard for r in verified}
+    assert jac[(0, 1)] == 1.0
+    assert 0.5 <= jac[(0, 2)] < 1.0
+    assert (0, 4) not in jac
+
+
+def test_simhash_near_pairs(docs):
+    sim = dedup.simhash64(docs)
+    pairs = dedup.simhash_near_pairs(sim, max_hamming=10, prefix_bits=8)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got.get((0, 1)) == 0 and got.get((0, 6)) == 0
+    # near-dup has small but possibly nonzero hamming
+    if (0, 2) in got:
+        assert got[(0, 2)] <= 10
+    assert (0, 4) not in got
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    vecs[1] = vecs[0] + 0.01 * rng.standard_normal(16).astype(np.float32)  # near neighbor of 0
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>"), vecs
+
+
+def test_brute_force_topk_matches_numpy(emb):
+    df, vecs = emb
+    q = [float(x) for x in vecs[0]]
+    got = similarity.brute_force_topk(df.filter(F.col("vec_id") != 0), q, k=5).collect()
+    v = vecs.astype(np.float64)
+    cos = v @ v[0] / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    want = sorted(((round(c, 6), i) for i, c in enumerate(cos) if i != 0), key=lambda t: (-t[0], t[1]))[:5]
+    assert [r.id for r in got] == [i for _, i in want]
+    assert got[0].id == 1  # the planted near neighbor wins
+
+
+def test_lsh_topk_recall(emb):
+    df, vecs = emb
+    q = [float(x) for x in vecs[0]]
+    brute = {r.id for r in similarity.brute_force_topk(df.filter(F.col("vec_id") != 0), q, k=5).collect()}
+    approx = {r.id for r in similarity.lsh_topk(df.filter(F.col("vec_id") != 0), q, k=5, n_planes=8).collect()}
+    # multiprobe SRP on 50 vectors must at least find the planted near-dup
+    assert 1 in approx
+    assert len(brute & approx) >= 2
+
+
+def test_token_counts(docs):
+    rows = {r.doc_id: (r.ws, r.bpe) for r in docs.select(
+        "doc_id",
+        textstats.token_count(F.col("text")).alias("ws"),
+        textstats.bpe_ish_token_count(F.col("text")).alias("bpe"),
+    ).collect()}
+    assert rows[0][0] == 14
+    assert rows[6][0] == 14  # whitespace-normalized count
+    assert rows[0][1] >= rows[0][0]  # BPE-ish ≥ whitespace tokens
+
+
+def test_lang_id(spark):
+    rows = [
+        (0, "the cat and the dog of the house is in the garden"),
+        (1, "el perro y la casa de los vecinos que viven cerca"),
+        (2, "der hund und die katze ist nicht im haus"),
+        (3, "xyzzy qwerty asdf"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: r.lang for r in df.select("doc_id", textstats.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got[0] == "en" and got[1] == "es" and got[2] == "de" and got[3] == "und"
+
+
+def test_quality_features(docs, spark):
+    q = {r.id: r for r in textstats.quality_features(docs).collect()}
+    assert 0 < q[0].quality_score <= 1
+    junk = spark.createDataFrame([(99, "1 2 3 4 5 , , , . . . 9 9 9")], "doc_id LONG, text STRING")
+    jq = textstats.quality_features(junk).collect()[0]
+    assert jq.quality_score < q[0].quality_score
+
+
+def test_fingerprint_stability(docs):
+    a = {r.doc_id: r.fp for r in docs.select("doc_id", F.concat_ws(",", textstats.fingerprint(F.col("text")).cast("array<string>")).alias("fp")).collect()}
+    assert a[0] == a[1] == a[6]  # dups share the fingerprint
+    assert a[0] != a[4]
+
+
+def test_multimodal_features_deterministic(spark):
+    media = multimodal.synthesize_media(spark, 30)
+    f1 = multimodal.media_features(media.repartition(1)).orderBy("media_id").toPandas()
+    f2 = multimodal.media_features(media.repartition(7)).orderBy("media_id").toPandas()
+    assert f1.feature.map(tuple).tolist() == f2.feature.map(tuple).tolist()
+    assert (f1.n_bytes > 0).all()
+
+
+def test_multimodal_decode_is_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"not an image")
