@@ -44,12 +44,12 @@ def build_session(cores: int):
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        # small bench files must not be coalesced into one task wave:
+        # small bench files must not be coalesced into ~1 task wave:
         # one wave at local[32] makes the slowest task the wall clock
-        # (73% core utilization measured); fine splits restore the
-        # many-wave regime a real cluster scan has naturally
+        # (73% core utilization measured). With the default 4MB
+        # openCostInBytes each ~1MB bench file stays its own split →
+        # 128 tasks ≈ 4 waves at 32 cores, stragglers amortized.
         .config("spark.sql.files.maxPartitionBytes", "4m")
-        .config("spark.sql.files.openCostInBytes", "262144")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .getOrCreate()
@@ -208,15 +208,16 @@ def run_scaling(n_convs: int | None = None) -> dict:
     """
     import subprocess
 
-    n_convs = n_convs or int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "12000"))
+    n_convs = n_convs or int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "24000"))
     # pre-generate the shared input outside either cpuset
     spark = build_session(CPUS)
     bench_transcripts(spark, n_convs)
     spark.stop()
 
+    lo, hi = (int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_PAIR", "8:32").split(":"))
     out = {}
     n_turns = None
-    for cores in (8, 32):
+    for cores in (lo, hi):
         proc = subprocess.run(
             ["taskset", "-c", f"0-{cores - 1}", sys.executable, __file__,
              "--scaling-worker", str(cores), str(n_convs)],
@@ -228,9 +229,9 @@ def run_scaling(n_convs: int | None = None) -> dict:
         n_turns = r["turns"]
         out[f"local[{cores}]"] = {"sec": r["sec"], "turns_per_sec": r["turns_per_sec"]}
 
-    eff = (out["local[32]"]["turns_per_sec"] / out["local[8]"]["turns_per_sec"]) / 4.0
+    eff = (out[f"local[{hi}]"]["turns_per_sec"] / out[f"local[{lo}]"]["turns_per_sec"]) / (hi / lo)
     return {
-        "metric": "scaling_efficiency_8_to_32",
+        "metric": f"scaling_efficiency_{lo}_to_{hi}",
         "value": round(eff, 3),
         "unit": "ratio",
         "turns": n_turns,

@@ -163,6 +163,10 @@ def _parse_cat(texto_completo: str, depara: dict) -> list[dict]:
     """Tier 2 (X2) — ref :218-241. Returns [] when the split finds ≤1 segment."""
     resultado: list[dict] = []
     unidades = depara.get("unidades") or []
+    # the split separator starts with ';' — skip the lookahead regex
+    # entirely for the (majority) texts without one; same result
+    if ";" not in texto_completo:
+        return []
     segmentos = P.CAT_SPLIT.split(texto_completo)
     if len(segmentos) <= 1:
         return []

