@@ -276,6 +276,59 @@ def q_agg_pricing_summary(spark, sf_dir):
 # training-data pipeline operators
 # ---------------------------------------------------------------------------
 
+def _pseudo_turns(spark, sf_dir):
+    """(conv_id, turn_idx, doc_id) page-axis table from documents —
+    contiguous 0..9 turn_idx per conversation (doc_ids are dense)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.format_string("doc-conv-%04d", (F.col("doc_id") % 50).cast("int")).alias("conv_id"),
+        (F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        "doc_id",
+    )
+
+
+def q_o3_select_turns(spark, sf_dir):
+    """O3 — page-range selection + dense renumber (reorder-pdf-pages)."""
+    from pdf_ocr_api_spark.operators import turnops
+
+    return turnops.select_turns(_pseudo_turns(spark, sf_dir), 2, 6)
+
+
+def q_u2_delete_turns(spark, sf_dir):
+    """U2 — delete-pages analogue: anti-range + renumber."""
+    from pdf_ocr_api_spark.operators import turnops
+
+    return turnops.delete_turns(_pseudo_turns(spark, sf_dir), 1, 3)
+
+
+def q_rotate_turns(spark, sf_dir):
+    """Rotate-pages analogue: cyclic turn shift + renumber."""
+    from pdf_ocr_api_spark.operators import turnops
+
+    return turnops.rotate_turns(_pseudo_turns(spark, sf_dir), 3)
+
+
+def q_x6_split_by_count(spark, sf_dir):
+    """X6 — split-by-number-of-pages: chunk id per fixed turn count."""
+    from pdf_ocr_api_spark.operators import turnops
+
+    return turnops.split_by_count(_pseudo_turns(spark, sf_dir), 4)
+
+
+def q_s7_header_rules(spark, sf_dir):
+    """S7 — deterministic header classifier replacing the reference's GPT
+    call: J2 sigla-contains rules over normalized text (the same rules
+    the prompt encodes, ref gpt/extractHeader.js:41-74)."""
+    d = _t(spark, sf_dir, "documents")
+    up = F.regexp_replace(F.upper(F.substring("text", 1, 8000)), r"\s+", "")
+    nivel = (
+        F.when(up.contains("EXECUCAO") | up.contains("EXECUTADO"), 1)
+        .when(up.contains("FISCALIZACAO") | up.contains("FISCAL"), 2)
+        .when(up.contains("ELABORACAO") | up.contains("PROJETO"), 3)
+    )
+    return d.select("doc_id", nivel.alias("nivel_atividade"))
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup groups (hash-groupBy). The synthetic corpus has no
     natural exact dups, so every 17th document is re-injected with a
@@ -427,6 +480,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_split_explode": q_x_split_explode,
         "x6_ntile": q_x6_ntile,
         "agg_pricing_summary": q_agg_pricing_summary,
+        # turn-axis page-operation analogues (SURVEY §2.5/2.6/2.9)
+        "o3_select_turns": q_o3_select_turns,
+        "u2_delete_turns": q_u2_delete_turns,
+        "rotate_turns": q_rotate_turns,
+        "x6_split_by_count": q_x6_split_by_count,
+        "s7_header_rules": q_s7_header_rules,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -555,6 +614,59 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_price,
                    count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "o3_select_turns": """
+            WITH pt AS (
+              SELECT printf('doc-conv-%04d', CAST(doc_id % 50 AS INT)) AS conv_id,
+                     CAST(doc_id // 50 AS INT) AS turn_idx, doc_id
+              FROM documents
+            )
+            SELECT conv_id,
+                   CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS INT) AS turn_idx,
+                   doc_id
+            FROM pt WHERE turn_idx BETWEEN 2 AND 6
+        """,
+        "u2_delete_turns": """
+            WITH pt AS (
+              SELECT printf('doc-conv-%04d', CAST(doc_id % 50 AS INT)) AS conv_id,
+                     CAST(doc_id // 50 AS INT) AS turn_idx, doc_id
+              FROM documents
+            )
+            SELECT conv_id,
+                   CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS INT) AS turn_idx,
+                   doc_id
+            FROM pt WHERE turn_idx NOT BETWEEN 1 AND 3
+        """,
+        "rotate_turns": """
+            WITH pt AS (
+              SELECT printf('doc-conv-%04d', CAST(doc_id % 50 AS INT)) AS conv_id,
+                     CAST(doc_id // 50 AS INT) AS turn_idx, doc_id
+              FROM documents
+            )
+            SELECT conv_id,
+                   CAST(row_number() OVER (PARTITION BY conv_id ORDER BY new_pos) - 1 AS INT) AS turn_idx,
+                   doc_id
+            FROM (
+              SELECT conv_id, doc_id,
+                     (turn_idx + 3) % (count(*) OVER (PARTITION BY conv_id)) AS new_pos
+              FROM pt
+            )
+        """,
+        "x6_split_by_count": """
+            WITH pt AS (
+              SELECT printf('doc-conv-%04d', CAST(doc_id % 50 AS INT)) AS conv_id,
+                     CAST(doc_id // 50 AS INT) AS turn_idx, doc_id
+              FROM documents
+            )
+            SELECT conv_id, turn_idx, doc_id, CAST(turn_idx // 4 AS INT) AS chunk FROM pt
+        """,
+        "s7_header_rules": r"""
+            SELECT doc_id,
+                   CASE WHEN contains(up, 'EXECUCAO') OR contains(up, 'EXECUTADO') THEN 1
+                        WHEN contains(up, 'FISCALIZACAO') OR contains(up, 'FISCAL') THEN 2
+                        WHEN contains(up, 'ELABORACAO') OR contains(up, 'PROJETO') THEN 3
+                   END AS nivel_atividade
+            FROM (SELECT doc_id, regexp_replace(upper(substring(text, 1, 8000)), '\s+', '', 'g') AS up FROM documents)
         """,
         "dedup_exact": r"""
             SELECT h, dup_count, keep_id FROM (

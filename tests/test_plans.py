@@ -1,0 +1,66 @@
+"""Plan-shape guards (SURVEY §4): the physical properties the 100 TB
+design depends on must hold in the executed plan, not just in intent."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_ocr_api_spark import fixtures, pipeline
+from pdf_ocr_api_spark.plans import inspect as PI
+
+
+@pytest.fixture(scope="module")
+def stored(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("plans")
+    spark.createDataFrame(fixtures.fixture_frame(10)).withColumn(
+        "turn_idx", F.col("turn_idx").cast("int")
+    ).write.parquet(str(d / "t"))
+    return spark.read.parquet(str(d / "t"))
+
+
+def test_extraction_is_shuffle_free(stored, depara):
+    ext = pipeline.extract_transcripts(stored, depara)
+    assert PI.exchange_count(ext) == 0, PI.executed_plan(ext)
+
+
+def test_filter_pushdown_reaches_scan(stored):
+    q = stored.filter((F.col("turn_idx") >= 3) & F.col("conv_id").startswith("conv-0")).select("conv_id")
+    pushed = PI.pushed_filters(q)
+    assert any("turn_idx" in p for p in pushed), pushed
+    assert any("conv_id" in p for p in pushed), pushed
+
+
+def test_column_pruning(stored):
+    q = stored.select("conv_id", "turn_idx")
+    cols = PI.scan_columns(q)
+    assert cols == {"conv_id", "turn_idx"}, cols
+    # and a 2-col projection over the wide table never reads `text`
+    assert "text" not in cols
+
+
+def test_dimension_joins_broadcast(spark, stored, depara):
+    from pdf_ocr_api_spark import conversation
+
+    tipo = conversation.tipo_dim_df(spark, fixtures.DEPARA_RAW["tipoCertidao"])
+    ext = pipeline.extract_transcripts(stored, depara)
+    recs = conversation.conversation_records(ext, tipo)
+    assert PI.has_broadcast_join(recs), PI.executed_plan(recs)[:2000]
+
+
+def test_conversation_assembly_single_exchange_per_branch(stored, depara):
+    from pdf_ocr_api_spark import conversation
+
+    svc = conversation.assemble_services(conversation.explode_services(pipeline.extract_transcripts(stored, depara)))
+    # all windows share one (conv_id) partitioning → exactly one shuffle
+    assert PI.exchange_count(svc) == 1, PI.executed_plan(svc)[:2000]
+
+
+def test_salted_repartition_adds_exactly_one_exchange(stored, depara):
+    ext = pipeline.extract_transcripts(stored, depara, salt=8)
+    plan = PI.executed_plan(ext)
+    assert plan.count("Exchange") == 1, plan[:2000]
+
+
+def test_whole_stage_codegen_present(stored):
+    q = stored.filter(F.col("turn_idx") > 1).groupBy("role").count()
+    q.collect()  # AQE materializes the final (codegen-annotated) plan on action
+    assert PI.codegen_stage_count(q) >= 1
