@@ -85,6 +85,9 @@ def headline_queries(spark, transcripts):
     def q_extract():
         return _count(pipeline.extract_transcripts(transcripts))
 
+    def q_extract_text_only():
+        return _count(pipeline.extract_transcripts(transcripts, with_services=False))
+
     def q_conversation():
         # persist the extraction once — conversation_records fans out into
         # two branches (A1 text concat + service assembly); without the
@@ -130,6 +133,7 @@ def headline_queries(spark, transcripts):
 
     return {
         "extract": q_extract,
+        "extract_text_only": q_extract_text_only,
         "conversation": q_conversation,
         "pricing_agg": q_pricing,
         "sessionize": q_sessionize,

@@ -57,6 +57,7 @@ def run(
     n_buckets: int = DEFAULT_BUCKETS,
     depara: dict | None = None,
     salt: int | None = None,
+    with_services: bool = True,
 ) -> dict:
     """Execute one checkpointed extraction run; returns summary stats.
 
@@ -70,9 +71,9 @@ def run(
         df = df.filter(~F.col("bucket").isin(list(done)))
 
     t0 = time.monotonic()
-    extracted = extract_transcripts(df.drop("bucket"), depara=depara, salt=salt).withColumn(
-        "bucket", bucket_expr(n_buckets)
-    )
+    extracted = extract_transcripts(
+        df.drop("bucket"), depara=depara, salt=salt, with_services=with_services
+    ).withColumn("bucket", bucket_expr(n_buckets))
 
     write_table(extracted, p["data"], mode="overwrite_partitions", partition_by=["bucket"])
     wall_ms = int((time.monotonic() - t0) * 1000)

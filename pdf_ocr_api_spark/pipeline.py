@@ -142,17 +142,24 @@ def _cells_spans(doc: dict) -> list[dict]:
     return spans
 
 
-def make_extractor(depara: dict):
+def make_extractor(depara: dict, with_services: bool = True):
     """Build the mapInPandas function (depara captured in the closure —
     the dimension lists are tiny; this is the broadcast-dict analogue of
-    the reference's per-job depara payload, ref server.cjs:34-43)."""
+    the reference's per-job depara payload, ref server.cjs:34-43).
+
+    ``with_services=False`` is the text-only fast path: clean_text +
+    spans without the service cascade — services are ~45 % of the output
+    Arrow bytes and ~40 % of the Python time, and a corpus-cleaning
+    consumer (the north-rule product) does not need them. Conversation
+    assembly requires the default True.
+    """
 
     def extract(batches):
         import time
 
         for pdf in batches:
             t0 = time.monotonic()
-            out = _extract_frame(pdf, depara)
+            out = _extract_frame(pdf, depara, with_services)
             # per-row share of the batch's Python wall time — summing the
             # column over any grouping gives that group's processing cost
             # (lineage metric, FIXTURES.md §4)
@@ -163,7 +170,7 @@ def make_extractor(depara: dict):
     return extract
 
 
-def _extract_frame(pdf: pd.DataFrame, depara: dict) -> pd.DataFrame:
+def _extract_frame(pdf: pd.DataFrame, depara: dict, with_services: bool = True) -> pd.DataFrame:
     route = classify_batch(pdf["text"])
 
     n = len(pdf)
@@ -193,15 +200,18 @@ def _extract_frame(pdf: pd.DataFrame, depara: dict) -> pd.DataFrame:
             raw = texts[p] if isinstance(texts[p], str) else ""
             clean[p] = tp_clean[tpos]
             spans[p] = tp_spans[tpos]
-            svcs, tier = parse_services_tiered({"text": raw, "pages": []}, depara)
-            services[p] = svcs
-            if tier == "cat":
-                kind[p] = "cat"
-            elif tier == "lines" and (
-                any(s["Item"] is not None or s["Unidade"] is not None for s in svcs)
-                or any(rx.search(raw) for rx in P.PLANILHA_MARKERS)
-            ):
-                kind[p] = "lines"
+            if with_services:
+                svcs, tier = parse_services_tiered({"text": raw, "pages": []}, depara)
+                services[p] = svcs
+                if tier == "cat":
+                    kind[p] = "cat"
+                elif tier == "lines" and (
+                    any(s["Item"] is not None or s["Unidade"] is not None for s in svcs)
+                    or any(rx.search(raw) for rx in P.PLANILHA_MARKERS)
+                ):
+                    kind[p] = "lines"
+                elif tp_boiler[tpos] > 0:
+                    kind[p] = "boiler"
             elif tp_boiler[tpos] > 0:
                 kind[p] = "boiler"
             tpos += 1
@@ -215,11 +225,11 @@ def _extract_frame(pdf: pd.DataFrame, depara: dict) -> pd.DataFrame:
 
         if r == "html":
             text, sp = extract_html(raw)
-            svcs, _ = parse_services_tiered({"text": text, "pages": []}, depara)
             kind[p] = "html"
             clean[p] = text
             spans[p] = [_span(*t) for t in sp]
-            services[p] = svcs
+            if with_services:
+                services[p] = parse_services_tiered({"text": text, "pages": []}, depara)[0]
             doc_text[p] = text
             continue
 
@@ -232,24 +242,27 @@ def _extract_frame(pdf: pd.DataFrame, depara: dict) -> pd.DataFrame:
             tp = _text_path(pd.Series([raw]))
             clean[p] = tp["clean_text"].iloc[0]
             spans[p] = tp["spans"].iloc[0]
-            svcs, _ = parse_services_tiered({"text": raw, "pages": []}, depara)
-            services[p] = svcs
+            if with_services:
+                services[p] = parse_services_tiered({"text": raw, "pages": []}, depara)[0]
             continue
 
         if "elements" in doc:
             text, sp = extract_pdf_layout(doc)
-            svcs, _ = parse_services_tiered({"text": text, "pages": []}, depara)
             kind[p] = "pdf_layout"
             clean[p] = text
             spans[p] = [_span(*t) for t in sp]
-            services[p] = svcs
+            if with_services:
+                services[p] = parse_services_tiered({"text": text, "pages": []}, depara)[0]
             doc_text[p] = text
         else:
-            svcs, tier = parse_services_tiered(doc, depara)
-            kind[p] = "pdf_table" if tier == "table" else {"cat": "cat"}.get(tier, "pdf_text")
+            if with_services:
+                svcs, tier = parse_services_tiered(doc, depara)
+                kind[p] = "pdf_table" if tier == "table" else {"cat": "cat"}.get(tier, "pdf_text")
+                services[p] = svcs
+            else:
+                kind[p] = "pdf_table" if '"textAnchor"' in raw else "pdf_text"
             clean[p] = doc.get("text") or ""
             spans[p] = _cells_spans(doc)
-            services[p] = svcs
             doc_text[p] = doc.get("text") or ""
 
     out = pd.DataFrame(
@@ -269,7 +282,13 @@ def _extract_frame(pdf: pd.DataFrame, depara: dict) -> pd.DataFrame:
     return out
 
 
-def extract_transcripts(df, depara: dict | None = None, salt: int | None = None):
+def extract_transcripts(
+    df,
+    depara: dict | None = None,
+    salt: int | None = None,
+    num_partitions: int | None = None,
+    with_services: bool = True,
+):
     """Run the extraction pipeline over a transcripts DataFrame.
 
     Shuffle-free by default (extraction is per-turn independent — the map
@@ -285,13 +304,15 @@ def extract_transcripts(df, depara: dict | None = None, salt: int | None = None)
 
         depara = fixtures.runtime_depara()
 
+    _ws = with_services
     if salt:
-        df = df.repartition(
-            F.concat_ws(
-                "#",
-                F.col("conv_id"),
-                (F.crc32(F.concat_ws(":", F.col("conv_id"), F.col("turn_idx").cast("string"))) % salt).cast("string"),
-            )
+        key = F.concat_ws(
+            "#",
+            F.col("conv_id"),
+            (F.crc32(F.concat_ws(":", F.col("conv_id"), F.col("turn_idx").cast("string"))) % salt).cast("string"),
         )
+        # explicit numPartitions keeps AQE from re-coalescing the salted
+        # exchange (an explicit user repartition count is respected)
+        df = df.repartition(num_partitions, key) if num_partitions else df.repartition(key)
 
-    return df.mapInPandas(make_extractor(depara), schema=EXTRACT_SCHEMA)
+    return df.mapInPandas(make_extractor(depara, _ws), schema=EXTRACT_SCHEMA)

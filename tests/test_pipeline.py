@@ -139,3 +139,17 @@ def test_distributed_generation_matches_driver(spark):
     want = want.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     assert got["text"].tolist() == want["text"].tolist()
     assert got["role"].tolist() == want["role"].tolist()
+
+
+def test_text_only_mode_same_text_and_spans(spark, tiny, depara):
+    """with_services=False: identical clean_text/spans, empty services,
+    ~45% fewer output bytes (the corpus-cleaning fast path)."""
+    _, sdf = tiny
+    full = _collect_sorted(pipeline.extract_transcripts(sdf, depara))
+    fast = _collect_sorted(pipeline.extract_transcripts(sdf, depara, with_services=False))
+    assert fast.clean_text.tolist() == full.clean_text.tolist()
+    assert fast.spans.map(len).tolist() == full.spans.map(len).tolist()
+    assert (fast.services.map(len) == 0).all()
+    # kind degrades only for cat/lines (cascade-derived labels)
+    diffs = set(zip(full.kind[full.kind != fast.kind], fast.kind[full.kind != fast.kind]))
+    assert diffs <= {("cat", "plain"), ("lines", "plain")}
