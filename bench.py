@@ -93,7 +93,12 @@ def headline_queries(spark, transcripts):
         # two branches (A1 text concat + service assembly); without the
         # persist each branch would re-run the UDF (at real scale the
         # extraction output is a stored table — see lineage.run)
-        ext = pipeline.extract_transcripts(transcripts).persist()
+        # assembly never reads spans/clean_text — persist only its columns
+        ext = (
+            pipeline.extract_transcripts(transcripts)
+            .select("conv_id", "turn_idx", "kind", "doc_text", "services")
+            .persist()
+        )
         try:
             tipo = conversation.tipo_dim_df(spark, fixtures.DEPARA_RAW["tipoCertidao"])
             return _count(conversation.conversation_records(ext, tipo))

@@ -166,12 +166,61 @@ def conversation_text(extracted: DataFrame) -> DataFrame:
     )
 
 
-def conversation_records(extracted: DataFrame, tipo_dim: DataFrame | None = None) -> DataFrame:
+def _sigla_chain(header_col, lista: list[dict]):
+    """J2 map_by_sigla as a when-chain over a *driver-side* dimension
+    list — first item in LIST ORDER whose normalized sigla is contained
+    in the normalized header wins (ref parser/mapBySigla.js:9-27)."""
+    from .functions.normalize import normaliza_sigla
+
+    expr = F.lit(None).cast("int")
+    for item in reversed(lista):
+        siglas = [normaliza_sigla(s) for s in item.get("siglas") or [] if s]
+        if not siglas:
+            continue
+        cond = None
+        for s in siglas:
+            c = header_col.contains(s)
+            cond = c if cond is None else (cond | c)
+        expr = F.when(cond, item["id"]).otherwise(expr)
+    return expr
+
+
+def header_fields(extracted: DataFrame, depara_raw: dict) -> DataFrame:
+    """S7 deterministic header enrichment — the rules the reference's GPT
+    prompt encodes (ref gpt/extractHeader.js:41-74), over the FIRST
+    turn's first 8,000 chars (A2/A3, ref parseDocument.js:65,
+    extractHeader.js:23). Pure expressions + a window."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    first = (
+        extracted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("conv_id", F.substring(F.coalesce("doc_text", "clean_text"), 1, 8000).alias("_head"))
+    )
+    norm = F.regexp_replace(F.translate(F.upper(F.col("_head")), _ACC_SRC, _ACC_DST), r"\s+", "")
+    first = first.withColumn("_hnorm", norm)
+    return first.select(
+        "conv_id",
+        _sigla_chain(F.col("_hnorm"), depara_raw.get("nivelAtividade") or []).alias("NiveldeAtividade"),
+        _sigla_chain(F.col("_hnorm"), depara_raw.get("qualificacaoObra") or []).alias("QualificacaoObra"),
+        _sigla_chain(F.col("_hnorm"), depara_raw.get("qualificacaoEspecifica") or []).alias("QualificacaoEspecifica"),
+    )
+
+
+def conversation_records(
+    extracted: DataFrame,
+    tipo_dim: DataFrame | None = None,
+    header_depara: dict | None = None,
+) -> DataFrame:
     """Full per-conversation record (ref :227-236): scalar fields + the
     filtered, ordered services array.
 
     ``tipo_dim``: DataFrame(id INT, nome_norm STRING) — the tipoCertidao
     dimension with pre-normalized names; broadcast-joined (J6).
+
+    ``header_depara``: when given (the raw de/para dict), the record is
+    enriched with the deterministic S7 header fields; by default the
+    record matches the reference's de-facto output (GPT error path →
+    those fields absent/null, ref gpt/extractHeader.js:123-133).
     """
     texts = conversation_text(extracted)
 
@@ -230,13 +279,19 @@ def conversation_records(extracted: DataFrame, tipo_dim: DataFrame | None = None
         ).alias("Servicos")
     )
 
-    return scalars.join(svc_arr, "conv_id", "left").select(
+    out = scalars.join(svc_arr, "conv_id", "left")
+    cols = [
         "conv_id",
         "NumerodaCertidao",
         "TipodaCertidao",
         "Estado",
         F.coalesce("Servicos", F.array().cast(svc_arr.schema["Servicos"].dataType)).alias("Servicos"),
-    )
+    ]
+    if header_depara is not None:
+        hdr = header_fields(extracted, header_depara)
+        out = out.join(hdr, "conv_id", "left")
+        cols[3:3] = ["NiveldeAtividade", "QualificacaoObra", "QualificacaoEspecifica"]
+    return out.select(*cols)
 
 
 def tipo_dim_df(spark, lista_tipos: list[dict]) -> DataFrame:

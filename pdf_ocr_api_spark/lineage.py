@@ -65,6 +65,22 @@ def run(
     """
     p = _paths(out_root)
     done = set(done_buckets(spark, out_root))
+    mode = "full" if with_services else "text_only"
+
+    # refuse to mix extraction modes within one output root — a resumed
+    # run in another mode would leave heterogeneous buckets
+    if done and table_exists(spark, p["manifest"]):
+        m = read_table(spark, p["manifest"])
+        if "mode" in m.columns:  # pre-mode manifests imply "full"
+            m = m.select(F.coalesce(F.col("mode"), F.lit("full")).alias("mode"))
+        else:
+            m = m.select(F.lit("full").alias("mode"))
+        prev_modes = {r.mode for r in m.distinct().collect()}
+        if prev_modes and prev_modes != {mode}:
+            raise ValueError(
+                f"output root {out_root!r} was written in mode(s) {sorted(prev_modes)}; "
+                f"refusing to resume in mode {mode!r}"
+            )
 
     df = transcripts.withColumn("bucket", bucket_expr(n_buckets))
     if done:
@@ -104,6 +120,7 @@ def run(
         lineage.select("bucket")
         .withColumn("run_id", F.lit(run_id))
         .withColumn("status", F.lit("done"))
+        .withColumn("mode", F.lit(mode))
         .withColumn("ts", F.current_timestamp())
     )
     write_table(manifest, p["manifest"], mode="append")

@@ -77,3 +77,33 @@ def test_assemble_explains_single_window_exchange(spark, depara):
     # windows over the same (conv_id | turn_idx, svc_idx) spec collapse
     # into one sort; no second exchange between them
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_header_fields_match_python_rules(spark, depara):
+    """S7 enrichment: the Spark when-chain must equal the Python
+    deterministic_header (itself the same rules J2 encodes)."""
+    from pdf_ocr_api_spark.extract.tipo import map_by_sigla
+
+    rows = [
+        ("h0", 0, "user", "Obra de execução hospitalar em edificação urbana", None),
+        ("h1", 0, "user", "Projeto de infraestrutura para fiscalização escolar", None),
+        ("h2", 0, "user", "nada relevante aqui", None),
+        ("h2", 1, "user", "execução tardia não conta (não é o primeiro turno)", None),
+    ]
+    sdf = spark.createDataFrame(rows, "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING")
+    ext = pipeline.extract_transcripts(sdf, depara)
+    recs = conversation.conversation_records(
+        ext,
+        conversation.tipo_dim_df(spark, fixtures.DEPARA_RAW["tipoCertidao"]),
+        header_depara=fixtures.DEPARA_RAW,
+    ).toPandas().set_index("conv_id")
+
+    for cid, head in (("h0", rows[0][3]), ("h1", rows[1][3]), ("h2", rows[2][3])):
+        want = map_by_sigla(head[:8000], fixtures.DEPARA_RAW["nivelAtividade"])
+        got = recs.loc[cid].NiveldeAtividade
+        got = None if got is None or got != got else int(got)
+        assert got == want, (cid, got, want)
+    assert int(recs.loc["h0"].QualificacaoObra) == 1      # EDIFICACAO
+    assert int(recs.loc["h0"].QualificacaoEspecifica) == 1  # HOSPITAL
+    assert int(recs.loc["h1"].QualificacaoObra) == 2      # INFRAESTRUTURA
+    assert recs.loc["h2"].NiveldeAtividade is None or recs.loc["h2"].NiveldeAtividade != recs.loc["h2"].NiveldeAtividade

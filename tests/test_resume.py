@@ -63,3 +63,13 @@ def test_lineage_counts_reconcile(spark, transcripts, tmp_path):
     per_bucket = {r.bucket: r.cnt for r in data.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()}
     for r in lin.collect():
         assert per_bucket[r.bucket] == r.extracted_count
+
+
+def test_mode_mixing_refused(spark, transcripts, tmp_path):
+    """A text-only resume atop a full-mode root must be refused —
+    heterogeneous buckets would silently corrupt downstream assembly."""
+    out = str(tmp_path / "mixed")
+    half = transcripts.filter(F.pmod(F.crc32("conv_id"), F.lit(8)) < 4)
+    lineage.run(spark, half, out, run_id="full", n_buckets=8)
+    with pytest.raises(ValueError, match="refusing to resume"):
+        lineage.run(spark, transcripts, out, run_id="fast", n_buckets=8, with_services=False)
