@@ -424,6 +424,27 @@ def q_ann_lsh(spark, sf_dir):
     return similarity.lsh_topk(e.filter(F.col("vec_id") != 0), list(qv), k=10, n_planes=12)
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs — exact variant (DuckDB-oracled);
+    the SRP-blocked scale variant is exercised in tests."""
+    from pdf_ocr_api_spark.ops import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_pairs_exact(e, threshold=0.4)
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN: pyspark.ml k-means coarse quantizer + expression-side
+    list assignment + nprobe rerank (rows-only: distributed k-means||
+    centroids are partitioning-dependent even when seeded)."""
+    from pdf_ocr_api_spark.ops import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    indexed, centroids = similarity.ivf_index(e.filter(F.col("vec_id") != 0), n_lists=8)
+    return similarity.ivf_topk(indexed, centroids, list(qv), k=10, nprobe=3)
+
+
 def q_mm_media_bytes(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload + byte metadata."""
     d = _t(spark, sf_dir, "documents")
@@ -496,6 +517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ann_brute_cosine": q_ann_brute_cosine,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "dedup_embedding": q_dedup_embedding,
         "mm_media_bytes": q_mm_media_bytes,
         "mm_media_features": q_mm_media_features,
     }
@@ -700,6 +723,12 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q
             WHERE e.vec_id <> 0
             ORDER BY cosine DESC, id ASC LIMIT 10
+        """,
+        "dedup_embedding": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.4
         """,
         "mm_media_bytes": "SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents",
     }

@@ -94,3 +94,118 @@ def lsh_topk(
     sig = emb.withColumn("_sig", srp_signature(F.col(vec_col), planes))
     cand = sig.filter(F.col("_sig").isin(probes))
     return brute_force_topk(cand, query_vec, k, id_col=id_col, vec_col=vec_col)
+
+
+def _sq_dist(col, center: list[float]):
+    c = F.array(*[F.lit(float(x)) for x in center])
+    return F.aggregate(F.zip_with(col, c, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda a, v: a + v)
+
+
+def ivf_index(
+    emb: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF (inverted-file) index: k-means coarse quantizer.
+
+    The centroids come from ``pyspark.ml`` KMeans (JVM-side Lloyd's);
+    list assignment is a pure expression — per-centroid squared
+    distances via zip_with, argmin via array_position(array_min) — so
+    the assignment scan stays in codegen and parallelizes like any map.
+
+    Returns ``(emb + ivf_list column, centroids)``. At 100 TB the index
+    build samples the corpus for the fit and the assignment is one scan;
+    queries touch ``nprobe``/``n_lists`` of the data.
+
+    Determinism caveat: seeded k-means|| init is still partition-order
+    dependent, so centroids are reproducible only for a fixed input
+    partitioning — persist the centroids with the index (they ARE the
+    index metadata) rather than re-fitting.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fit_df = emb.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(fit_df)
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+
+    dists = F.array(*[_sq_dist(F.col(vec_col).cast("array<double>"), c) for c in centroids])
+    assigned = emb.withColumn(
+        "ivf_list", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    )
+    return assigned, centroids
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN query over an IVF index: probe the ``nprobe`` nearest lists,
+    exact cosine rerank inside them (driver computes the probe set)."""
+    q = query_vec
+    d2 = [sum((float(a) - float(b)) ** 2 for a, b in zip(q, c)) for c in centroids]
+    probes = sorted(range(len(centroids)), key=lambda i: d2[i])[:nprobe]
+    cand = indexed.filter(F.col("ivf_list").isin(probes))
+    return brute_force_topk(cand, q, k, id_col=id_col, vec_col=vec_col)
+
+
+def cosine_pair_expr(a, b):
+    """Cosine similarity between two array<float> columns (double math)."""
+    ad = a.cast("array<double>")
+    bd = b.cast("array<double>")
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def embedding_near_pairs_exact(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact O(n²) self-join —
+    the verification baseline (use the blocked variant at scale)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_pair_expr(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Scale path: SRP-bucket blocking (same-signature join) + exact
+    cosine verify inside buckets. High-cosine pairs collide with
+    probability (1 − θ/π)^n_planes; near-identical vectors almost
+    surely share the bucket. The bucket join shuffles on uniform hash
+    keys — no skew handling needed."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    sig = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        srp_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    return (
+        sig.alias("a")
+        .join(sig.alias("b"), (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("cosine", F.round(cosine_pair_expr(F.col("a.v"), F.col("b.v")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+    )

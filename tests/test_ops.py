@@ -138,3 +138,33 @@ def test_multimodal_features_deterministic(spark):
 def test_multimodal_decode_is_stub():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"not an image")
+
+
+def test_ivf_ann(emb, spark):
+    df, vecs = emb
+    indexed, centroids = similarity.ivf_index(df, n_lists=4)
+    assert len(centroids) == 4
+    # assignment is deterministic for a fixed input partitioning (the
+    # k-means|| init is partition-order dependent even when seeded)
+    a1 = indexed.orderBy("vec_id").select("ivf_list").toPandas().ivf_list.tolist()
+    a2 = similarity.ivf_index(df, n_lists=4)[0].orderBy("vec_id").select("ivf_list").toPandas().ivf_list.tolist()
+    assert a1 == a2
+    assert set(a1) <= {0, 1, 2, 3}
+
+    q = [float(x) for x in vecs[0]]
+    got = similarity.ivf_topk(indexed.filter(F.col("vec_id") != 0), centroids, q, k=5, nprobe=2)
+    ids = [r.id for r in got.collect()]
+    assert 1 in ids  # the planted near neighbor lives in the probed list
+    brute = {r.id for r in similarity.brute_force_topk(df.filter(F.col("vec_id") != 0), q, k=5).collect()}
+    assert len(brute & set(ids)) >= 2
+
+
+def test_embedding_near_dup(emb, spark):
+    df, vecs = emb
+    exact = similarity.embedding_near_pairs_exact(df, threshold=0.95)
+    pairs = {(r.id_a, r.id_b): r.cosine for r in exact.collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99  # the planted near-dup
+    blocked = similarity.embedding_near_pairs(df, threshold=0.95, n_planes=8)
+    bp = {(r.id_a, r.id_b) for r in blocked.collect()}
+    assert (0, 1) in bp            # near-identical vectors share the bucket
+    assert bp <= set(pairs)        # blocking never invents pairs
