@@ -262,3 +262,85 @@ def parse_services_tiered(doc: dict, depara: dict) -> tuple[list[dict], str | No
 def parse_services(doc: dict, depara: dict) -> list[dict]:
     """X4 cascade, reference-shaped return (ref :210,240)."""
     return parse_services_tiered(doc, depara)[0]
+
+
+# ---------------------------------------------------------------------------
+# Batch-vectorized tier 3 (X3) — identical semantics to _parse_lines for
+# payloads WITHOUT planilha markers and WITHOUT the tier-2 ';' pattern
+# (the router sends those through the scalar cascade). Operates on the
+# already-exploded clean_line'd lines of many turns at once; per-line
+# Python survives only for (a) the rare unit-gate hits and (b) the final
+# row assembly over precomputed arrays.
+# ---------------------------------------------------------------------------
+
+def parse_lines_batch(lines, depara: dict) -> dict:
+    """``lines``: pd.Series of cleaned lines (T6 applied), index = turn
+    label, in original line order per turn. Returns {label: service_rows}
+    with rows byte-identical to ``_parse_lines`` on the same turns.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .units import _prepare_units
+
+    out: dict = {}
+    if lines.empty:
+        return out
+
+    keep = (lines != "") & (lines.str.len() >= 5)
+    L = lines[keep]
+    if L.empty:
+        return out
+
+    # T7: trailing quantity + residual (JS $-anchored replace-first + trim)
+    qty = L.str.extract(P.QUANTIDADE_TRAILING, expand=False)
+    sem_qtd = L.str.replace(P.QUANTIDADE_TRAILING, "", n=1, regex=True).str.strip()
+
+    # J4 gate: the ordered per-term scan only for gate hits
+    prep = _prepare_units(depara.get("unidades") or [])
+    hit = pd.Series(False, index=L.index)
+    for g in prep["gates"]:
+        hit = hit | sem_qtd.str.contains(g, regex=True)
+
+    uid = np.full(len(L), None, dtype=object)
+    sem_unit = sem_qtd.to_numpy(dtype=object, copy=True)
+    if hit.any():
+        from .units import detect_unidade
+
+        unidades = depara.get("unidades") or []
+        hit_np = hit.to_numpy()
+        for i in np.nonzero(hit_np)[0]:
+            u, rest = detect_unidade(sem_unit[i], unidades)
+            uid[i] = u
+            sem_unit[i] = rest
+
+    sem_unit_s = pd.Series(sem_unit, index=L.index, dtype=object)
+    item = sem_unit_s.str.extract(r"^(\d+(?:\.\d+)*)", expand=False)
+    resto = sem_unit_s.str.replace(P.ITEM_LEADING, "", n=1, regex=True).str.strip()
+
+    # X3 category rule: isolated ALL-CAPS short line (ref :286-297)
+    is_cat = L.str.fullmatch(r"[A-Z\s]+") & (L.str.len() < 60)
+
+    labels = L.index.to_numpy()
+    l_np = L.to_numpy(dtype=object)
+    qty_np = qty.to_numpy(dtype=object)
+    item_np = item.to_numpy(dtype=object)
+    resto_np = resto.to_numpy(dtype=object)
+    cat_np = is_cat.to_numpy()
+
+    for j in range(len(labels)):
+        q = qty_np[j] if isinstance(qty_np[j], str) else None
+        it = item_np[j] if isinstance(item_np[j], str) else None
+        u = uid[j]
+        lbl = labels[j]
+        if not q and not u and not it:
+            if cat_np[j]:
+                out.setdefault(lbl, []).append(
+                    {"Item": None, "Categoria": l_np[j], "Descricao": None, "Unidade": None, "Quantidade": None}
+                )
+            continue
+        r = resto_np[j]
+        out.setdefault(lbl, []).append(
+            {"Item": it, "Categoria": None, "Descricao": r or None, "Unidade": u, "Quantidade": q}
+        )
+    return out

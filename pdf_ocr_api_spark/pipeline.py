@@ -40,6 +40,12 @@ from .functions import patterns as P
 from .functions.normalize import v_clean_line
 
 _HTML_RX = re.compile(r"(?i)<\s*(?:!doctype|html|head|body|div|p|h[1-6]|nav|table|ul|article)\b")
+# tier-2 / tier-3-marker router gate: turns hitting either go through the
+# scalar cascade; the rest take the batch-vectorized tier-3
+_MARKER_RX = re.compile(
+    r"PLANILHA\s+(?:DOS\s+)?SERVI[CÇ]OS\s+EXECUTADOS|ITEM\s+UND\.?\s+QUANT|\d+\.\s*PLANILHA",
+    re.IGNORECASE,
+)
 
 SPAN_FIELDS = "start INT, end INT, kind STRING"
 SERVICE_FIELDS = (
@@ -76,10 +82,11 @@ def _text_path(raw: pd.Series) -> pd.DataFrame:
     (clean_text, spans, dropped_boiler).
     """
     if raw.empty:
-        return pd.DataFrame(
+        empty = pd.DataFrame(
             {"clean_text": pd.Series(dtype=object), "spans": pd.Series(dtype=object),
              "dropped_boiler": pd.Series(dtype=int)}
         )
+        return empty, pd.Series(dtype=object)
     lines = raw.fillna("").str.split("\n").explode()
     cleaned = v_clean_line(lines)
     nonempty = cleaned != ""
@@ -110,7 +117,7 @@ def _text_path(raw: pd.Series) -> pd.DataFrame:
     out["spans"] = spans.reindex(raw.index)
     out["spans"] = out["spans"].apply(lambda v: v if isinstance(v, list) else [])
     out["dropped_boiler"] = dropped.reindex(raw.index, fill_value=0).astype(int)
-    return out
+    return out, cleaned
 
 
 def _cells_spans(doc: dict) -> list[dict]:
@@ -189,11 +196,28 @@ def _extract_frame(pdf: pd.DataFrame, depara: dict, with_services: bool = True) 
     # ---------------- text path (clean/strip vectorized) ----------------
     tmask = route == "text"
     if tmask.any():
-        tp = _text_path(pdf.loc[tmask, "text"])
+        sub = pdf.loc[tmask, "text"]
+        tp, tp_lines = _text_path(sub)
         tp_clean = tp["clean_text"].tolist()
         tp_spans = tp["spans"].tolist()
         tp_boiler = tp["dropped_boiler"].tolist()
+
+        batch_rows: dict = {}
+        slow_labels: set = set()
+        if with_services:
+            # route: ';' (possible tier-2) or a planilha marker (tier-3
+            # slice) → scalar cascade; everything else → batch tier 3
+            # (parity-fuzzed against the scalar path in tests)
+            sub_f = sub.fillna("")
+            slow_mask = sub_f.str.contains(";", regex=False) | sub_f.str.contains(_MARKER_RX, regex=True)
+            slow_labels = set(sub.index[slow_mask])
+            fast_lines = tp_lines[~tp_lines.index.isin(slow_labels)]
+            from .extract.services import parse_lines_batch
+
+            batch_rows = parse_lines_batch(fast_lines, depara)
+
         tpos = 0
+        labels = list(sub.index)
         for p in range(n):
             if routes[p] != "text":
                 continue
@@ -201,13 +225,18 @@ def _extract_frame(pdf: pd.DataFrame, depara: dict, with_services: bool = True) 
             clean[p] = tp_clean[tpos]
             spans[p] = tp_spans[tpos]
             if with_services:
-                svcs, tier = parse_services_tiered({"text": raw, "pages": []}, depara)
+                lbl = labels[tpos]
+                if lbl in slow_labels:
+                    svcs, tier = parse_services_tiered({"text": raw, "pages": []}, depara)
+                else:
+                    svcs = batch_rows.get(lbl, [])
+                    tier = "lines" if svcs else None
                 services[p] = svcs
                 if tier == "cat":
                     kind[p] = "cat"
                 elif tier == "lines" and (
                     any(s["Item"] is not None or s["Unidade"] is not None for s in svcs)
-                    or any(rx.search(raw) for rx in P.PLANILHA_MARKERS)
+                    or (lbl in slow_labels and any(rx.search(raw) for rx in P.PLANILHA_MARKERS))
                 ):
                     kind[p] = "lines"
                 elif tp_boiler[tpos] > 0:
@@ -239,7 +268,7 @@ def _extract_frame(pdf: pd.DataFrame, depara: dict, with_services: bool = True) 
                 raise ValueError("not an object")
         except Exception:
             # malformed JSON → degrade to the text path for this turn
-            tp = _text_path(pd.Series([raw]))
+            tp, _ = _text_path(pd.Series([raw]))
             clean[p] = tp["clean_text"].iloc[0]
             spans[p] = tp["spans"].iloc[0]
             if with_services:

@@ -100,3 +100,32 @@ def test_map_by_sigla_parity():
     ref = run_ref_oracle("mapBySigla", [{"valor": v, "lista": lista} for v in vals])
     for v, want in zip(vals, ref):
         assert map_by_sigla(v, lista) == want, repr(v)
+
+
+def test_parse_lines_batch_matches_scalar(depara):
+    """The batch-vectorized tier 3 must be byte-identical to the scalar
+    _parse_lines on every fast-eligible turn (no ';', no markers)."""
+    import pandas as pd
+
+    from pdf_ocr_api_spark.extract import services as S
+    from pdf_ocr_api_spark.functions import patterns as P
+    from pdf_ocr_api_spark.functions.normalize import v_clean_line
+
+    texts = []
+    for i in range(300):
+        rng = fixtures.rng_for("t-vec3", i)
+        kind = ("plain", "boiler", "lines")[i % 3]
+        t, _ = fixtures._BUILDERS[kind](rng)
+        texts.append(t)
+    texts += ["", "a\nbb\nccccc\n12345 678,90", "SOMENTE MAIUSCULAS", "1.2.3Pintura M2 1,0\nmês 12\nhora H 1"]
+    texts = [
+        t for t in texts
+        if ";" not in t and not any(rx.search(t) for rx in P.PLANILHA_MARKERS)
+    ]
+    assert len(texts) > 150
+
+    want = {i: S._parse_lines(t.replace("\r\n", "\n"), depara) for i, t in enumerate(texts)}
+    lines = pd.Series(texts).str.split("\n").explode()
+    got = S.parse_lines_batch(v_clean_line(lines), depara)
+    for i in range(len(texts)):
+        assert want[i] == got.get(i, []), repr(texts[i][:80])
