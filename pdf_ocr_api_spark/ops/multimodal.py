@@ -93,3 +93,56 @@ def synthesize_media(spark, n: int = 64):
         ).alias("meta"),
     )
     return df
+
+
+def resize_image(payload: bytes, width: int, height: int):
+    """STUB: image resize needs a codec (PIL/libvips) — absent here."""
+    raise NotImplementedError("image resize stub — no codec library in this environment")
+
+
+def fake_resized_bytes(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic resize stand-in: size-tagged digest of the source
+    bytes (same contract shape a real resize has: bytes → bytes)."""
+    tag = f"resized-{width}x{height}-".encode()
+    return tag + hashlib.sha256(payload or b"").digest()
+
+
+RESIZE_SCHEMA = "media_id BIGINT, width INT, height INT, payload BINARY"
+
+
+def resize_media(df, width: int = 64, height: int = 64):
+    """binary media → resized binary (mapInPandas; deterministic fake)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": [fake_resized_bytes(p, width, height) for p in pdf["payload"]],
+                }
+            )
+
+    return df.mapInPandas(fn, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id BIGINT, frame_idx INT, frame ARRAY<FLOAT>"
+
+
+def frame_sample(df, n_frames: int = 4):
+    """Video frame sampling plumbing: one media row → n_frames feature
+    rows (the UDTF row-expansion shape a real decoder uses; frames are
+    deterministic fakes seeded by (payload, frame_idx))."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(fake_features((payload or b"") + i.to_bytes(2, "big")).tolist())
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(fn, schema=FRAME_SCHEMA)

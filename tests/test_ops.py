@@ -168,3 +168,22 @@ def test_embedding_near_dup(emb, spark):
     bp = {(r.id_a, r.id_b) for r in blocked.collect()}
     assert (0, 1) in bp            # near-identical vectors share the bucket
     assert bp <= set(pairs)        # blocking never invents pairs
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    media = multimodal.synthesize_media(spark, 12)
+    rs = multimodal.resize_media(media, 32, 32).orderBy("media_id").toPandas()
+    assert len(rs) == 12 and (rs.width == 32).all()
+    rs2 = multimodal.resize_media(media.repartition(5), 32, 32).orderBy("media_id").toPandas()
+    assert rs.payload.map(bytes).tolist() == rs2.payload.map(bytes).tolist()
+
+    fr = multimodal.frame_sample(media.filter("kind = 'video'"), n_frames=3)
+    pdf = fr.orderBy("media_id", "frame_idx").toPandas()
+    n_videos = media.filter("kind = 'video'").count()
+    assert len(pdf) == 3 * n_videos
+    # frames differ across frame_idx but are deterministic per (media, idx)
+    g = pdf[pdf.media_id == pdf.media_id.iloc[0]]
+    assert len({tuple(f) for f in g.frame}) == 3
+
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image(b"x", 8, 8)
