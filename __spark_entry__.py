@@ -421,7 +421,7 @@ def q_ann_lsh(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return similarity.lsh_topk(e.filter(F.col("vec_id") != 0), list(qv), k=10, n_planes=12)
+    return similarity.lsh_topk(e.filter(F.col("vec_id") != 0), list(qv), k=10, n_planes=8)
 
 
 def q_dedup_embedding(spark, sf_dir):
@@ -758,7 +758,7 @@ def _quality_sql() -> str:
                       ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
                  END AS n_tokens,
                  len(regexp_extract_all(text, '[.,;:!?…]')) AS n_punct,
-                 len(regexp_extract_all(lower(text), '\b(the|and|of|o|a|de|que|e|do|da)\b')) AS n_stop,
+                 len(regexp_extract_all(translate(lower(coalesce(text, '')), 'áàâãäéèêëíìîïóòôõöúùûüçñ', 'aaaaaeeeeiiiiooooouuuucn'), '\b(the|and|of|o|a|de|que|e|do|da)\b')) AS n_stop,
                  len(regexp_extract_all(text, '\d')) AS n_digit
           FROM documents
         )
@@ -768,8 +768,12 @@ def _quality_sql() -> str:
 def _lang_id_sql() -> str:
     from pdf_ocr_api_spark.ops.textstats import LANG_MARKERS
 
+    basis = (
+        "translate(lower(coalesce(text, '')), "
+        "'áàâãäéèêëíìîïóòôõöúùûüçñ', 'aaaaaeeeeiiiiooooouuuucn')"
+    )
     score_cols = ",\n".join(
-        f"len(regexp_extract_all(lower(text), '{rx}')) AS s_{lang}" for lang, rx in LANG_MARKERS.items()
+        f"len(regexp_extract_all({basis}, '{rx}')) AS s_{lang}" for lang, rx in LANG_MARKERS.items()
     )
     # replicate the declaration-order strict-> argmax of textstats.lang_id
     langs = list(LANG_MARKERS)

@@ -134,7 +134,7 @@ def assemble_services(svc: DataFrame) -> DataFrame:
 
     keep = (
         (F.length(text) <= DESC_MAX_LENGTH)
-        & ~((desc_t != "") & desc_t.rlike(r"(?i)^Página\s*\d+\s*/?\s*$"))
+        & ~((desc_t != "") & desc_t.rlike(r"(?iu)^Página\s*\d+\s*/?\s*$"))
         & ~((qtd_t == "47") & (desc_t == ""))
         & ~garbage_qtd
         & ~garbage_item
@@ -196,7 +196,18 @@ def header_fields(extracted: DataFrame, depara_raw: dict) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("conv_id", F.substring(F.coalesce("doc_text", "clean_text"), 1, 8000).alias("_head"))
     )
-    norm = F.regexp_replace(F.translate(F.upper(F.col("_head")), _ACC_SRC, _ACC_DST), r"\s+", "")
+    # (?U): Java \s is ASCII-only by default (misses NBSP, which the
+    # scalar normaliza_sigla strips); also drop combining marks so
+    # NFD-decomposed accents fold like the unicodedata-based twin
+    norm = F.regexp_replace(
+        F.regexp_replace(
+            F.translate(F.upper(F.col("_head")), _ACC_SRC, _ACC_DST),
+            "[\u0300-\u036f]",
+            "",
+        ),
+        r"(?U)\s+",
+        "",
+    )
     first = first.withColumn("_hnorm", norm)
     return first.select(
         "conv_id",

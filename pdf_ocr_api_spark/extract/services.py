@@ -315,7 +315,10 @@ def parse_lines_batch(lines, depara: dict) -> dict:
             sem_unit[i] = rest
 
     sem_unit_s = pd.Series(sem_unit, index=L.index, dtype=object)
-    item = sem_unit_s.str.extract(r"^(\d+(?:\.\d+)*)", expand=False)
+    # ASCII \d to match the scalar ITEM_LEADING (JS \d is ASCII; a
+    # unicode-aware extract would accept full-width OCR digits here
+    # while the scalar router path rejects them)
+    item = sem_unit_s.str.extract(P.ITEM_LEADING_CAPTURE, expand=False)
     resto = sem_unit_s.str.replace(P.ITEM_LEADING, "", n=1, regex=True).str.strip()
 
     # X3 category rule: isolated ALL-CAPS short line (ref :286-297)

@@ -144,6 +144,8 @@ PAGINA_DESC = re.compile(r"^Página\s*\d+\s*\/?\s*$", re.IGNORECASE)  # F12, :20
 
 QUANTIDADE_TRAILING = re.compile(r"([\d.,]+)$", re.ASCII)
 ITEM_LEADING = re.compile(r"^\d+(\.\d+)*", re.ASCII)
+# single-capture variant for vectorized str.extract (same ASCII semantics)
+ITEM_LEADING_CAPTURE = re.compile(r"^(\d+(?:\.\d+)*)", re.ASCII)
 ITEM_FULL = re.compile(r"^\d+(\.\d+)*$", re.ASCII)  # parseServices.js:176
 
 

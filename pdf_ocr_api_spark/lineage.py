@@ -67,19 +67,26 @@ def run(
     done = set(done_buckets(spark, out_root))
     mode = "full" if with_services else "text_only"
 
-    # refuse to mix extraction modes within one output root — a resumed
-    # run in another mode would leave heterogeneous buckets
+    # refuse to mix extraction modes or bucket counts within one output
+    # root — a resumed run with different settings would silently skip
+    # some conversations and duplicate others (bucket ids from a
+    # different n_buckets identify different conversation sets)
     if done and table_exists(spark, p["manifest"]):
         m = read_table(spark, p["manifest"])
-        if "mode" in m.columns:  # pre-mode manifests imply "full"
-            m = m.select(F.coalesce(F.col("mode"), F.lit("full")).alias("mode"))
-        else:
-            m = m.select(F.lit("full").alias("mode"))
-        prev_modes = {r.mode for r in m.distinct().collect()}
+        mode_col = F.coalesce(F.col("mode"), F.lit("full")) if "mode" in m.columns else F.lit("full")
+        nb_col = F.col("n_buckets") if "n_buckets" in m.columns else F.lit(n_buckets)
+        prev = m.select(mode_col.alias("mode"), nb_col.alias("nb")).distinct().collect()
+        prev_modes = {r.mode for r in prev}
+        prev_nb = {r.nb for r in prev}
         if prev_modes and prev_modes != {mode}:
             raise ValueError(
                 f"output root {out_root!r} was written in mode(s) {sorted(prev_modes)}; "
                 f"refusing to resume in mode {mode!r}"
+            )
+        if prev_nb and prev_nb != {n_buckets}:
+            raise ValueError(
+                f"output root {out_root!r} was bucketed with n_buckets={sorted(prev_nb)}; "
+                f"refusing to resume with n_buckets={n_buckets}"
             )
 
     df = transcripts.withColumn("bucket", bucket_expr(n_buckets))
@@ -121,6 +128,7 @@ def run(
         .withColumn("run_id", F.lit(run_id))
         .withColumn("status", F.lit("done"))
         .withColumn("mode", F.lit(mode))
+        .withColumn("n_buckets", F.lit(n_buckets))
         .withColumn("ts", F.current_timestamp())
     )
     write_table(manifest, p["manifest"], mode="append")

@@ -103,6 +103,8 @@ def minhash_lsh_pairs(
 
     rows: (id_a, id_b, n_shared_bands) with id_a < id_b.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(f"num_hashes={num_hashes} must be divisible by bands={bands}")
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k, parallelism)
     banded = sig.select(

@@ -195,7 +195,12 @@ def embedding_near_pairs(
     surely share the bucket. The bucket join shuffles on uniform hash
     keys — no skew handling needed."""
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        head = emb.select(vec_col).head(1)
+        if not head:  # empty input → empty pairs, correct schema
+            return emb.limit(0).select(
+                F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b"), F.lit(0.0).alias("cosine")
+            )
+        dim = len(head[0][0])
     planes = random_hyperplanes(dim, n_planes, seed)
     sig = emb.select(
         F.col(id_col).alias("id"),

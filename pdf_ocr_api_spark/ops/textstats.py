@@ -16,7 +16,7 @@ LANG_MARKERS: dict[str, str] = {
     "es": r"\b(el|la|los|las|de|que|y)\b",
     "de": r"\b(der|die|das|und|ist|nicht)\b",
     "fr": r"\b(le|la|les|des|et|est)\b",
-    "pt": r"\b(o|a|os|as|de|que|não|uma)\b",
+    "pt": r"\b(o|a|os|as|de|que|nao|uma)\b",  # accent-folded basis
 }
 
 _PUNCT = r"[.,;:!?…]"
@@ -28,8 +28,10 @@ def tokens(col):
 
 
 def token_count(col):
-    """Whitespace token count (0 for empty)."""
-    return F.when(normalized_text(col) == "", 0).otherwise(F.size(tokens(col)))
+    """Whitespace token count (0 for empty AND null — a null-text row
+    must not leak size()'s -1/null through a quality metric)."""
+    n = normalized_text(F.coalesce(col, F.lit("")))
+    return F.when(n == "", 0).otherwise(F.size(F.split(n, " ")))
 
 
 def bpe_ish_token_count(col):
@@ -38,11 +40,22 @@ def bpe_ish_token_count(col):
     return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-zÀ-ÿ0-9]+|[^A-Za-zÀ-ÿ0-9\s]"), 0))
 
 
+_ACC_SRC = "áàâãäéèêëíìîïóòôõöúùûüçñ"
+_ACC_DST = "aaaaaeeeeiiiiooooouuuucn"
+
+
+def _marker_basis(col):
+    """lower + accent-fold: with only ASCII left, Java's Unicode-aware
+    \b and RE2's ASCII \b agree — markers like 'não' fold to 'nao'
+    and match identically in the Spark expr and the DuckDB oracle."""
+    return F.translate(F.lower(F.coalesce(col, F.lit(""))), _ACC_SRC, _ACC_DST)
+
+
 def lang_scores(col):
     """Marker-hit counts per language → map<string,int>-like struct."""
     return F.struct(
         *[
-            F.size(F.regexp_extract_all(F.lower(col), F.lit(rx), 0)).alias(lang)
+            F.size(F.regexp_extract_all(_marker_basis(col), F.lit(rx), 0)).alias(lang)
             for lang, rx in LANG_MARKERS.items()
         ]
     )
@@ -51,7 +64,7 @@ def lang_scores(col):
 def lang_id(col):
     """argmax over marker scores; 'und' when all zero. Deterministic
     tie-break = LANG_MARKERS declaration order."""
-    scores = [(lang, F.size(F.regexp_extract_all(F.lower(col), F.lit(rx), 0))) for lang, rx in LANG_MARKERS.items()]
+    scores = [(lang, F.size(F.regexp_extract_all(_marker_basis(col), F.lit(rx), 0))) for lang, rx in LANG_MARKERS.items()]
     best_lang = F.lit("und")
     best_score = F.lit(0)
     for lang, s in scores:
@@ -64,11 +77,11 @@ def lang_id(col):
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Length / punctuation / stopword / digit ratios + a composite
     quality score in [0,1]."""
-    c = F.col(text_col)
+    c = F.coalesce(F.col(text_col), F.lit(""))
     n_chars = F.length(c)
     n_tokens = token_count(c)
     n_punct = F.size(F.regexp_extract_all(c, F.lit(_PUNCT), 0))
-    n_stop = F.size(F.regexp_extract_all(F.lower(c), F.lit(_STOPWORDS_PT_EN), 0))
+    n_stop = F.size(F.regexp_extract_all(_marker_basis(c), F.lit(_STOPWORDS_PT_EN), 0))
     n_digit = F.size(F.regexp_extract_all(c, F.lit(r"\d"), 0))
 
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))

@@ -32,9 +32,25 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+import re as _re
+
+_IDENT_RX = _re.compile(r"^[A-Za-z_][\w]*(\.[A-Za-z_][\w]*){1,2}$")
+_FILE_EXT = (".parquet", ".json", ".csv", ".orc", ".avro")
+
+
 def is_table_ident(target: str) -> bool:
-    """catalog.db.table identifiers vs filesystem paths."""
-    return "/" not in target and not target.startswith(("s3:", "hdfs:", "file:"))
+    """catalog.db.table identifiers vs filesystem paths.
+
+    A bare single-segment name ("results") is treated as a PATH — Spark
+    writes it as a relative directory and that is the common CLI usage;
+    identifiers must be dotted (db.table or catalog.db.table) and not
+    end in a data-file extension.
+    """
+    if "/" in target or target.startswith(("s3:", "hdfs:", "file:")):
+        return False
+    if target.lower().endswith(_FILE_EXT):
+        return False
+    return bool(_IDENT_RX.match(target))
 
 
 def read_table(spark: SparkSession, target: str) -> DataFrame:

@@ -107,3 +107,21 @@ def test_header_fields_match_python_rules(spark, depara):
     assert int(recs.loc["h0"].QualificacaoEspecifica) == 1  # HOSPITAL
     assert int(recs.loc["h1"].QualificacaoObra) == 2      # INFRAESTRUTURA
     assert recs.loc["h2"].NiveldeAtividade is None or recs.loc["h2"].NiveldeAtividade != recs.loc["h2"].NiveldeAtividade
+
+
+def test_pagina_uppercase_dropped_distributed(spark, depara):
+    """F12 'PÁGINA 3' (all-caps OCR): the Java rlike needs (?u) to fold
+    the accented Á — the row must be dropped like the Python twin does."""
+    ext_rows = [
+        ("pg", 0, "user", "x", "t",
+         [{"Item": None, "Categoria": None, "Descricao": "PÁGINA 3", "Unidade": None, "Quantidade": "1,0"},
+          {"Item": None, "Categoria": None, "Descricao": "Servico real de obra", "Unidade": None, "Quantidade": "2,0"}]),
+    ]
+    from pdf_ocr_api_spark.pipeline import SERVICE_FIELDS
+    ext = spark.createDataFrame(
+        ext_rows,
+        f"conv_id STRING, turn_idx INT, role STRING, clean_text STRING, doc_text STRING, services ARRAY<STRUCT<{SERVICE_FIELDS}>>",
+    )
+    svc = conversation.assemble_services(conversation.explode_services(ext)).collect()
+    descs = [r.Descricao for r in svc]
+    assert "PÁGINA 3" not in descs and "Servico real de obra" in descs

@@ -187,3 +187,21 @@ def test_multimodal_resize_and_frame_sample(spark):
 
     with pytest.raises(NotImplementedError):
         multimodal.resize_image(b"x", 8, 8)
+
+
+def test_minhash_band_divisibility_guard(docs):
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=5)
+
+
+def test_embedding_near_pairs_empty_input(spark):
+    empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<FLOAT>")
+    assert similarity.embedding_near_pairs(empty).count() == 0
+
+
+def test_quality_features_null_text(spark):
+    df = spark.createDataFrame([(1, None), (2, "texto normal aqui presente")], "doc_id LONG, text STRING")
+    q = {r.id: r for r in textstats.quality_features(df).collect()}
+    assert q[1].n_tokens == 0 and q[1].n_chars == 0
+    assert q[1].quality_score == 0.1 + 0.1  # only the punct/digit bonuses
+    assert q[2].n_tokens == 4

@@ -73,3 +73,12 @@ def test_mode_mixing_refused(spark, transcripts, tmp_path):
     lineage.run(spark, half, out, run_id="full", n_buckets=8)
     with pytest.raises(ValueError, match="refusing to resume"):
         lineage.run(spark, transcripts, out, run_id="fast", n_buckets=8, with_services=False)
+
+
+def test_n_buckets_mismatch_refused(spark, transcripts, tmp_path):
+    """Resuming with a different bucket count would skip/duplicate
+    conversations (bucket ids identify different sets) — must refuse."""
+    out = str(tmp_path / "nb")
+    lineage.run(spark, transcripts, out, run_id="a", n_buckets=8)
+    with pytest.raises(ValueError, match="n_buckets"):
+        lineage.run(spark, transcripts, out, run_id="b", n_buckets=16)

@@ -117,7 +117,12 @@ def test_parse_lines_batch_matches_scalar(depara):
         kind = ("plain", "boiler", "lines")[i % 3]
         t, _ = fixtures._BUILDERS[kind](rng)
         texts.append(t)
-    texts += ["", "a\nbb\nccccc\n12345 678,90", "SOMENTE MAIUSCULAS", "1.2.3Pintura M2 1,0\nmês 12\nhora H 1"]
+    texts += [
+        "", "a\nbb\nccccc\n12345 678,90", "SOMENTE MAIUSCULAS",
+        "1.2.3Pintura M2 1,0\nmês 12\nhora H 1",
+        "１２ Execucao de alvenaria M2 10,00",   # full-width digits (unicode \d trap)
+        "٣٤ obra arabe H 5",                     # arabic-indic digits
+    ]
     texts = [
         t for t in texts
         if ";" not in t and not any(rx.search(t) for rx in P.PLANILHA_MARKERS)
