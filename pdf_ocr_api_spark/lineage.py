@@ -58,10 +58,17 @@ def run(
     depara: dict | None = None,
     salt: int | None = None,
     with_services: bool = True,
+    compact_write: bool = True,
 ) -> dict:
     """Execute one checkpointed extraction run; returns summary stats.
 
     Only buckets not yet marked done in the manifest are processed.
+
+    ``compact_write``: repartition by bucket before the partitioned
+    write — one shuffle, but the file count is O(n_buckets) instead of
+    O(tasks × buckets) (a 10^12-turn run with 10k buckets would
+    otherwise shatter into millions of small files). Disable only for
+    small local runs where the shuffle outweighs the file tax.
     """
     p = _paths(out_root)
     done = set(done_buckets(spark, out_root))
@@ -97,6 +104,8 @@ def run(
     extracted = extract_transcripts(
         df.drop("bucket"), depara=depara, salt=salt, with_services=with_services
     ).withColumn("bucket", bucket_expr(n_buckets))
+    if compact_write:
+        extracted = extracted.repartition(n_buckets, F.col("bucket"))
 
     write_table(extracted, p["data"], mode="overwrite_partitions", partition_by=["bucket"])
     wall_ms = int((time.monotonic() - t0) * 1000)

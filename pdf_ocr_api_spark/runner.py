@@ -23,12 +23,22 @@ import json
 import sys
 
 
-def build_session(app_name: str, master: str | None = None, shuffle_partitions: int | None = None):
+def build_session(
+    app_name: str,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+):
     from pyspark.sql import SparkSession
 
     b = SparkSession.builder.appName(app_name)
     if master:
         b = b.master(master)
+        # local mode: the driver JVM hosts every executor thread — the
+        # 1g default GC-thrashes to death around 10^6 turns (observed:
+        # "Retried waiting for GCLocker too often"). Under spark-submit
+        # --driver-memory governs instead; this config is a no-op there.
+        b = b.config("spark.driver.memory", driver_memory or "8g")
     b = (
         b.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -51,6 +61,7 @@ def main(argv: list[str] | None = None) -> int:
                     help="skip the service cascade: clean_text+spans only (~2x faster, ~45%% fewer output bytes)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--driver-memory", default=None, help="local-mode driver JVM heap (default 8g)")
     ap.add_argument("--records", action="store_true", help="also write conversation-level records")
     ap.add_argument("--selftest", action="store_true")
     args = ap.parse_args(argv)
@@ -68,7 +79,9 @@ def main(argv: list[str] | None = None) -> int:
     from . import conversation, fixtures, lineage
     from .sources.io import read_table, write_table
 
-    spark = build_session("pdf-ocr-api-spark-extract", args.master, args.shuffle_partitions)
+    spark = build_session(
+        "pdf-ocr-api-spark-extract", args.master, args.shuffle_partitions, args.driver_memory
+    )
     run_id = args.run_id or spark.sparkContext.applicationId
 
     transcripts = read_table(spark, args.input)
