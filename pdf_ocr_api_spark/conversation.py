@@ -105,6 +105,12 @@ def assemble_services(svc: DataFrame) -> DataFrame:
 
     svc = svc.withColumn("Categoria", F.coalesce(vigente, prefixo))
 
+    return _filter_assembled(svc)
+
+
+def _filter_assembled(svc: DataFrame) -> DataFrame:
+    """F7 dedupe + F2-F12 garbage/boilerplate filters (ref :123-215),
+    shared by the monolithic and segmented assembly variants."""
     # F7: drop pure category-header rows (ref :123-133)
     cat_t = _trim_or_empty(F.col("Categoria"))
     desc_t = _trim_or_empty(F.col("Descricao"))
@@ -221,6 +227,7 @@ def conversation_records(
     extracted: DataFrame,
     tipo_dim: DataFrame | None = None,
     header_depara: dict | None = None,
+    segmented: bool = False,
 ) -> DataFrame:
     """Full per-conversation record (ref :227-236): scalar fields + the
     filtered, ordered services array.
@@ -272,7 +279,8 @@ def conversation_records(
         scalars = scalars.withColumn("TipodaCertidao", F.lit(None).cast("int"))
     scalars = scalars.drop("_tipo_nome")
 
-    svcs = assemble_services(explode_services(extracted))
+    assembled = assemble_services_segmented if segmented else assemble_services
+    svcs = assembled(explode_services(extracted))
     svc_arr = svcs.groupBy("conv_id").agg(
         F.transform(
             F.array_sort(
@@ -319,3 +327,88 @@ def tipo_dim_df(spark, lista_tipos: list[dict]) -> DataFrame:
         seen.add(nome)
         rows.append((item["id"], nome))
     return spark.createDataFrame(rows, "id INT, nome_norm STRING")
+
+
+def assemble_services_segmented(svc: DataFrame, chunk_turns: int = 512) -> DataFrame:
+    """Straggler-free variant of ``assemble_services`` for huge
+    conversations: the order-sensitive scans (A4 inheritance, A6
+    renumbering) become SEGMENTED SCANS — a two-pass parallel prefix.
+
+    A conversation is cut into contiguous chunks of ``chunk_turns``
+    turns (``turn_idx // chunk_turns`` — contiguity by construction, no
+    global sort needed). Pass 1 windows WITHIN (conv, chunk) — parallel
+    across chunks, so the hot conversation spreads over
+    n_turns/chunk_turns tasks instead of one. Pass 2 prefix-combines the
+    tiny per-chunk summaries (last mother description, quantity count)
+    over a (conv)-window of #chunks rows, and a broadcast-back join
+    gives every row its carried-in state:
+
+        Categoria  = coalesce(within-chunk last mother, carried-in, prefixo)
+        counter    = within-chunk running count + carried-in count
+
+    Semantics are byte-identical to ``assemble_services`` (asserted in
+    tests incl. the skewed fixture); wall time for assembly scans is
+    bounded by chunk size, not conversation size.
+    """
+    svc = svc.filter(F.col("svc_idx").isNotNull())
+    svc = svc.withColumn("_chunk", (F.col("turn_idx") / F.lit(chunk_turns)).cast("int"))
+
+    chunk_w = Window.partitionBy("conv_id", "_chunk").orderBy("turn_idx", "svc_idx")
+    chunk_run = chunk_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    has_qty = F.trim(F.coalesce(F.col("Quantidade"), F.lit(""))) != ""
+    item_blank = F.trim(F.coalesce(F.col("Item"), F.lit(""))) == ""
+    is_mother = (~has_qty) & F.col("Descricao").isNotNull() & (F.col("Descricao") != "")
+
+    # A5 via groupBy+join, NOT a conv-window: an unordered window still
+    # funnels the whole conversation into one task; groupBy gets map-side
+    # partial aggregation and stays chunk-parallel
+    blanks = svc.groupBy("conv_id").agg(
+        (F.min(F.when(item_blank, 1).otherwise(0)) == 1).alias("_all_blank")
+    )
+    svc = svc.join(blanks, "conv_id")
+
+    # pass 1: within-chunk scans (parallel across chunks)
+    svc = (
+        svc.withColumn("_qty_in_chunk", F.sum(has_qty.cast("int")).over(chunk_run))
+        .withColumn(
+            "_mother_in_chunk",
+            F.last(F.when(is_mother, F.trim(F.col("Descricao"))), ignorenulls=True).over(chunk_run),
+        )
+    )
+
+    # chunk summaries: totals + last mother of each chunk (tiny per conv)
+    summaries = svc.groupBy("conv_id", "_chunk").agg(
+        F.sum(has_qty.cast("int")).alias("_qty_total"),
+        F.last(F.when(is_mother, F.trim(F.col("Descricao"))), ignorenulls=True).alias("_last_mother"),
+    )
+    sum_w = Window.partitionBy("conv_id").orderBy("_chunk")
+    prev = sum_w.rowsBetween(Window.unboundedPreceding, -1)
+    summaries = summaries.select(
+        "conv_id",
+        "_chunk",
+        F.coalesce(F.sum("_qty_total").over(prev), F.lit(0)).alias("_qty_carry"),
+        F.last("_last_mother", ignorenulls=True).over(prev).alias("_mother_carry"),
+    )
+
+    # pass 2: join back the carried-in state (summaries ≈ #convs × #chunks
+    # rows — small relative to the data, but NOT driver-broadcastable at
+    # extreme conversation counts; AQE picks broadcast when it fits)
+    svc = svc.join(summaries, ["conv_id", "_chunk"])
+
+    counter = F.col("_qty_carry") + F.col("_qty_in_chunk")
+    item = F.when(
+        F.col("_all_blank"),
+        F.when(has_qty, counter.cast("string")).otherwise(F.lit(None).cast("string")),
+    ).otherwise(F.col("Item"))
+    svc = svc.withColumn("Item", item)
+
+    d = F.trim(F.coalesce(F.col("Descricao"), F.lit("")))
+    cut = F.least(F.nullif(F.locate(" - ", d), F.lit(0)), F.nullif(F.locate(":", d), F.lit(0)))
+    prefixo = F.nullif(F.trim(F.when(cut.isNotNull(), F.substring(d, 1, cut - 1)).otherwise(d)), F.lit(""))
+    prefixo = F.when(F.col("Descricao").isNotNull(), prefixo)
+    svc = svc.withColumn(
+        "Categoria", F.coalesce(F.col("_mother_in_chunk"), F.col("_mother_carry"), prefixo)
+    ).drop("_chunk", "_all_blank", "_qty_in_chunk", "_qty_carry", "_mother_carry", "_mother_in_chunk")
+
+    return _filter_assembled(svc)

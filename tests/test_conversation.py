@@ -125,3 +125,25 @@ def test_pagina_uppercase_dropped_distributed(spark, depara):
     svc = conversation.assemble_services(conversation.explode_services(ext)).collect()
     descs = [r.Descricao for r in svc]
     assert "PÁGINA 3" not in descs and "Servico real de obra" in descs
+
+
+def test_segmented_assembly_equals_monolithic(spark, depara):
+    """The segmented-scan assembly (chunked A4/A6 + prefix combine) must
+    be byte-identical to the single-window version — including the hot
+    skewed conversation and tiny chunk sizes that force many chunks."""
+    meta = fixtures.fixture_frame(25, with_meta=True)
+    sdf = spark.createDataFrame(meta[fixtures.TRANSCRIPT_COLUMNS])
+    ext = pipeline.extract_transcripts(sdf, depara)
+    svc = conversation.explode_services(ext)
+
+    cols = ["conv_id", "turn_idx", "svc_idx", "Item", "Categoria", "Descricao", "Unidade", "Quantidade"]
+    a = (
+        conversation.assemble_services(svc)
+        .select(cols).orderBy("conv_id", "turn_idx", "svc_idx").toPandas()
+    )
+    for chunk_turns in (3, 512):  # 3 forces many chunks even on tiny convs
+        b = (
+            conversation.assemble_services_segmented(svc, chunk_turns=chunk_turns)
+            .select(cols).orderBy("conv_id", "turn_idx", "svc_idx").toPandas()
+        )
+        assert a.equals(b), f"chunk_turns={chunk_turns}"
