@@ -101,11 +101,45 @@ def _sq_dist(col, center: list[float]):
     return F.aggregate(F.zip_with(col, c, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda a, v: a + v)
 
 
+def _fit_centroids_deterministic(
+    emb: DataFrame, n_lists: int, id_col: str, vec_col: str, seed: int, sample_cap: int = 8192
+) -> list[list[float]]:
+    """Partitioning-independent k-means fit: the training sample is the
+    ``sample_cap`` rows with the smallest xxhash64(id) — a VALUE-based
+    selection, identical for any physical layout — and Lloyd's runs
+    driver-side on numpy with seeded init. At corpus scale the sample is
+    one TakeOrdered scan; 8k × few-hundred dims fits any driver."""
+    import numpy as np
+    from pyspark.sql import functions as F  # noqa: N812
+
+    rows = (
+        emb.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(sample_cap)
+        .collect()
+    )
+    x = np.array([list(r.v) for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    centers = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(25):
+        d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = np.array(
+            [x[assign == j].mean(axis=0) if (assign == j).any() else centers[j] for j in range(len(centers))]
+        )
+        if np.allclose(new, centers):
+            break
+        centers = new
+    return [[float(v) for v in c] for c in centers]
+
+
 def ivf_index(
     emb: DataFrame,
     n_lists: int = 16,
     vec_col: str = "embedding",
     seed: int = 42,
+    id_col: str = "vec_id",
+    deterministic: bool = True,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF (inverted-file) index: k-means coarse quantizer.
 
@@ -118,17 +152,22 @@ def ivf_index(
     build samples the corpus for the fit and the assignment is one scan;
     queries touch ``nprobe``/``n_lists`` of the data.
 
-    Determinism caveat: seeded k-means|| init is still partition-order
-    dependent, so centroids are reproducible only for a fixed input
-    partitioning — persist the centroids with the index (they ARE the
-    index metadata) rather than re-fitting.
+    ``deterministic=True`` (default) fits on a value-hash-selected
+    sample with driver-side Lloyd's — centroids are identical for ANY
+    input partitioning. ``deterministic=False`` uses pyspark.ml
+    KMeans (distributed k-means||) whose seeded init is still
+    partition-order dependent; persist the centroids with the index in
+    that mode (they ARE the index metadata).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    if deterministic:
+        centroids = _fit_centroids_deterministic(emb, n_lists, id_col, vec_col, seed)
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    fit_df = emb.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(fit_df)
-    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+        fit_df = emb.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+        model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(fit_df)
+        centroids = [[float(x) for x in c] for c in model.clusterCenters()]
 
     dists = F.array(*[_sq_dist(F.col(vec_col).cast("array<double>"), c) for c in centroids])
     assigned = emb.withColumn(

@@ -144,10 +144,10 @@ def test_ivf_ann(emb, spark):
     df, vecs = emb
     indexed, centroids = similarity.ivf_index(df, n_lists=4)
     assert len(centroids) == 4
-    # assignment is deterministic for a fixed input partitioning (the
-    # k-means|| init is partition-order dependent even when seeded)
+    # deterministic mode: identical centroids/assignments for ANY input
+    # partitioning (value-hash sample + driver-side Lloyd's)
     a1 = indexed.orderBy("vec_id").select("ivf_list").toPandas().ivf_list.tolist()
-    a2 = similarity.ivf_index(df, n_lists=4)[0].orderBy("vec_id").select("ivf_list").toPandas().ivf_list.tolist()
+    a2 = similarity.ivf_index(df.repartition(7), n_lists=4)[0].orderBy("vec_id").select("ivf_list").toPandas().ivf_list.tolist()
     assert a1 == a2
     assert set(a1) <= {0, 1, 2, 3}
 
