@@ -734,6 +734,12 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+def _basis_sql() -> str:
+    from pdf_ocr_api_spark.ops.textstats import _ACC_DST, _ACC_SRC
+
+    return f"translate(lower(coalesce(text, '')), '{_ACC_SRC}', '{_ACC_DST}')"
+
+
 def _quality_sql() -> str:
     return r"""
         SELECT doc_id AS id,
@@ -758,20 +764,17 @@ def _quality_sql() -> str:
                       ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
                  END AS n_tokens,
                  len(regexp_extract_all(text, '[.,;:!?…]')) AS n_punct,
-                 len(regexp_extract_all(translate(lower(coalesce(text, '')), 'áàâãäéèêëíìîïóòôõöúùûüçñ', 'aaaaaeeeeiiiiooooouuuucn'), '\b(the|and|of|o|a|de|que|e|do|da)\b')) AS n_stop,
+                 len(regexp_extract_all({BASIS}, '\b(the|and|of|o|a|de|que|e|do|da)\b')) AS n_stop,
                  len(regexp_extract_all(text, '\d')) AS n_digit
           FROM documents
         )
-    """
+    """.replace("{BASIS}", _basis_sql())
 
 
 def _lang_id_sql() -> str:
     from pdf_ocr_api_spark.ops.textstats import LANG_MARKERS
 
-    basis = (
-        "translate(lower(coalesce(text, '')), "
-        "'áàâãäéèêëíìîïóòôõöúùûüçñ', 'aaaaaeeeeiiiiooooouuuucn')"
-    )
+    basis = _basis_sql()
     score_cols = ",\n".join(
         f"len(regexp_extract_all({basis}, '{rx}')) AS s_{lang}" for lang, rx in LANG_MARKERS.items()
     )

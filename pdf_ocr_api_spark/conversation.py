@@ -46,6 +46,15 @@ def _trim_or_empty(c):
     return F.trim(F.coalesce(c.cast("string"), F.lit("")))
 
 
+def _prefixo_expr():
+    """T9 prefix fallback: Descricao cut at the EARLIER of " - " / ":"
+    (ref parseDocument.js:13-24) — shared by both assembly variants."""
+    d = F.trim(F.coalesce(F.col("Descricao"), F.lit("")))
+    cut = F.least(F.nullif(F.locate(" - ", d), F.lit(0)), F.nullif(F.locate(":", d), F.lit(0)))
+    p = F.nullif(F.trim(F.when(cut.isNotNull(), F.substring(d, 1, cut - 1)).otherwise(d)), F.lit(""))
+    return F.when(F.col("Descricao").isNotNull(), p)
+
+
 def explode_services(extracted: DataFrame) -> DataFrame:
     """A8 — per-turn services array → one row per service, keyed
     (conv_id, turn_idx, svc_idx) for the stable conversation-global order."""
@@ -97,13 +106,7 @@ def assemble_services(svc: DataFrame) -> DataFrame:
     is_mother = (~has_qty) & F.col("Descricao").isNotNull() & (F.col("Descricao") != "")
     vigente = F.last(F.when(is_mother, F.trim(F.col("Descricao"))), ignorenulls=True).over(running)
 
-    # T9 prefix fallback: cut at the EARLIER of " - " / ":" (ref :13-24)
-    d = F.trim(F.coalesce(F.col("Descricao"), F.lit("")))
-    cut = F.least(F.nullif(F.locate(" - ", d), F.lit(0)), F.nullif(F.locate(":", d), F.lit(0)))
-    prefixo = F.nullif(F.trim(F.when(cut.isNotNull(), F.substring(d, 1, cut - 1)).otherwise(d)), F.lit(""))
-    prefixo = F.when(F.col("Descricao").isNotNull(), prefixo)
-
-    svc = svc.withColumn("Categoria", F.coalesce(vigente, prefixo))
+    svc = svc.withColumn("Categoria", F.coalesce(vigente, _prefixo_expr()))
 
     return _filter_assembled(svc)
 
@@ -377,10 +380,15 @@ def assemble_services_segmented(svc: DataFrame, chunk_turns: int = 512) -> DataF
         )
     )
 
-    # chunk summaries: totals + last mother of each chunk (tiny per conv)
+    # chunk summaries: totals + last mother of each chunk (tiny per conv).
+    # NOT F.last(...) — inside groupBy().agg() Last is order-NON-
+    # deterministic (partial aggs merge in shuffle arrival order);
+    # max_by keyed on (turn_idx, svc_idx) is order-free and skips rows
+    # whose ordering key is null (non-mothers).
+    mother_key = F.when(is_mother, F.struct("turn_idx", "svc_idx"))
     summaries = svc.groupBy("conv_id", "_chunk").agg(
         F.sum(has_qty.cast("int")).alias("_qty_total"),
-        F.last(F.when(is_mother, F.trim(F.col("Descricao"))), ignorenulls=True).alias("_last_mother"),
+        F.max_by(F.when(is_mother, F.trim(F.col("Descricao"))), mother_key).alias("_last_mother"),
     )
     sum_w = Window.partitionBy("conv_id").orderBy("_chunk")
     prev = sum_w.rowsBetween(Window.unboundedPreceding, -1)
@@ -403,12 +411,8 @@ def assemble_services_segmented(svc: DataFrame, chunk_turns: int = 512) -> DataF
     ).otherwise(F.col("Item"))
     svc = svc.withColumn("Item", item)
 
-    d = F.trim(F.coalesce(F.col("Descricao"), F.lit("")))
-    cut = F.least(F.nullif(F.locate(" - ", d), F.lit(0)), F.nullif(F.locate(":", d), F.lit(0)))
-    prefixo = F.nullif(F.trim(F.when(cut.isNotNull(), F.substring(d, 1, cut - 1)).otherwise(d)), F.lit(""))
-    prefixo = F.when(F.col("Descricao").isNotNull(), prefixo)
     svc = svc.withColumn(
-        "Categoria", F.coalesce(F.col("_mother_in_chunk"), F.col("_mother_carry"), prefixo)
+        "Categoria", F.coalesce(F.col("_mother_in_chunk"), F.col("_mother_carry"), _prefixo_expr())
     ).drop("_chunk", "_all_blank", "_qty_in_chunk", "_qty_carry", "_mother_carry", "_mother_in_chunk")
 
     return _filter_assembled(svc)

@@ -81,7 +81,11 @@ def run(
     if done and table_exists(spark, p["manifest"]):
         m = read_table(spark, p["manifest"])
         mode_col = F.coalesce(F.col("mode"), F.lit("full")) if "mode" in m.columns else F.lit("full")
-        nb_col = F.col("n_buckets") if "n_buckets" in m.columns else F.lit(n_buckets)
+        nb_col = (
+            F.coalesce(F.col("n_buckets"), F.lit(n_buckets))  # pre-upgrade rows → assume current
+            if "n_buckets" in m.columns
+            else F.lit(n_buckets)
+        )
         prev = m.select(mode_col.alias("mode"), nb_col.alias("nb")).distinct().collect()
         prev_modes = {r.mode for r in prev}
         prev_nb = {r.nb for r in prev}

@@ -118,11 +118,15 @@ def _fit_centroids_deterministic(
         .limit(sample_cap)
         .collect()
     )
+    if not rows:
+        raise ValueError("ivf_index: no vectors to index (empty input)")
     x = np.array([list(r.v) for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     centers = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    x_sq = (x * x).sum(axis=1)[:, None]
     for _ in range(25):
-        d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        # |x|^2 + |c|^2 - 2xc^T: O(sample x k) memory, not sample x k x dim
+        d2 = x_sq + (centers * centers).sum(axis=1)[None, :] - 2.0 * (x @ centers.T)
         assign = d2.argmin(axis=1)
         new = np.array(
             [x[assign == j].mean(axis=0) if (assign == j).any() else centers[j] for j in range(len(centers))]

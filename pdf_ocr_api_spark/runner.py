@@ -34,11 +34,12 @@ def build_session(
     b = SparkSession.builder.appName(app_name)
     if master:
         b = b.master(master)
-        # local mode: the driver JVM hosts every executor thread — the
-        # 1g default GC-thrashes to death around 10^6 turns (observed:
-        # "Retried waiting for GCLocker too often"). Under spark-submit
-        # --driver-memory governs instead; this config is a no-op there.
-        b = b.config("spark.driver.memory", driver_memory or "8g")
+    # local mode: the driver JVM hosts every executor thread — the 1g
+    # default GC-thrashes to death around 10^6 turns (observed: "Retried
+    # waiting for GCLocker too often"). Applied regardless of how the
+    # master is configured; under spark-submit the already-started JVM
+    # ignores it and --driver-memory governs.
+    b = b.config("spark.driver.memory", driver_memory or "8g")
     b = (
         b.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
