@@ -263,11 +263,16 @@ def q_x6_ntile(spark, sf_dir):
 
 
 def q_agg_pricing_summary(spark, sf_dir):
-    """Aggregation layer (decimal-exact, order-independent sums)."""
+    """Aggregation layer (decimal-exact, order-independent sums).
+
+    Sums are cast to decimal(38,4): Spark widens sum(decimal(18,4)) to
+    decimal(28,4) while DuckDB widens to DECIMAL(38,4) — the values are
+    byte-identical but the driver's hash canonicalization includes the
+    declared type width, so both engines must agree on it."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("sum_price"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("decimal(38,4)").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("decimal(38,4)").alias("sum_price"),
         F.count("*").alias("n_rows"),
     )
 
@@ -712,7 +717,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = '' THEN 0
                         ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
                    END AS ws_tokens,
-                   len(regexp_extract_all(text, '[A-Za-zÀ-ÿ0-9]+|[^A-Za-zÀ-ÿ0-9\s]')) AS bpe_tokens
+                   len(regexp_extract_all(coalesce(text, ''), '[A-Za-zÀ-ÿ0-9]+|[^A-Za-zÀ-ÿ0-9\s]')) AS bpe_tokens
             FROM documents
         """,
         "lang_id": lang_case,

@@ -31,11 +31,16 @@ from .functions.patterns import (
     UF_RE_JAVA,
 )
 
-# Portuguese accent fold for the J6 normalize (ref detectTipoCertidao.js:1-7
+# Latin-1 accent fold for the J6 normalize (ref detectTipoCertidao.js:1-7
 # upper → NFD-strip → [^A-Z0-9] removal); Spark has no NFD builtin, but the
-# PT-relevant accent set is finite.
-_ACC_SRC = "ÁÀÂÃÄÉÈÊËÍÌÎÏÓÒÔÕÖÚÙÛÜÇÑ"
-_ACC_DST = "AAAAAEEEEIIIIOOOOOUUUUCN"
+# precomposed Latin-1 set with NFD decompositions is finite: every such
+# letter folds to its base here. Letters WITHOUT a decomposition (Ø Æ Þ Ð)
+# are dropped by the [^A-Z0-9] strip in BOTH engines (NFD keeps them whole,
+# then the twin's character filter removes them), and already-decomposed
+# input (base + combining mark) loses only the mark to the same strip — so
+# the distributed fold matches the unicodedata twin on the full Latin range.
+_ACC_SRC = "ÁÀÂÃÄÅÉÈÊËÍÌÎÏÓÒÔÕÖÚÙÛÜÇÑÝŸ"
+_ACC_DST = "AAAAAAEEEEIIIIOOOOOUUUUCNYY"
 
 
 def _norm_tipo_col(c):
@@ -162,6 +167,12 @@ def conversation_text(extracted: DataFrame) -> DataFrame:
     embedded ``text`` field for Document-AI payloads, the extracted clean
     text for html/layout turns (payload kinds the reference outsourced to
     cloud services).
+
+    **Explicit opt-in only**: this materializes one conversation's ENTIRE
+    text in a single aggregation buffer/row — conversation-size-bound, the
+    one shape that cannot survive a hot conversation at 100×. The record
+    assembly no longer consumes it; every conversation-level scalar is
+    computed segmented (``conversation_scalars``) instead.
     """
     e = extracted.withColumn("_doc_text", F.coalesce(F.col("doc_text"), F.lit("")))
     return e.groupBy("conv_id").agg(
@@ -172,6 +183,118 @@ def conversation_text(extracted: DataFrame) -> DataFrame:
                 lambda s: s["_doc_text"],
             ),
         ).alias("conv_text")
+    )
+
+
+# J6 tokens probed against the normalized conversation text
+# (ref parser/detectTipoCertidao.js:9-31); the boundary-piece width below
+# derives from the longest one.
+_TIPO_TOKENS = [
+    "ACERVOTECNICO",
+    "CAT",
+    "ACERVOOPERACIONAL",
+    "CAO",
+    "CREA",
+    "CAU",
+    "CRT",
+    "CRA",
+    "CFTA",
+]
+_TOK_MAXLEN = max(len(t) for t in _TIPO_TOKENS)
+
+
+def conversation_scalars(extracted: DataFrame, chunk_turns: int = 512) -> DataFrame:
+    """T10/T11 numero/estado + J6 tipo-token flags WITHOUT materializing
+    any conversation's concatenated text — the segmented-scan twin of
+    ``regexp_extract(conv_text, ...)`` / ``conv_text.contains(...)``.
+
+    Exactness arguments (the reference computes on the full '\\n'-joined
+    conversation text, ref parseDocument.js:59-91):
+
+    * numero/estado are FIRST-match regexes whose alphabets ([0-9/], UF
+      letters) and ASCII lookarounds cannot match or span the '\\n' join
+      separator, so the global first match IS the first match of the
+      earliest turn that has one: per-turn ``regexp_extract`` +
+      ``min_by(match, turn_idx)`` — a plain hash aggregation with map-side
+      partial combine, nothing conversation-sized anywhere.
+    * the J6 normalize strips every non-[A-Z0-9] char INCLUDING the join
+      separators, so a token CAN straddle turn (and chunk) boundaries.
+      Turns are grouped into chunks of ``chunk_turns``; each chunk's
+      normalized text (chunk-bounded) is probed directly, and cross-chunk
+      matches are caught via a per-conversation *boundary stream*: each
+      chunk contributes its whole normalized text when shorter than
+      2·(maxlen−1), else its first and last (maxlen−1) chars fenced by a
+      '#' (outside the [A-Z0-9] alphabet, so the fence can never sit
+      inside a token match). Every adjacency in the stream is a real
+      adjacency in the full normalized text, and any straddling token
+      lies within suffix_k ++ (whole short chunks) ++ prefix_m — so
+      ``bool_or(chunk contains) OR stream contains`` is exact. The stream
+      is #chunks × (2·maxlen−1) chars — KB-sized even for a million-turn
+      conversation.
+
+    Returns (conv_id, NumerodaCertidao, Estado, _f_<token> boolean flags).
+    """
+    piece_len = _TOK_MAXLEN - 1
+    t = F.coalesce(F.col("doc_text"), F.lit(""))
+    e = extracted.select(
+        "conv_id",
+        "turn_idx",
+        F.nullif(F.regexp_extract(t, NUMERO_RE_JAVA, 0), F.lit("")).alias("_num"),
+        F.nullif(F.regexp_extract(t, UF_RE_JAVA, 1), F.lit("")).alias("_uf"),
+        _norm_tipo_col(t).alias("_norm"),
+        (F.col("turn_idx") / F.lit(chunk_turns)).cast("int").alias("_chunk"),
+    )
+
+    # pass 1: chunk-level — ordered concat of the turn-normalized texts
+    # (buffer bounded by chunk, not conversation) + first match per chunk
+    chunks = e.groupBy("conv_id", "_chunk").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "_norm"))),
+                lambda s: s["_norm"],
+            ),
+        ).alias("_cnorm"),
+        F.min_by("_num", F.when(F.col("_num").isNotNull(), F.col("turn_idx"))).alias("_num"),
+        F.min_by("_uf", F.when(F.col("_uf").isNotNull(), F.col("turn_idx"))).alias("_uf"),
+    )
+    piece = F.when(F.length("_cnorm") <= 2 * piece_len, F.col("_cnorm")).otherwise(
+        F.concat(
+            F.substring("_cnorm", 1, piece_len),
+            F.lit("#"),
+            F.substring(F.col("_cnorm"), -piece_len, piece_len),
+        )
+    )
+    chunks = chunks.select(
+        "conv_id",
+        "_chunk",
+        "_num",
+        "_uf",
+        piece.alias("_piece"),
+        *[F.col("_cnorm").contains(tok).alias(f"_f_{tok}") for tok in _TIPO_TOKENS],
+    )
+
+    # pass 2: conversation-level reduce over #chunks tiny rows
+    conv = chunks.groupBy("conv_id").agg(
+        F.min_by("_num", F.when(F.col("_num").isNotNull(), F.col("_chunk"))).alias("NumerodaCertidao"),
+        F.min_by("_uf", F.when(F.col("_uf").isNotNull(), F.col("_chunk"))).alias("Estado"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_chunk", "_piece"))),
+                lambda s: s["_piece"],
+            ),
+        ).alias("_bstream"),
+        *[F.max(F.col(f"_f_{tok}")).alias(f"_f_{tok}") for tok in _TIPO_TOKENS],
+    )
+    return conv.select(
+        "conv_id",
+        "NumerodaCertidao",
+        "Estado",
+        *[
+            (F.col(f"_f_{tok}") | F.col("_bstream").contains(tok)).alias(f"_f_{tok}")
+            for tok in _TIPO_TOKENS
+        ],
     )
 
 
@@ -198,12 +321,14 @@ def header_fields(extracted: DataFrame, depara_raw: dict) -> DataFrame:
     """S7 deterministic header enrichment — the rules the reference's GPT
     prompt encodes (ref gpt/extractHeader.js:41-74), over the FIRST
     turn's first 8,000 chars (A2/A3, ref parseDocument.js:65,
-    extractHeader.js:23). Pure expressions + a window."""
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    first = (
-        extracted.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("conv_id", F.substring(F.coalesce("doc_text", "clean_text"), 1, 8000).alias("_head"))
+    extractHeader.js:23). Pure expressions + one hash aggregation —
+    ``min_by`` on turn_idx replaces the former row_number window, so no
+    conversation's turns are ever sorted just to pick turn 1, and the agg
+    buffer holds one 8,000-char head (A3-bounded), never a full turn."""
+    first = extracted.groupBy("conv_id").agg(
+        F.min_by(
+            F.substring(F.coalesce("doc_text", "clean_text"), 1, 8000), F.col("turn_idx")
+        ).alias("_head")
     )
     # (?U): Java \s is ASCII-only by default (misses NBSP, which the
     # scalar normaliza_sigla strips); also drop combining marks so
@@ -230,7 +355,8 @@ def conversation_records(
     extracted: DataFrame,
     tipo_dim: DataFrame | None = None,
     header_depara: dict | None = None,
-    segmented: bool = False,
+    segmented: bool = True,
+    chunk_turns: int = 512,
 ) -> DataFrame:
     """Full per-conversation record (ref :227-236): scalar fields + the
     filtered, ordered services array.
@@ -242,19 +368,22 @@ def conversation_records(
     enriched with the deterministic S7 header fields; by default the
     record matches the reference's de-facto output (GPT error path →
     those fields absent/null, ref gpt/extractHeader.js:123-133).
+
+    ``segmented`` (default True) selects the segmented-scan service
+    assembly — byte-identical to the single-window variant (asserted in
+    tests) with stragglers bounded by ``chunk_turns`` instead of
+    conversation size. The conversation scalars are ALWAYS segmented
+    (``conversation_scalars`` — exact, never conversation-size-bound);
+    the only remaining conversation-sized object in this plan is the
+    final Servicos array itself, inherent to array output.
     """
-    texts = conversation_text(extracted)
+    scalars = conversation_scalars(extracted, chunk_turns=chunk_turns)
 
-    numero = F.nullif(F.regexp_extract("conv_text", NUMERO_RE_JAVA, 0), F.lit(""))
-    estado = F.nullif(F.regexp_extract("conv_text", UF_RE_JAVA, 1), F.lit(""))
-
-    # materialize the normalized text ONCE: the J6 combo chain references
-    # it ~20×, and nested expressions are not CSE'd across `contains`
-    # calls — on a multi-MB hot-conversation string that's a 20× regex tax
-    texts = texts.withColumn("_up", _norm_tipo_col(F.col("conv_text")))
-    up = F.col("_up")
-    is_cat = up.contains("ACERVOTECNICO") | up.contains("CAT")
-    is_cao = up.contains("ACERVOOPERACIONAL") | up.contains("CAO")
+    # J6 combo chain over the segmented token flags (ref
+    # detectTipoCertidao.js:9-31 — first matching combo in table order)
+    flag = {tok: F.col(f"_f_{tok}") for tok in _TIPO_TOKENS}
+    is_cat = flag["ACERVOTECNICO"] | flag["CAT"]
+    is_cao = flag["ACERVOOPERACIONAL"] | flag["CAO"]
     combos = [
         (is_cat, "CREA", "CATCREA"), (is_cao, "CREA", "CAOCREA"),
         (is_cat, "CAU", "CATCAU"), (is_cao, "CAU", "CAOCAU"),
@@ -264,12 +393,12 @@ def conversation_records(
     ]
     nome = F.lit(None).cast("string")
     for kind_flag, council, combo in reversed(combos):
-        nome = F.when(kind_flag & up.contains(council), combo).otherwise(nome)
+        nome = F.when(kind_flag & flag[council], combo).otherwise(nome)
 
-    scalars = texts.select(
+    scalars = scalars.select(
         "conv_id",
-        numero.alias("NumerodaCertidao"),
-        estado.alias("Estado"),
+        "NumerodaCertidao",
+        "Estado",
         nome.alias("_tipo_nome"),
     )
     if tipo_dim is not None:
@@ -282,8 +411,10 @@ def conversation_records(
         scalars = scalars.withColumn("TipodaCertidao", F.lit(None).cast("int"))
     scalars = scalars.drop("_tipo_nome")
 
-    assembled = assemble_services_segmented if segmented else assemble_services
-    svcs = assembled(explode_services(extracted))
+    if segmented:
+        svcs = assemble_services_segmented(explode_services(extracted), chunk_turns=chunk_turns)
+    else:
+        svcs = assemble_services(explode_services(extracted))
     svc_arr = svcs.groupBy("conv_id").agg(
         F.transform(
             F.array_sort(
@@ -305,6 +436,10 @@ def conversation_records(
     cols = [
         "conv_id",
         "NumerodaCertidao",
+        # de-facto null in the reference (GPT error path), but the record
+        # CONTRACT carries the field (ref parser/parseDocument.js:227-236,
+        # gpt/extractHeader.js:78-88) — schema parity must be exact
+        F.lit(None).cast("string").alias("ObjetodaCertidaCertidao"),
         "TipodaCertidao",
         "Estado",
         F.coalesce("Servicos", F.array().cast(svc_arr.schema["Servicos"].dataType)).alias("Servicos"),
@@ -312,7 +447,9 @@ def conversation_records(
     if header_depara is not None:
         hdr = header_fields(extracted, header_depara)
         out = out.join(hdr, "conv_id", "left")
-        cols[3:3] = ["NiveldeAtividade", "QualificacaoObra", "QualificacaoEspecifica"]
+        # twin key order: ...Tipo, QualificacaoObra, QualificacaoEspecifica,
+        # NiveldeAtividade, Estado... (extract/document.py record contract)
+        cols[4:4] = ["QualificacaoObra", "QualificacaoEspecifica", "NiveldeAtividade"]
     return out.select(*cols)
 
 

@@ -114,6 +114,12 @@ def run(
     write_table(extracted, p["data"], mode="overwrite_partitions", partition_by=["bucket"])
     wall_ms = int((time.monotonic() - t0) * 1000)
 
+    # input counts come from the PRE-extraction transcripts (conv_id-only
+    # columnar scan): extraction is 1:1 today, but the lineage contract is
+    # input-vs-extracted reconciliation, so the 'input' metric must be
+    # measured on the input, not echoed from the output
+    input_counts = df.groupBy("bucket").agg(F.count("*").alias("input_count"))
+
     # lineage rollup — reads back the just-written buckets (cheap columnar
     # scan) so metrics reflect what is durably on disk, not what a retried
     # task produced twice
@@ -123,7 +129,6 @@ def run(
     lineage = (
         out.groupBy("bucket")
         .agg(
-            F.count("*").alias("input_count"),
             F.count("*").alias("extracted_count"),
             F.sum("n_chars_in").alias("bytes_in"),
             F.sum("n_chars_out").alias("bytes_out"),
@@ -133,6 +138,13 @@ def run(
         .withColumn("run_id", F.lit(run_id))
         .withColumn("wall_ms", F.lit(wall_ms))
         .withColumn("ts", F.current_timestamp())
+    )
+    lineage = input_counts.join(lineage, "bucket", "right").withColumn(
+        "input_count", F.coalesce("input_count", F.lit(0))
+    )
+    lineage = lineage.select(
+        "bucket", "input_count", "extracted_count", "bytes_in", "bytes_out",
+        "services_count", "proc_us", "run_id", "wall_ms", "ts",
     )
     write_table(lineage, p["lineage"], mode="append")
 

@@ -58,7 +58,9 @@ def rotate_turns(df: DataFrame, k: int) -> DataFrame:
     a pure order transform)."""
     w = Window.partitionBy("conv_id")
     n = F.count("*").over(w)
-    new_pos = (F.col("turn_idx") + F.lit(k)) % n
+    # pmod, not %: Spark's % is Java remainder, so a negative k would
+    # yield negative positions instead of wrapping cyclically
+    new_pos = F.pmod(F.col("turn_idx") + F.lit(k), n)
     return _renumber(df.withColumn("_ord", new_pos), [F.col("_ord")])
 
 

@@ -36,8 +36,12 @@ def token_count(col):
 
 def bpe_ish_token_count(col):
     """A BPE-ish proxy: alnum runs + punctuation marks each count as one
-    token (regexp-driven, stays in codegen)."""
-    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-zÀ-ÿ0-9]+|[^A-Za-zÀ-ÿ0-9\s]"), 0))
+    token (regexp-driven, stays in codegen). Null-safe like token_count —
+    size() of a null array is -1 (or null under ANSI) and must not leak
+    into token metrics."""
+    return F.size(
+        F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(r"[A-Za-zÀ-ÿ0-9]+|[^A-Za-zÀ-ÿ0-9\s]"), 0)
+    )
 
 
 _ACC_SRC = "áàâãäéèêëíìîïóòôõöúùûüçñ"

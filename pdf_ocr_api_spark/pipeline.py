@@ -66,7 +66,9 @@ def _span(start: int, end: int, kind: str) -> dict:
 
 def classify_batch(text: pd.Series) -> pd.Series:
     """Vectorized payload-kind sniff → {'json', 'html', 'text'} per row."""
-    head = text.fillna("").str.slice(0, 512).str.lstrip()
+    # lstrip BEFORE slicing: a JSON payload behind >512 leading whitespace
+    # chars must still sniff as json (the scalar twin lstrips first too)
+    head = text.fillna("").str.lstrip().str.slice(0, 512)
     is_json = head.str.startswith("{")
     is_html = ~is_json & head.str.contains(_HTML_RX, regex=True)
     out = pd.Series("text", index=text.index, dtype=object)

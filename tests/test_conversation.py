@@ -127,6 +127,71 @@ def test_pagina_uppercase_dropped_distributed(spark, depara):
     assert "PÁGINA 3" not in descs and "Servico real de obra" in descs
 
 
+def test_record_schema_matches_twin_contract(spark, depara):
+    """The Spark record's field set AND order must equal the twin's
+    (ref parseDocument.js:227-236 incl. the de-facto-null
+    ObjetodaCertidaCertidao, gpt/extractHeader.js:78-88)."""
+    rows = [("c0", 0, "user", "obra em SP", None)]
+    sdf = spark.createDataFrame(rows, "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING")
+    ext = pipeline.extract_transcripts(sdf, depara)
+    tipo_dim = conversation.tipo_dim_df(spark, fixtures.DEPARA_RAW["tipoCertidao"])
+    recs = conversation.conversation_records(ext, tipo_dim, header_depara=fixtures.DEPARA_RAW)
+    want = list(parse_document_py([{"text": "x", "pages": []}], depara).keys())
+    got = [c for c in recs.columns if c != "conv_id"]
+    assert got == want, (got, want)
+    row = recs.collect()[0]
+    assert row.ObjetodaCertidaCertidao is None
+
+
+def test_segmented_scalars_cross_chunk_straddle(spark, depara):
+    """J6 tokens that straddle turn AND chunk boundaries must still be
+    detected: the normalize strips the '\\n' separators, so
+    'Acervo Téc' + 'nico' concatenates to ACERVOTECNICO across turns.
+    chunk_turns=1 forces every turn boundary to also be a chunk boundary,
+    exercising the '#'-fenced boundary stream; numero/estado stay exact
+    (their regexes cannot span the separator)."""
+    from pdf_ocr_api_spark.extract.tipo import detect_tipo_certidao
+    from pdf_ocr_api_spark.functions import patterns as P
+
+    convs = {
+        # token straddles two turns (and two chunks at chunk_turns=1)
+        "s1": ["registro de Acervo Téc", "nico junto ao CREA regional"],
+        # token straddles THREE turns (middle turn entirely inside it)
+        "s2": ["preambulo ACERVOOPE", "RACIO", "NAL do CAU em obra", "numero 98765/2021 em MG"],
+        # regex must NOT match across the newline join
+        "s3": ["certidao 12345/", "2024 nada", "mas 55555/2020 vale em SP"],
+        # no tokens at all
+        "s4": ["texto comum sem marcadores", "ainda sem nada"],
+        # everything inside one turn (interior path, not the stream)
+        "s5": ["Certidão de Acervo Técnico CREA numero 77777/2019 obra em RJ"],
+    }
+    rows = [
+        (cid, i, "user", text, None)
+        for cid, turns in convs.items()
+        for i, text in enumerate(turns)
+    ]
+    sdf = spark.createDataFrame(rows, "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING")
+    ext = pipeline.extract_transcripts(sdf, depara)
+    tipo_dim = conversation.tipo_dim_df(spark, fixtures.DEPARA_RAW["tipoCertidao"])
+
+    for chunk_turns in (1, 2, 512):
+        recs = (
+            conversation.conversation_records(ext, tipo_dim, chunk_turns=chunk_turns)
+            .toPandas().set_index("conv_id")
+        )
+        for cid, turns in convs.items():
+            joined = "\n".join(turns)
+            want_num = P.extract_numero(joined)
+            want_uf = P.extract_estado(joined)
+            want_tipo = detect_tipo_certidao(joined, depara.get("listaTiposOriginal"))
+            got = recs.loc[cid]
+            tipo = got.TipodaCertidao
+            tipo = None if tipo is None or tipo != tipo else int(tipo)
+            assert got.NumerodaCertidao == want_num, (cid, chunk_turns)
+            assert got.Estado == want_uf, (cid, chunk_turns)
+            assert tipo == want_tipo, (cid, chunk_turns, tipo, want_tipo)
+
+
 def test_segmented_assembly_equals_monolithic(spark, depara):
     """The segmented-scan assembly (chunked A4/A6 + prefix combine) must
     be byte-identical to the single-window version — including the hot
