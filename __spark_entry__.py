@@ -356,19 +356,41 @@ def q_dedup_fingerprint(spark, sf_dir):
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs (xxhash64 — engine-specific,
-    rows-only check; exactness covered by q_dedup_jaccard_verify tests)."""
+    rows-only check; the family's exactness is anchored by the oracled
+    q_dedup_jaccard entry below)."""
     from pdf_ocr_api_spark.ops import dedup
 
     d = _t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(d, num_hashes=32, bands=8, parallelism=32)
 
 
-def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-pairs (engine-specific hashing; rows-only check)."""
+def q_dedup_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard verify over planted near-dup pairs — the
+    DuckDB-oracled anchor for the MinHash family: every 10th document is
+    paired with a 60%-prefix-truncated copy; the shingle-set Jaccard of
+    each pair is computed exactly (array_intersect/array_union)."""
     from pdf_ocr_api_spark.ops import dedup
 
     d = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(dedup.simhash64(d, parallelism=32), max_hamming=8, prefix_bits=12)
+    planted = d.filter(F.col("doc_id") % 10 == 0)
+    trunc = planted.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, 1, cast(floor(length(text) * 0.6) as int))").alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(trunc)
+    pairs = planted.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1000000).alias("id_b")
+    )
+    return dedup.jaccard_verify(corpus, pairs, threshold=0.3)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-pairs, Manku-banded full-recall variant
+    (engine-specific hashing; rows-only check)."""
+    from pdf_ocr_api_spark.ops import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(dedup.simhash64(d, parallelism=32), max_hamming=3)
 
 
 def q_textstats_quality(spark, sf_dir):
@@ -420,13 +442,14 @@ def q_ann_brute_cosine(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """SRP-LSH bucketed ANN (approximate by design; rows-only check —
-    recall vs brute force asserted in tests)."""
+    """SRP-LSH bucketed ANN, multi-table OR-construction (approximate by
+    design; rows-only check — recall@10 ≥ 0.9 vs brute force asserted in
+    tests at the 0.9-cosine regime)."""
     from pdf_ocr_api_spark.ops import similarity
 
     e = _t(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return similarity.lsh_topk(e.filter(F.col("vec_id") != 0), list(qv), k=10, n_planes=8)
+    return similarity.lsh_topk(e.filter(F.col("vec_id") != 0), list(qv), k=10)
 
 
 def q_dedup_embedding(spark, sf_dir):
@@ -516,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "textstats_quality": q_textstats_quality,
         "textstats_tokens": q_textstats_tokens,
@@ -710,6 +734,38 @@ def oracle_sql() -> dict[str, str]:
         "dedup_fingerprint": r"""
             SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
             FROM documents
+        """,
+        "dedup_jaccard": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id,
+                     substring(text, 1, CAST(floor(length(text) * 0.6) AS INT)) AS text
+              FROM documents WHERE doc_id % 10 = 0
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(toks) >= 3
+                            THEN list_transform(range(1, len(toks) - 1),
+                                                i -> array_to_string(toks[i:i+2], ' '))
+                            ELSE [array_to_string(toks, ' ')] END
+                     ) AS sh
+              FROM (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+                FROM corpus
+              )
+            ), pairs AS (
+              SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents WHERE doc_id % 10 = 0
+            )
+            SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+              SELECT p.id_a, p.id_b,
+                     len(list_intersect(a.sh, b.sh)) * 1.0
+                       / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+              FROM pairs p
+              JOIN sh a ON a.doc_id = p.id_a
+              JOIN sh b ON b.doc_id = p.id_b
+            ) WHERE j >= 0.3
         """,
         "textstats_quality": _quality_sql(),
         "textstats_tokens": r"""

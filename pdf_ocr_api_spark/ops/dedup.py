@@ -193,17 +193,52 @@ def simhash64(
     return agg.select("id", sim.alias("simhash"))
 
 
-def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
-    """Near-pairs by SimHash: block on the top ``prefix_bits`` bits, then
-    exact hamming via bit_count(xor) ≤ max_hamming inside blocks."""
-    blocked = sim.withColumn("blk", F.shiftright("simhash", 64 - prefix_bits))
-    return (
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3, n_blocks: int | None = None) -> DataFrame:
+    """Near-pairs by SimHash — Manku-style multi-block banding (the
+    Google near-dup scheme): the 64 bits split into ``n_blocks``
+    (default ``max_hamming + 1``) contiguous blocks; by pigeonhole any
+    pair at hamming ≤ max_hamming agrees EXACTLY on at least one block,
+    so block-equality join over every block has **full recall** (a
+    single-prefix block misses any pair whose differing bits touch the
+    prefix). Candidates are deduped after the exact
+    ``bit_count(xor) ≤ max_hamming`` verify.
+
+    Scale: each doc contributes n_blocks rows keyed by (block_idx,
+    block_value) — uniform hash-derived keys, shuffle profile identical
+    to the old prefix join times a small constant. Keep max_hamming
+    small (≤ 4): more blocks → narrower blocks → weaker filters.
+    """
+    nb = n_blocks if n_blocks is not None else max_hamming + 1
+    if nb <= max_hamming:
+        raise ValueError(f"n_blocks={nb} must exceed max_hamming={max_hamming} (pigeonhole)")
+    base, extra = divmod(64, nb)
+    widths = [base + (1 if j < extra else 0) for j in range(nb)]
+    offsets = [sum(widths[:j]) for j in range(nb)]
+    def _block_val(j):
+        if widths[j] == 64:  # nb=1 (max_hamming=0): the whole hash is the key
+            return F.col("simhash")
+        return F.shiftrightunsigned("simhash", offsets[j]).bitwiseAND(F.lit((1 << widths[j]) - 1))
+
+    blocks = F.array(
+        *[F.struct(F.lit(j).alias("bi"), _block_val(j).alias("bv")) for j in range(nb)]
+    )
+    blocked = sim.select("id", "simhash", F.explode(blocks).alias("b")).select(
+        "id", "simhash", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv")
+    )
+    cand = (
         blocked.alias("a")
         .join(
             blocked.alias("b"),
-            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
         )
-        .withColumn("hamming", F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        # verify BEFORE the dedup shuffle — far fewer surviving rows
         .filter(F.col("hamming") <= max_hamming)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
     )
+    return cand.dropDuplicates(["id_a", "id_b"])

@@ -51,13 +51,51 @@ def test_jaccard_verify(docs):
 
 def test_simhash_near_pairs(docs):
     sim = dedup.simhash64(docs)
-    pairs = dedup.simhash_near_pairs(sim, max_hamming=10, prefix_bits=8)
+    pairs = dedup.simhash_near_pairs(sim, max_hamming=10)
     got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
     assert got.get((0, 1)) == 0 and got.get((0, 6)) == 0
     # near-dup has small but possibly nonzero hamming
     if (0, 2) in got:
         assert got[(0, 2)] <= 10
     assert (0, 4) not in got
+
+
+def test_simhash_banding_full_recall(spark):
+    """Manku banding must have FULL recall at hamming ≤ k — including
+    pairs whose differing bits all fall in the TOP bits (the pairs the
+    old single-prefix blocking silently missed), and across random
+    placements, verified against an exact O(n²) oracle."""
+    import random
+
+    rng = random.Random(1234)
+
+    def _signed(v):  # 64-bit two's complement for Spark LONG
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    base = rng.getrandbits(63)
+    rows = [(0, base)]
+    nid = 1
+    # plant pairs at hamming 1..3 with differing bits in the top 16 bits
+    # (the old prefix block), the bottom bits, and straddling block edges
+    for bits in ([63], [63, 62], [63, 47, 31], [0, 1], [15, 16, 17], [20, 41, 62]):
+        v = base
+        for b in bits:
+            v ^= 1 << b
+        rows.append((nid, _signed(v)))
+        nid += 1
+    # unrelated noise
+    for _ in range(40):
+        rows.append((nid, _signed(rng.getrandbits(64))))
+        nid += 1
+
+    def _h(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    want = {(a, b) for (a, va) in rows for (b, vb) in rows if a < b and _h(va, vb) <= 3}
+
+    sim = spark.createDataFrame(rows, "id LONG, simhash LONG")
+    got = {(r.id_a, r.id_b) for r in dedup.simhash_near_pairs(sim, max_hamming=3).collect()}
+    assert got == want, (sorted(want - got), sorted(got - want))
 
 
 @pytest.fixture(scope="module")
@@ -164,10 +202,65 @@ def test_embedding_near_dup(emb, spark):
     exact = similarity.embedding_near_pairs_exact(df, threshold=0.95)
     pairs = {(r.id_a, r.id_b): r.cosine for r in exact.collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.99  # the planted near-dup
-    blocked = similarity.embedding_near_pairs(df, threshold=0.95, n_planes=8)
+    blocked = similarity.embedding_near_pairs(df, threshold=0.95)
     bp = {(r.id_a, r.id_b) for r in blocked.collect()}
     assert (0, 1) in bp            # near-identical vectors share the bucket
     assert bp <= set(pairs)        # blocking never invents pairs
+
+
+@pytest.fixture(scope="module")
+def near_dup_corpus(spark):
+    """200 base vectors + 40 planted near-dups AT the 0.9 threshold
+    (noise factors 0.40/0.48 → cosine ≈ 0.93/0.90) — the regime where a
+    single 12-plane signature keeps only ~16 % of true pairs."""
+    rng = np.random.default_rng(99)
+    vecs = rng.standard_normal((200, 16))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    nid = 200
+    for i in range(40):
+        src = vecs[i]
+        g = rng.standard_normal(16)
+        g = g / np.linalg.norm(g) * np.linalg.norm(src)
+        factor = 0.40 if i % 2 == 0 else 0.48
+        dup = src + factor * g
+        rows.append((nid, [float(x) for x in dup]))
+        nid += 1
+    # a 12-neighbor cluster around vector 0 so its brute-force top-10 is
+    # entirely in the cosine ≈ 0.88-0.95 regime (the lsh_topk recall test)
+    for j in range(12):
+        g = rng.standard_normal(16)
+        g = g / np.linalg.norm(g) * np.linalg.norm(vecs[0])
+        dup = vecs[0] + (0.33 + 0.015 * j) * g
+        rows.append((nid, [float(x) for x in dup]))
+        nid += 1
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+
+def test_embedding_near_pairs_recall_at_threshold(near_dup_corpus):
+    """Banded SRP (8 bands × 4 planes) must keep ≥ 0.95 of the TRUE
+    pairs at threshold 0.9 — the regime the old single-signature
+    blocking lost ~84 % of."""
+    exact = {(r.id_a, r.id_b) for r in
+             similarity.embedding_near_pairs_exact(near_dup_corpus, threshold=0.9).collect()}
+    assert len(exact) >= 30  # the plant worked; the test is meaningful
+    blocked = {(r.id_a, r.id_b) for r in
+               similarity.embedding_near_pairs(near_dup_corpus, threshold=0.9).collect()}
+    assert blocked <= exact
+    recall = len(blocked & exact) / len(exact)
+    assert recall >= 0.95, f"recall={recall:.3f} ({len(blocked)}/{len(exact)})"
+
+
+def test_lsh_topk_multi_table_recall(near_dup_corpus):
+    """OR-construction over independent SRP tables (defaults: 10 planes
+    × 6 tables): recall@10 vs brute force ≥ 0.9 for a query whose true
+    neighbors sit near cosine 0.9."""
+    q = [float(x) for x in near_dup_corpus.filter(F.col("vec_id") == 0)
+         .select("embedding").collect()[0][0]]
+    cand = near_dup_corpus.filter(F.col("vec_id") != 0)
+    brute = [r.id for r in similarity.brute_force_topk(cand, q, k=10).collect()]
+    approx = {r.id for r in similarity.lsh_topk(cand, q, k=10).collect()}
+    recall = len(set(brute) & approx) / 10
+    assert recall >= 0.9, f"recall@10={recall} brute={brute} approx={sorted(approx)}"
 
 
 def test_multimodal_resize_and_frame_sample(spark):
