@@ -93,6 +93,139 @@ def is_boilerplate(text: str) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Vectorized line-wise F2 for the extraction hot path.
+#
+# The 40-alternation combined regex costs ~80 µs/line in CPython's
+# backtracking engine — the single largest Python cost in the text path.
+# Every pattern, however, REQUIRES one of a small set of case-folded
+# literals (verified pattern-by-pattern; equality with the combined regex
+# is asserted in tests over per-pattern witnesses AND the fixture corpus).
+# The grouped matcher screens with C-speed substring scans and runs each
+# tiny per-group regex only on the lines its literal admits — same result,
+# ~8× less Python regex time. The scalar `is_boilerplate` twin is left
+# untouched (parity baseline).
+# ---------------------------------------------------------------------------
+
+_F2_SCREEN: list[tuple[str, tuple[int, ...]]] = [
+    ("certid", (0, 8)),
+    ("conselho", (1, 2)),
+    ("regional", (3,)),
+    ("crea", (4,)),
+    ("págin", (5,)),
+    ("vinculado", (6,)),
+    ("chave", (7,)),
+    ("tel:", (11,)),
+    ("aven", (12,)),
+    ("avan", (12,)),
+    ("rua", (13,)),
+    ("plataforma", (14,)),
+    ("centro", (15,)),
+    ("salvador", (16,)),
+    ("impresso", (17,)),
+    ("documento", (18, 19)),
+    ("resolu", (20,)),
+    ("certificamos", (21,)),
+    ("coorden", (22, 25)),
+    ("declaramos", (23,)),
+    ("comiss", (24,)),
+    ("mat.", (26,)),
+    ("e-mail", (27,)),
+    ("fax", (28,)),
+    ("site:", (29,)),
+    ("governo", (30,)),
+    ("secretaria", (31,)),
+    ("under", (32,)),
+    ("ilvia", (34,)),
+    ("ílvia", (34,)),
+    ("fernando", (35,)),
+    ("cesar", (36,)),
+    ("ésar", (37,)),
+]
+# the date-stamp patterns have no letter literal: they all require '/', ',', ':'
+_F2_DATE_IDXS: tuple[int, ...] = (9, 10, 38, 39)
+# ^un\s*$ — anchored, so startswith('un') is its sound screen
+_F2_UN_IDX = 33
+
+_F2_GROUP_RX: dict[tuple[int, ...], re.Pattern] = {}
+for _lit, _idxs in list(_F2_SCREEN) + [("", _F2_DATE_IDXS), ("", (_F2_UN_IDX,))]:
+    if _idxs not in _F2_GROUP_RX:
+        _F2_GROUP_RX[_idxs] = re.compile(
+            "|".join(f"(?:{_noncapturing(BOILERPLATE_PATTERNS_SRC[i])})" for i in _idxs),
+            re.IGNORECASE,
+        )
+
+
+def boilerplate_mask(lines):
+    """Per-line F2 over a pandas Series — identical to
+    ``lines.str.contains(BOILERPLATE_COMBINED)`` (asserted in tests).
+
+    The literal screen runs as C-speed ``str.find`` over ONE
+    '\\n'-joined lowered blob (no literal contains whitespace, so no
+    match can cross the separator), positions mapped back to line ids
+    with a searchsorted over the line-start offsets; the per-group
+    regexes then touch only the admitted lines."""
+    import numpy as np
+    import pandas as pd
+
+    if lines.empty:
+        return pd.Series(np.zeros(0, dtype=bool), index=lines.index)
+    vals = lines.to_numpy()
+    low_vals = lines.str.lower().to_numpy()
+    n = len(vals)
+    # ONE utf-8 encode of the joined blob; lines are recovered from byte
+    # positions by counting '\n' bytes (0x0A never occurs inside a
+    # multi-byte utf-8 sequence, so byte-level mapping is exact)
+    bblob = "\n".join(low_vals).encode("utf-8")
+    arr = np.frombuffer(bblob, np.uint8)
+    nl = np.flatnonzero(arr == 10)
+    out = np.zeros(n, dtype=bool)
+
+    def _line_ids(positions) -> "np.ndarray":
+        return np.unique(np.searchsorted(nl, positions))
+
+    def _lines_with(lit: str):
+        blit = lit.encode("utf-8")
+        hits = []
+        p = bblob.find(blit)
+        while p != -1:
+            hits.append(p)
+            p = bblob.find(blit, p + len(blit))
+        if not hits:
+            return None
+        return _line_ids(np.asarray(hits, np.int64))
+
+    def _lines_with_char(c: str):
+        pos = np.flatnonzero(arr == ord(c))
+        return _line_ids(pos) if len(pos) else None
+
+    def _run(cand, idxs: tuple[int, ...]):
+        if cand is None or not len(cand):
+            return
+        cand = cand[~out[cand]]  # already-matched lines need no more work
+        rx = _F2_GROUP_RX[idxs]
+        for i in cand:
+            if rx.search(vals[i]) is not None:
+                out[i] = True
+
+    for lit, idxs in _F2_SCREEN:
+        _run(_lines_with(lit), idxs)
+
+    slash = _lines_with_char("/")
+    if slash is not None:
+        comma = _lines_with_char(",")
+        if comma is not None:
+            cand = np.intersect1d(slash, comma, assume_unique=True)
+            colon = _lines_with_char(":")
+            if colon is not None and len(cand):
+                _run(np.intersect1d(cand, colon, assume_unique=True), _F2_DATE_IDXS)
+
+    # 'un' is frequent as a substring — match the 2-byte pair in numpy
+    un = np.flatnonzero((arr[:-1] == ord("u")) & (arr[1:] == ord("n")))
+    _run(_line_ids(un) if len(un) else None, (_F2_UN_IDX,))
+    return pd.Series(out, index=lines.index)
+
+
+# ---------------------------------------------------------------------------
 # F4-F6 garbage predicates, ref parser/parseDocument.js:183-201
 # ---------------------------------------------------------------------------
 

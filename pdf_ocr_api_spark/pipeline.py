@@ -92,7 +92,7 @@ def _text_path(raw: pd.Series) -> pd.DataFrame:
     lines = raw.fillna("").str.split("\n").explode()
     cleaned = v_clean_line(lines)
     nonempty = cleaned != ""
-    boiler = nonempty & cleaned.str.contains(P.BOILERPLATE_COMBINED, regex=True)
+    boiler = nonempty & P.boilerplate_mask(cleaned)
     keep = nonempty & ~boiler
 
     kept = cleaned[keep]
@@ -106,11 +106,26 @@ def _text_path(raw: pd.Series) -> pd.DataFrame:
         spans = pd.Series(dtype=object)
         clean_text = pd.Series(dtype=object)
     else:
-        span_rows = pd.DataFrame({"s": starts, "e": starts + lens, "t": kept})
-        spans = span_rows.groupby(level=0).apply(
-            lambda g: [_span(s, e, "line") for s, e in zip(g["s"], g["e"])]
+        # numpy offset build instead of groupby().apply: explode keeps each
+        # row's lines contiguous, so group boundaries are exactly the label
+        # changes — one split, no per-group pandas dispatch in the hot path
+        import numpy as np
+
+        labels = kept.index.to_numpy()
+        bounds = np.flatnonzero(labels[1:] != labels[:-1]) + 1
+        uniq = labels[np.concatenate(([0], bounds))]
+        s_splits = np.split(starts.to_numpy(), bounds)
+        e_splits = np.split((starts + lens).to_numpy(), bounds)
+        t_splits = np.split(kept.to_numpy(), bounds)
+        spans = pd.Series(
+            [
+                [_span(s, e, "line") for s, e in zip(ss, es)]
+                for ss, es in zip(s_splits, e_splits)
+            ],
+            index=uniq,
+            dtype=object,
         )
-        clean_text = kept.groupby(level=0).agg("\n".join)
+        clean_text = pd.Series(["\n".join(ts) for ts in t_splits], index=uniq, dtype=object)
     dropped = boiler.groupby(level=0).sum()
 
     out = pd.DataFrame(index=raw.index)

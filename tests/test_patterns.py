@@ -52,6 +52,88 @@ def test_combined_equals_individual():
         assert P.is_boilerplate(line) == any(rx.search(line) for rx in P.BOILERPLATE_PATTERNS)
 
 
+# one witness per BOILERPLATE_PATTERNS_SRC entry, in list order — each must
+# match its own pattern, so the grouped-screen equivalence test below
+# exercises EVERY pattern through the vectorized path
+F2_WITNESSES = [
+    "Certidão de Acervo Técnico",
+    "Conselho Regional de Engenharia e Agronomia",
+    "Conselho Regional de Engenharia",
+    "Regional de Engenharia e também Agronomia da Bahia",
+    "CREA-BA",
+    "Página 3 / 10",
+    "vinculado à Certidão",
+    "Chave de Impressão",
+    "Certidão º 123 / 2020",
+    "01/02/2024, 10:",
+    "/02/2024, 10:",
+    "Tel: +55 (71)",
+    "Avenida 123",
+    "Rua Alberto",
+    "Plataforma G, Lado A",
+    "Centro Administrativo da Bahia",
+    "Salvador-Bahia CEP 40000",
+    "Impresso em: 01/02/2024",
+    "Este documento encontra-se registrado",
+    "O documento neste ato registrado",
+    "Resolução Nº 123",
+    "CERTIFICAMOS, para os devidos fins",
+    "Coordenação Executiva de Infraestrutura da Rede",
+    "Declaramos que todos os serviços",
+    "Comissão Transitória de Recebimento",
+    "Coordenador Executivo",
+    "Mat. 12.345.678-9",
+    "E-mail: creaba@creaba.org.br",
+    "Fax: + 55",
+    "Site: www.creaba.org.br",
+    "GOVERNO DO ESTADO",
+    "Secretaria da Saúde do Estado",
+    "under F.L. 22",
+    "un ",
+    "Sílvia Maria Pereira",
+    "Fernando da Cunha",
+    "Cesar Maurício B",
+    "César Mauricio Chastinet",
+    "01/02/2024, 09:",
+    "  /02/2024, 10: ",
+]
+
+
+def test_f2_witnesses_cover_every_pattern():
+    assert len(F2_WITNESSES) == len(P.BOILERPLATE_PATTERNS_SRC)
+    for i, (w, rx) in enumerate(zip(F2_WITNESSES, P.BOILERPLATE_PATTERNS)):
+        assert rx.search(w), (i, w, P.BOILERPLATE_PATTERNS_SRC[i])
+
+
+def test_boilerplate_mask_equals_combined():
+    """The grouped literal-screen matcher must be EXACTLY the combined
+    regex: per-pattern witnesses, case variants, near-misses, and the
+    full fixture corpus line set."""
+    import pandas as pd
+
+    from pdf_ocr_api_spark import fixtures
+    from pdf_ocr_api_spark.functions.normalize import v_clean_line
+
+    probes = list(F2_WITNESSES)
+    probes += [w.upper() for w in F2_WITNESSES]
+    probes += [w.lower() for w in F2_WITNESSES]
+    probes += list(BOILER_HITS) + [x for x in BOILER_MISSES if x]
+    probes += ["unido", "un x", "01/02/2024 10:", "rua, 123", "mat 123", "documento comum"]
+    s = pd.Series(probes)
+    got = P.boilerplate_mask(s)
+    want = s.str.contains(P.BOILERPLATE_COMBINED, regex=True)
+    assert got.tolist() == want.tolist(), [
+        (p, g, w) for p, g, w in zip(probes, got, want) if g != w
+    ]
+
+    meta = fixtures.fixture_frame(60)
+    lines = v_clean_line(meta["text"].fillna("").str.split("\n").explode())
+    lines = lines[lines != ""]
+    got = P.boilerplate_mask(lines)
+    want = lines.str.contains(P.BOILERPLATE_COMBINED, regex=True)
+    assert (got.to_numpy() == want.to_numpy()).all()
+
+
 def test_garbage_quantidade():
     # ref parseDocument.js:183-190
     assert P.is_garbage_quantidade(".,;:")
