@@ -124,8 +124,10 @@ def headline_queries(spark, transcripts):
         return _count(dedup.minhash_lsh_pairs(d, num_hashes=32, bands=8, parallelism=4 * CPUS))
 
     def q_simhash():
+        # Manku-banded full-recall variant (round 2); k=3 is the standard
+        # near-dup operating point — 4 blocks of 16 bits
         d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        return _count(dedup.simhash_near_pairs(dedup.simhash64(d, parallelism=4 * CPUS), max_hamming=8, prefix_bits=12))
+        return _count(dedup.simhash_near_pairs(dedup.simhash64(d, parallelism=4 * CPUS), max_hamming=3))
 
     def q_quality():
         d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
