@@ -98,11 +98,30 @@ def reading_order(elements: list[dict], pages: list[dict] | None = None) -> list
     return [keep[i] for i in ordered]
 
 
-def extract_pdf_layout(doc: dict) -> tuple[str, list[tuple[int, int, str]]]:
+def _style_of(el: dict) -> tuple:
+    """Styling attributes of an element (ref Extract-with-styling output,
+    src/extractpdf/extract-text-table-info-with-styling-info-from-pdf.js:51-54
+    `getStylingInfo: true` → Font/TextSize/Lang fields on each element of
+    structuredData.json). Absent fields → None."""
+    font = el.get("Font") if isinstance(el.get("Font"), dict) else {}
+    ts = el.get("TextSize")
+    return (
+        font.get("family_name"),
+        int(font["weight"]) if isinstance(font.get("weight"), (int, float)) else None,
+        bool(font["italic"]) if isinstance(font.get("italic"), bool) else None,
+        float(ts) if isinstance(ts, (int, float)) else None,
+        el.get("Lang") if isinstance(el.get("Lang"), str) else None,
+    )
+
+
+def extract_pdf_layout(doc: dict, with_styling: bool = False) -> tuple[str, list[tuple]]:
     """Extract reading-ordered text from an Adobe-element-model document.
 
     Returns ``(clean_text, spans)``; spans are ``(start, end, path_leaf)``
-    offsets into clean_text, one per element.
+    offsets into clean_text, one per element — or, with
+    ``with_styling=True``, ``(start, end, path_leaf, font_family,
+    font_weight, italic, text_size, lang)`` mirroring the reference's
+    styling-enriched element model.
     """
     elements = doc.get("elements")
     if not isinstance(elements, list):
@@ -112,7 +131,7 @@ def extract_pdf_layout(doc: dict) -> tuple[str, list[tuple[int, int, str]]]:
         pages = []
     order = reading_order(elements, pages)
 
-    spans: list[tuple[int, int, str]] = []
+    spans: list[tuple] = []
     parts: list[str] = []
     pos = 0
     for i in order:
@@ -122,6 +141,10 @@ def extract_pdf_layout(doc: dict) -> tuple[str, list[tuple[int, int, str]]]:
         start = pos
         parts.append(text)
         pos += len(text)
-        spans.append((start, pos, _leaf(elements[i].get("Path"))))
+        leaf = _leaf(elements[i].get("Path"))
+        if with_styling:
+            spans.append((start, pos, leaf) + _style_of(elements[i]))
+        else:
+            spans.append((start, pos, leaf))
         pos += 1
     return "\n".join(parts), spans

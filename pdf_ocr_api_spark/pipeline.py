@@ -48,20 +48,55 @@ _MARKER_RX = re.compile(
 )
 
 SPAN_FIELDS = "start INT, end INT, kind STRING"
+# styling-enriched spans (ref Extract getStylingInfo=true element model:
+# Font.family_name/weight/italic, TextSize, Lang on structuredData elements)
+STYLED_SPAN_FIELDS = (
+    "start INT, end INT, kind STRING, font_family STRING, font_weight INT, "
+    "italic BOOLEAN, text_size DOUBLE, lang STRING"
+)
 SERVICE_FIELDS = (
     "Item STRING, Categoria STRING, Descricao STRING, Unidade INT, Quantidade STRING"
 )
-EXTRACT_SCHEMA = (
-    "conv_id STRING, turn_idx INT, role STRING, kind STRING, "
-    "clean_text STRING, "
-    f"spans ARRAY<STRUCT<{SPAN_FIELDS}>>, "
-    f"services ARRAY<STRUCT<{SERVICE_FIELDS}>>, "
-    "doc_text STRING, n_chars_in BIGINT, n_chars_out BIGINT, proc_us BIGINT"
-)
+
+
+def extract_schema(with_styling: bool = False) -> str:
+    span_fields = STYLED_SPAN_FIELDS if with_styling else SPAN_FIELDS
+    return (
+        "conv_id STRING, turn_idx INT, role STRING, kind STRING, "
+        "clean_text STRING, "
+        f"spans ARRAY<STRUCT<{span_fields}>>, "
+        f"services ARRAY<STRUCT<{SERVICE_FIELDS}>>, "
+        "doc_text STRING, n_chars_in BIGINT, n_chars_out BIGINT, proc_us BIGINT"
+    )
+
+
+EXTRACT_SCHEMA = extract_schema()
+
+_STYLE_NULLS = {
+    "font_family": None,
+    "font_weight": None,
+    "italic": None,
+    "text_size": None,
+    "lang": None,
+}
 
 
 def _span(start: int, end: int, kind: str) -> dict:
     return {"start": int(start), "end": int(end), "kind": kind}
+
+
+def _styled_span(tup: tuple) -> dict:
+    start, end, kind, family, weight, italic, size, lang = tup
+    return {
+        "start": int(start),
+        "end": int(end),
+        "kind": kind,
+        "font_family": family,
+        "font_weight": weight,
+        "italic": italic,
+        "text_size": size,
+        "lang": lang,
+    }
 
 
 def classify_batch(text: pd.Series) -> pd.Series:
@@ -137,14 +172,25 @@ def _text_path(raw: pd.Series) -> pd.DataFrame:
     return out, cleaned
 
 
-def _cells_spans(doc: dict) -> list[dict]:
-    """Spans for a Document-AI-shaped doc: one per table cell (P1 semantics,
-    ref parser/parseServices.js:7-13) — offsets index into doc['text']."""
+def _cells_spans(doc: dict, all_segments: bool = False) -> list[dict]:
+    """Spans for a Document-AI-shaped doc: per table cell (P1 semantics,
+    ref parser/parseServices.js:7-13) — offsets index into doc['text'].
+
+    Default resolves the FIRST textSegment per cell, matching the
+    reference byte-for-byte; the reference corpus shows multi-segment
+    cells exist (ref test-documentai.js:17-31), so ``all_segments=True``
+    emits one span per segment for consumers that need full coverage.
+    """
     spans = []
     n = len(doc.get("text") or "")
 
     def _lst(v):
         return v if isinstance(v, list) else []
+
+    def _clamp(seg):
+        s = max(0, min(n, int(seg.get("startIndex", 0) or 0)))
+        e = max(0, min(n, int(seg.get("endIndex", 0) or 0)))
+        return (e, s) if s > e else (s, e)
 
     for page in _lst(doc.get("pages")):
         if not isinstance(page, dict):
@@ -158,15 +204,18 @@ def _cells_spans(doc: dict) -> list[dict]:
                 for cell in _lst(row.get("cells")):
                     segs = ((cell or {}).get("layout") or {}).get("textAnchor", {}).get("textSegments")
                     if segs:
-                        s = max(0, min(n, int(segs[0].get("startIndex", 0) or 0)))
-                        e = max(0, min(n, int(segs[0].get("endIndex", 0) or 0)))
-                        if s > e:
-                            s, e = e, s
-                        spans.append(_span(s, e, "cell"))
+                        for seg in segs if all_segments else segs[:1]:
+                            s, e = _clamp(seg)
+                            spans.append(_span(s, e, "cell"))
     return spans
 
 
-def make_extractor(depara: dict, with_services: bool = True):
+def make_extractor(
+    depara: dict,
+    with_services: bool = True,
+    with_styling: bool = False,
+    all_segments: bool = False,
+):
     """Build the mapInPandas function (depara captured in the closure —
     the dimension lists are tiny; this is the broadcast-dict analogue of
     the reference's per-job depara payload, ref server.cjs:34-43).
@@ -176,6 +225,13 @@ def make_extractor(depara: dict, with_services: bool = True):
     Arrow bytes and ~40 % of the Python time, and a corpus-cleaning
     consumer (the north-rule product) does not need them. Conversation
     assembly requires the default True.
+
+    ``with_styling=True`` widens the span struct with the reference's
+    styling-info fields (Font family/weight/italic, TextSize, Lang —
+    populated for pdf_layout turns, null elsewhere); pair it with
+    ``extract_schema(with_styling=True)``. ``all_segments=True`` emits
+    one cell span per textSegment instead of the reference's
+    first-segment resolution.
     """
 
     def extract(batches):
@@ -183,7 +239,7 @@ def make_extractor(depara: dict, with_services: bool = True):
 
         for pdf in batches:
             t0 = time.monotonic()
-            out = _extract_frame(pdf, depara, with_services)
+            out = _extract_frame(pdf, depara, with_services, with_styling, all_segments)
             # per-row share of the batch's Python wall time — summing the
             # column over any grouping gives that group's processing cost
             # (lineage metric, FIXTURES.md §4)
@@ -194,7 +250,13 @@ def make_extractor(depara: dict, with_services: bool = True):
     return extract
 
 
-def _extract_frame(pdf: pd.DataFrame, depara: dict, with_services: bool = True) -> pd.DataFrame:
+def _extract_frame(
+    pdf: pd.DataFrame,
+    depara: dict,
+    with_services: bool = True,
+    with_styling: bool = False,
+    all_segments: bool = False,
+) -> pd.DataFrame:
     route = classify_batch(pdf["text"])
 
     n = len(pdf)
@@ -293,10 +355,10 @@ def _extract_frame(pdf: pd.DataFrame, depara: dict, with_services: bool = True) 
             continue
 
         if "elements" in doc:
-            text, sp = extract_pdf_layout(doc)
+            text, sp = extract_pdf_layout(doc, with_styling=with_styling)
             kind[p] = "pdf_layout"
             clean[p] = text
-            spans[p] = [_span(*t) for t in sp]
+            spans[p] = [_styled_span(t) if with_styling else _span(*t) for t in sp]
             if with_services:
                 services[p] = parse_services_tiered({"text": text, "pages": []}, depara)[0]
             doc_text[p] = text
@@ -308,8 +370,16 @@ def _extract_frame(pdf: pd.DataFrame, depara: dict, with_services: bool = True) 
             else:
                 kind[p] = "pdf_table" if '"textAnchor"' in raw else "pdf_text"
             clean[p] = doc.get("text") or ""
-            spans[p] = _cells_spans(doc)
+            spans[p] = _cells_spans(doc, all_segments=all_segments)
             doc_text[p] = doc.get("text") or ""
+
+    if with_styling:
+        # non-layout spans gain null styling fields so the Arrow struct
+        # schema is uniform across payload kinds
+        spans = [
+            [s if len(s) > 3 else {**s, **_STYLE_NULLS} for s in row]
+            for row in spans
+        ]
 
     out = pd.DataFrame(
         {
@@ -334,6 +404,8 @@ def extract_transcripts(
     salt: int | None = None,
     num_partitions: int | None = None,
     with_services: bool = True,
+    with_styling: bool = False,
+    all_segments: bool = False,
 ):
     """Run the extraction pipeline over a transcripts DataFrame.
 
@@ -350,7 +422,6 @@ def extract_transcripts(
 
         depara = fixtures.runtime_depara()
 
-    _ws = with_services
     if salt:
         key = F.concat_ws(
             "#",
@@ -361,4 +432,7 @@ def extract_transcripts(
         # exchange (an explicit user repartition count is respected)
         df = df.repartition(num_partitions, key) if num_partitions else df.repartition(key)
 
-    return df.mapInPandas(make_extractor(depara, _ws), schema=EXTRACT_SCHEMA)
+    return df.mapInPandas(
+        make_extractor(depara, with_services, with_styling, all_segments),
+        schema=extract_schema(with_styling),
+    )

@@ -73,3 +73,53 @@ def test_pdf_layout_real_adobe_sample(tmp_path):
 def test_pdf_layout_empty_and_missing():
     assert extract_pdf_layout({}) == ("", [])
     assert extract_pdf_layout({"elements": [{"Path": "//P"}]}) == ("", [])
+
+
+def test_pdf_layout_styling_spans_from_ref_golden():
+    """with_styling=True must surface the reference's styling-info model
+    (Font family/weight/italic, TextSize, Lang — ref
+    extract-text-table-info-with-styling-info-from-pdf.js:51-54, golden
+    structuredData.json) on every span, byte-consistent with the plain
+    variant's offsets."""
+    with zipfile.ZipFile("/root/reference/result.zip") as z:
+        doc = json.loads(z.read("structuredData.json"))
+    clean_plain, plain = extract_pdf_layout(doc)
+    clean, styled = extract_pdf_layout(doc, with_styling=True)
+    assert clean == clean_plain
+    assert [(t[0], t[1], t[2]) for t in styled] == plain
+    fams = {t[3] for t in styled}
+    sizes = {t[6] for t in styled}
+    assert any(f and "Arial" in f for f in fams), fams
+    assert any(isinstance(s, float) and s > 0 for s in sizes)
+    weights = {t[4] for t in styled}
+    assert 400 in weights or 700 in weights
+    # Lang is per-element in the golden
+    assert "pt" in {t[7] for t in styled}
+
+
+def test_cells_spans_multi_segment():
+    """Default resolves the FIRST textSegment (ref parseServices.js:7-13);
+    all_segments=True emits one span per segment (multi-segment cells
+    exist in the reference corpus, ref test-documentai.js:17-31)."""
+    from pdf_ocr_api_spark.pipeline import _cells_spans
+
+    doc = {
+        "text": "abcdefghij",
+        "pages": [{
+            "tables": [{
+                "headerRows": [],
+                "bodyRows": [{
+                    "cells": [{
+                        "layout": {"textAnchor": {"textSegments": [
+                            {"startIndex": 0, "endIndex": 3},
+                            {"startIndex": 5, "endIndex": 8},
+                        ]}}
+                    }]
+                }],
+            }]
+        }],
+    }
+    first = _cells_spans(doc)
+    assert [(s["start"], s["end"]) for s in first] == [(0, 3)]
+    both = _cells_spans(doc, all_segments=True)
+    assert [(s["start"], s["end"]) for s in both] == [(0, 3), (5, 8)]

@@ -153,3 +153,45 @@ def test_text_only_mode_same_text_and_spans(spark, tiny, depara):
     # kind degrades only for cat/lines (cascade-derived labels)
     diffs = set(zip(full.kind[full.kind != fast.kind], fast.kind[full.kind != fast.kind]))
     assert diffs <= {("cat", "plain"), ("lines", "plain")}
+
+
+def test_styled_extraction_schema_and_values(spark, depara):
+    """with_styling=True widens the span struct with the reference's
+    styling fields: populated on pdf_layout turns, null on text turns;
+    clean_text/offsets identical to the default mode."""
+    layout_doc = json.dumps({
+        "elements": [
+            {"Text": "Titulo grande", "Bounds": [50, 700, 500, 730], "Page": 0,
+             "Path": "//Document/Title",
+             "Font": {"family_name": "* Arial", "weight": 700, "italic": False},
+             "TextSize": 16.0, "Lang": "pt"},
+            {"Text": "corpo do texto", "Bounds": [50, 600, 500, 630], "Page": 0,
+             "Path": "//Document/Sect/P",
+             "Font": {"family_name": "* Times", "weight": 400, "italic": True},
+             "TextSize": 10.0, "Lang": "pt"},
+        ],
+        "pages": [{"page_number": 0, "width": 612.0}],
+    })
+    rows = [
+        ("c0", 0, "user", layout_doc, None),
+        ("c0", 1, "user", "texto simples de prosa", None),
+    ]
+    sdf = spark.createDataFrame(rows, "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING")
+    out = pipeline.extract_transcripts(sdf, depara, with_styling=True)
+    span_struct = out.schema["spans"].dataType.elementType
+    assert {f.name for f in span_struct.fields} == {
+        "start", "end", "kind", "font_family", "font_weight", "italic", "text_size", "lang"
+    }
+    res = _collect_sorted(out)
+    styled = res.iloc[0].spans
+    assert styled[0]["font_family"] == "* Arial" and styled[0]["font_weight"] == 700
+    assert styled[0]["text_size"] == 16.0 and styled[0]["lang"] == "pt"
+    assert styled[1]["italic"] is True or styled[1]["italic"] == True  # noqa: E712
+    plain_turn = res.iloc[1].spans
+    assert all(s["font_family"] is None and s["text_size"] is None for s in plain_turn)
+    # offsets identical to the default mode
+    base = _collect_sorted(pipeline.extract_transcripts(sdf, depara))
+    assert base.iloc[0].clean_text == res.iloc[0].clean_text
+    assert [(s["start"], s["end"]) for s in base.iloc[0].spans] == [
+        (s["start"], s["end"]) for s in styled
+    ]
