@@ -74,6 +74,20 @@ def run(
     done = set(done_buckets(spark, out_root))
     mode = "full" if with_services else "text_only"
 
+    if depara is None:
+        from .fixtures import runtime_depara
+
+        depara = runtime_depara()
+    # the de/para dimension payload shapes the extraction output: a resume
+    # under a different payload would mix incompatible bucket contents
+    # just like a different mode would — digest it into the manifest
+    import hashlib
+    import json as _json
+
+    depara_digest = hashlib.md5(
+        _json.dumps(depara, sort_keys=True, ensure_ascii=False, default=str).encode()
+    ).hexdigest()
+
     # refuse to mix extraction modes or bucket counts within one output
     # root — a resumed run with different settings would silently skip
     # some conversations and duplicate others (bucket ids from a
@@ -86,9 +100,15 @@ def run(
             if "n_buckets" in m.columns
             else F.lit(n_buckets)
         )
-        prev = m.select(mode_col.alias("mode"), nb_col.alias("nb")).distinct().collect()
+        dig_col = (
+            F.coalesce(F.col("depara_digest"), F.lit(depara_digest))  # pre-upgrade rows
+            if "depara_digest" in m.columns
+            else F.lit(depara_digest)
+        )
+        prev = m.select(mode_col.alias("mode"), nb_col.alias("nb"), dig_col.alias("dig")).distinct().collect()
         prev_modes = {r.mode for r in prev}
         prev_nb = {r.nb for r in prev}
+        prev_dig = {r.dig for r in prev}
         if prev_modes and prev_modes != {mode}:
             raise ValueError(
                 f"output root {out_root!r} was written in mode(s) {sorted(prev_modes)}; "
@@ -98,6 +118,11 @@ def run(
             raise ValueError(
                 f"output root {out_root!r} was bucketed with n_buckets={sorted(prev_nb)}; "
                 f"refusing to resume with n_buckets={n_buckets}"
+            )
+        if prev_dig and prev_dig != {depara_digest}:
+            raise ValueError(
+                f"output root {out_root!r} was extracted with a different de/para payload "
+                f"(digest {sorted(prev_dig)} != {depara_digest}); refusing to resume"
             )
 
     df = transcripts.withColumn("bucket", bucket_expr(n_buckets))
@@ -154,6 +179,7 @@ def run(
         .withColumn("status", F.lit("done"))
         .withColumn("mode", F.lit(mode))
         .withColumn("n_buckets", F.lit(n_buckets))
+        .withColumn("depara_digest", F.lit(depara_digest))
         .withColumn("ts", F.current_timestamp())
     )
     write_table(manifest, p["manifest"], mode="append")

@@ -82,3 +82,33 @@ def test_n_buckets_mismatch_refused(spark, transcripts, tmp_path):
     lineage.run(spark, transcripts, out, run_id="a", n_buckets=8)
     with pytest.raises(ValueError, match="n_buckets"):
         lineage.run(spark, transcripts, out, run_id="b", n_buckets=16)
+
+
+def test_depara_mismatch_refused(spark, transcripts, tmp_path):
+    """Resuming with a different de/para dimension payload would mix
+    buckets extracted under incompatible rules — must refuse (the
+    manifest records a digest of the payload)."""
+    from pdf_ocr_api_spark import fixtures
+
+    out = str(tmp_path / "dep")
+    half = transcripts.filter(F.pmod(F.crc32("conv_id"), F.lit(8)) < 4)
+    lineage.run(spark, half, out, run_id="a", n_buckets=8)
+    altered = dict(fixtures.runtime_depara())
+    altered["unidade"] = list(altered.get("unidade") or []) + [{"id": 9999, "valor": "ZZZ"}]
+    with pytest.raises(ValueError, match="de/para"):
+        lineage.run(spark, transcripts, out, run_id="b", n_buckets=8, depara=altered)
+
+
+def test_lineage_input_count_measured_on_input(spark, transcripts, tmp_path):
+    """input_count must reconcile against the INPUT transcripts per
+    bucket, not echo the output count."""
+    out = str(tmp_path / "inp")
+    lineage.run(spark, transcripts, out, run_id="a", n_buckets=4)
+    lin = lineage.read_lineage(spark, out)
+    want = {
+        r.bucket: r.cnt
+        for r in transcripts.withColumn("bucket", lineage.bucket_expr(4))
+        .groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    got = {r.bucket: r.input_count for r in lin.collect()}
+    assert got == want
