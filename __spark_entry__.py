@@ -63,6 +63,22 @@ def q_conversation_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conversation_service_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-form conversation record (one row per filtered service, keyed
+    (turn_idx, svc_idx) — nothing conversation-sized in the plan).
+    Rows-only check (extraction UDF upstream); equality with the
+    array-form record asserted in tests."""
+    from pdf_ocr_api_spark import conversation, fixtures, pipeline
+
+    ext = pipeline.extract_transcripts(_pseudo_transcripts(spark, sf_dir))
+    tipo = conversation.tipo_dim_df(spark, fixtures.DEPARA_RAW["tipoCertidao"])
+    rows = conversation.conversation_service_rows(ext, tipo)
+    return rows.select(
+        "conv_id", "NumerodaCertidao", "TipodaCertidao", "Estado",
+        "turn_idx", "svc_idx", "Item", "Quantidade",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-turn extraction over sf0.001 (driver checks rows>0)."""
     return q_extract_pipeline(spark, "/root/testdata/sf0.001")
@@ -313,6 +329,28 @@ def q_rotate_turns(spark, sf_dir):
     return turnops.rotate_turns(_pseudo_turns(spark, sf_dir), 3)
 
 
+def q_u4_insert_turns(spark, sf_dir):
+    """U4 — insert-pages analogue: conversation B's turns spliced into A
+    at position 3, dense renumber (ref insert-pdf-pages.js:111-116)."""
+    from pdf_ocr_api_spark.operators import turnops
+
+    pt = _pseudo_turns(spark, sf_dir)
+    base = pt.filter(F.col("conv_id") == "doc-conv-0000")
+    ins = pt.filter(F.col("conv_id") == "doc-conv-0001")
+    return turnops.insert_turns(base, ins, at=3, into_conv="doc-conv-0000")
+
+
+def q_u3_replace_turns(spark, sf_dir):
+    """U3 — replace-pages analogue: turns [2,5] of A replaced by B's
+    turns, dense renumber (ref replace-pdf-pages.js:112-117)."""
+    from pdf_ocr_api_spark.operators import turnops
+
+    pt = _pseudo_turns(spark, sf_dir)
+    base = pt.filter(F.col("conv_id") == "doc-conv-0000")
+    rep = pt.filter(F.col("conv_id") == "doc-conv-0001")
+    return turnops.replace_turns(base, rep, 2, 5, into_conv="doc-conv-0000")
+
+
 def q_x6_split_by_count(spark, sf_dir):
     """X6 — split-by-number-of-pages: chunk id per fixed turn count."""
     from pdf_ocr_api_spark.operators import turnops
@@ -509,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # byte-parity gate vs the reference)
         "extract_pipeline": q_extract_pipeline,
         "conversation_records": q_conversation_records,
+        "conversation_service_rows": q_conversation_service_rows,
         # SURVEY §2 SQL-expressible operators
         "f_filter_pushdown": q_f_filter_pushdown,
         "p_projection": q_p_projection,
@@ -532,6 +571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # turn-axis page-operation analogues (SURVEY §2.5/2.6/2.9)
         "o3_select_turns": q_o3_select_turns,
         "u2_delete_turns": q_u2_delete_turns,
+        "u3_replace_turns": q_u3_replace_turns,
+        "u4_insert_turns": q_u4_insert_turns,
         "rotate_turns": q_rotate_turns,
         "x6_split_by_count": q_x6_split_by_count,
         "s7_header_rules": q_s7_header_rules,
@@ -688,6 +729,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS INT) AS turn_idx,
                    doc_id
             FROM pt WHERE turn_idx NOT BETWEEN 1 AND 3
+        """,
+        "u4_insert_turns": """
+            WITH pt AS (
+              SELECT printf('doc-conv-%04d', CAST(doc_id % 50 AS INT)) AS conv_id,
+                     CAST(doc_id // 50 AS INT) AS turn_idx, doc_id
+              FROM documents
+            ), u AS (
+              SELECT conv_id, turn_idx, doc_id,
+                     CASE WHEN turn_idx < 3 THEN turn_idx ELSE turn_idx + 1000000 END AS ord,
+                     0 AS src
+              FROM pt WHERE conv_id = 'doc-conv-0000'
+              UNION ALL
+              SELECT 'doc-conv-0000' AS conv_id, turn_idx, doc_id, 3 AS ord, 1 AS src
+              FROM pt WHERE conv_id = 'doc-conv-0001'
+            )
+            SELECT conv_id,
+                   CAST(row_number() OVER (PARTITION BY conv_id ORDER BY ord, src, turn_idx) - 1 AS INT) AS turn_idx,
+                   doc_id
+            FROM u
+        """,
+        "u3_replace_turns": """
+            WITH pt AS (
+              SELECT printf('doc-conv-%04d', CAST(doc_id % 50 AS INT)) AS conv_id,
+                     CAST(doc_id // 50 AS INT) AS turn_idx, doc_id
+              FROM documents
+            ), u AS (
+              SELECT conv_id, turn_idx, doc_id,
+                     CASE WHEN turn_idx < 2 THEN turn_idx ELSE turn_idx + 1000000 END AS ord,
+                     0 AS src
+              FROM pt WHERE conv_id = 'doc-conv-0000' AND turn_idx NOT BETWEEN 2 AND 5
+              UNION ALL
+              SELECT 'doc-conv-0000' AS conv_id, turn_idx, doc_id, 2 AS ord, 1 AS src
+              FROM pt WHERE conv_id = 'doc-conv-0001'
+            )
+            SELECT conv_id,
+                   CAST(row_number() OVER (PARTITION BY conv_id ORDER BY ord, src, turn_idx) - 1 AS INT) AS turn_idx,
+                   doc_id
+            FROM u
         """,
         "rotate_turns": """
             WITH pt AS (

@@ -351,36 +351,15 @@ def header_fields(extracted: DataFrame, depara_raw: dict) -> DataFrame:
     )
 
 
-def conversation_records(
-    extracted: DataFrame,
-    tipo_dim: DataFrame | None = None,
-    header_depara: dict | None = None,
-    segmented: bool = True,
-    chunk_turns: int = 512,
+def _record_scalars(
+    extracted: DataFrame, tipo_dim: DataFrame | None, chunk_turns: int
 ) -> DataFrame:
-    """Full per-conversation record (ref :227-236): scalar fields + the
-    filtered, ordered services array.
-
-    ``tipo_dim``: DataFrame(id INT, nome_norm STRING) — the tipoCertidao
-    dimension with pre-normalized names; broadcast-joined (J6).
-
-    ``header_depara``: when given (the raw de/para dict), the record is
-    enriched with the deterministic S7 header fields; by default the
-    record matches the reference's de-facto output (GPT error path →
-    those fields absent/null, ref gpt/extractHeader.js:123-133).
-
-    ``segmented`` (default True) selects the segmented-scan service
-    assembly — byte-identical to the single-window variant (asserted in
-    tests) with stragglers bounded by ``chunk_turns`` instead of
-    conversation size. The conversation scalars are ALWAYS segmented
-    (``conversation_scalars`` — exact, never conversation-size-bound);
-    the only remaining conversation-sized object in this plan is the
-    final Servicos array itself, inherent to array output.
-    """
+    """Scalar record fields (numero/estado/tipo) from the segmented
+    scalars: the J6 combo chain over token flags (ref
+    detectTipoCertidao.js:9-31 — first matching combo in table order)
+    plus the broadcast tipo-dimension lookup."""
     scalars = conversation_scalars(extracted, chunk_turns=chunk_turns)
 
-    # J6 combo chain over the segmented token flags (ref
-    # detectTipoCertidao.js:9-31 — first matching combo in table order)
     flag = {tok: F.col(f"_f_{tok}") for tok in _TIPO_TOKENS}
     is_cat = flag["ACERVOTECNICO"] | flag["CAT"]
     is_cao = flag["ACERVOOPERACIONAL"] | flag["CAO"]
@@ -409,8 +388,37 @@ def conversation_records(
         ).drop("nome_norm")
     else:
         scalars = scalars.withColumn("TipodaCertidao", F.lit(None).cast("int"))
-    scalars = scalars.drop("_tipo_nome")
+    return scalars.drop("_tipo_nome")
 
+
+def conversation_records(
+    extracted: DataFrame,
+    tipo_dim: DataFrame | None = None,
+    header_depara: dict | None = None,
+    segmented: bool = True,
+    chunk_turns: int = 512,
+) -> DataFrame:
+    """Full per-conversation record (ref :227-236): scalar fields + the
+    filtered, ordered services array.
+
+    ``tipo_dim``: DataFrame(id INT, nome_norm STRING) — the tipoCertidao
+    dimension with pre-normalized names; broadcast-joined (J6).
+
+    ``header_depara``: when given (the raw de/para dict), the record is
+    enriched with the deterministic S7 header fields; by default the
+    record matches the reference's de-facto output (GPT error path →
+    those fields absent/null, ref gpt/extractHeader.js:123-133).
+
+    ``segmented`` (default True) selects the segmented-scan service
+    assembly — byte-identical to the single-window variant (asserted in
+    tests) with stragglers bounded by ``chunk_turns`` instead of
+    conversation size. The conversation scalars are ALWAYS segmented
+    (``conversation_scalars`` — exact, never conversation-size-bound);
+    the only remaining conversation-sized object in this plan is the
+    final Servicos array itself, inherent to array output — use
+    ``conversation_service_rows`` when even that must be avoided.
+    """
+    scalars = _record_scalars(extracted, tipo_dim, chunk_turns)
     if segmented:
         svcs = assemble_services_segmented(explode_services(extracted), chunk_turns=chunk_turns)
     else:
@@ -449,6 +457,53 @@ def conversation_records(
         out = out.join(hdr, "conv_id", "left")
         # twin key order: ...Tipo, QualificacaoObra, QualificacaoEspecifica,
         # NiveldeAtividade, Estado... (extract/document.py record contract)
+        cols[4:4] = ["QualificacaoObra", "QualificacaoEspecifica", "NiveldeAtividade"]
+    return out.select(*cols)
+
+
+def conversation_service_rows(
+    extracted: DataFrame,
+    tipo_dim: DataFrame | None = None,
+    header_depara: dict | None = None,
+    chunk_turns: int = 512,
+) -> DataFrame:
+    """Row-form record output: the same scalar fields as
+    ``conversation_records`` but one ROW per filtered service, keyed by
+    (turn_idx, svc_idx) — the record for huge conversations.
+
+    The array-form record must materialize a conversation's whole
+    Servicos array in one aggregation buffer and land it in one output
+    row; at 10^12-turn scale a hot conversation's array can exceed task
+    memory. Here NOTHING in the plan — input split, shuffle block,
+    output row — is conversation-sized: scalars come from the segmented
+    reduce, the assembly is the segmented scan, and the join key
+    (conv_id) shuffles service rows without aggregating them.
+    ``array_sort``-ing the rows by (turn_idx, svc_idx) reproduces the
+    exact Servicos order (asserted against the array form in tests).
+    Conversations whose services were ALL filtered still emit their
+    scalar record with null service columns (left join from scalars),
+    matching the array form's empty-array row.
+    """
+    scalars = _record_scalars(extracted, tipo_dim, chunk_turns)
+    svcs = assemble_services_segmented(explode_services(extracted), chunk_turns=chunk_turns)
+    out = scalars.join(svcs, "conv_id", "left")
+    cols = [
+        "conv_id",
+        "NumerodaCertidao",
+        F.lit(None).cast("string").alias("ObjetodaCertidaCertidao"),
+        "TipodaCertidao",
+        "Estado",
+        "turn_idx",
+        "svc_idx",
+        "Item",
+        "Categoria",
+        "Descricao",
+        "Unidade",
+        "Quantidade",
+    ]
+    if header_depara is not None:
+        hdr = header_fields(extracted, header_depara)
+        out = out.join(hdr, "conv_id", "left")
         cols[4:4] = ["QualificacaoObra", "QualificacaoEspecifica", "NiveldeAtividade"]
     return out.select(*cols)
 

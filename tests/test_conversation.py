@@ -127,6 +127,44 @@ def test_pagina_uppercase_dropped_distributed(spark, depara):
     assert "PÁGINA 3" not in descs and "Servico real de obra" in descs
 
 
+def test_service_rows_equal_array_form(spark, depara):
+    """conversation_service_rows (row-form record: nothing
+    conversation-sized in the plan) must carry exactly the array form's
+    content: same scalars per conversation, same services in
+    (turn_idx, svc_idx) order, empty-service conversations preserved."""
+    import pandas as pd
+
+    meta = fixtures.fixture_frame(20, with_meta=True)
+    sdf = spark.createDataFrame(meta[fixtures.TRANSCRIPT_COLUMNS])
+    ext = pipeline.extract_transcripts(sdf, depara)
+    tipo = conversation.tipo_dim_df(spark, fixtures.DEPARA_RAW["tipoCertidao"])
+    arr = conversation.conversation_records(ext, tipo).toPandas().set_index("conv_id")
+    rows = conversation.conversation_service_rows(ext, tipo).toPandas()
+
+    def _n(v):  # NaN/None/np types → canonical python
+        if v is None or (isinstance(v, float) and v != v) or (hasattr(pd, "isna") and pd.isna(v)):
+            return None
+        return int(v) if isinstance(v, (int, float)) and not isinstance(v, bool) and float(v).is_integer() and not isinstance(v, str) else v
+
+    assert set(rows.conv_id) == set(arr.index)  # empty-service convs kept
+    for cid, grp in rows.groupby("conv_id"):
+        want = arr.loc[cid]
+        first = grp.iloc[0]
+        assert _n(first.NumerodaCertidao) == _n(want.NumerodaCertidao), cid
+        assert _n(first.Estado) == _n(want.Estado), cid
+        assert _n(first.TipodaCertidao) == _n(want.TipodaCertidao), cid
+        g = grp[grp.svc_idx.notna()].sort_values(["turn_idx", "svc_idx"])
+        got = [
+            tuple(_n(x) for x in (r.Item, r.Categoria, r.Descricao, r.Unidade, r.Quantidade))
+            for r in g.itertuples()
+        ]
+        wanted = [
+            tuple(_n(s[k]) for k in ("Item", "Categoria", "Descricao", "Unidade", "Quantidade"))
+            for s in want.Servicos
+        ]
+        assert got == wanted, cid
+
+
 def test_record_schema_matches_twin_contract(spark, depara):
     """The Spark record's field set AND order must equal the twin's
     (ref parseDocument.js:227-236 incl. the de-facto-null
