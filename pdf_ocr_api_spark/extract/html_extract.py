@@ -86,6 +86,100 @@ class _TreeBuilder(HTMLParser):
             self.cur.content.append(data)
 
 
+# ---------------------------------------------------------------------------
+# Fast tokenizer: builds the SAME _Node tree as _TreeBuilder (stdlib
+# html.parser) in one compiled-regex pass — the stdlib parser spends ~80 %
+# of extract_html in char-wise goahead/parse_starttag. The stdlib builder
+# is retained as the semantic twin; tree equivalence over the fixture
+# corpus + adversarial payloads is asserted in tests. Known cosmetic
+# divergence: a truncated trailing tag at EOF chunks differently (both
+# whitespace-collapse to the same prose).
+# ---------------------------------------------------------------------------
+
+_TAG_RX = re.compile(
+    r"<!--.*?-->"  # comments
+    r"|<!\[CDATA\[.*?\]\]>"  # cdata blocks
+    r"|<[!?](?:[^>\"']|\"[^\"]*\"|'[^']*')*>"  # doctype / PIs
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)"  # open/close tag name
+    r"((?:[^<>\"']|\"[^\"]*\"|'[^']*')*?)"  # attrs (quote-aware)
+    r"(/?)>",
+    re.S,
+)
+_LT_SPLIT = re.compile(r"(<)")  # stdlib emits a bare '<' as its own data chunk
+_RAW_CLOSE = {
+    "script": re.compile(r"</\s*script\s*>", re.I),
+    "style": re.compile(r"</\s*style\s*>", re.I),
+}
+
+
+def _fast_tree(payload: str) -> _Node:
+    from html import unescape
+
+    root = _Node("#root", None)
+    cur = root
+    skip = 0
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        m = _TAG_RX.search(payload, pos)
+        text = payload[pos : m.start()] if m else payload[pos:]
+        if text and skip == 0:
+            if "<" in text:
+                pieces = _LT_SPLIT.split(text)
+            else:
+                pieces = (text,)
+            for piece in pieces:
+                if piece and not piece.isspace():
+                    cur.content.append(unescape(piece) if "&" in piece else piece)
+        if m is None:
+            break
+        pos = m.end()
+        name = m.group(2)
+        if name is None:  # comment / cdata / doctype / PI
+            continue
+        tag = name.lower()
+        if m.group(1):  # end tag
+            if skip:
+                if tag in _SKIP_TAGS:
+                    skip -= 1
+                continue
+            if tag in _VOID_TAGS:
+                continue
+            node = cur
+            while node is not None and node.tag != tag:
+                node = node.parent
+            if node is not None and node.parent is not None:
+                cur = node.parent
+            continue
+        selfclose = bool(m.group(4))
+        if skip:
+            if tag in _SKIP_TAGS and not selfclose:
+                skip += 1
+            continue
+        if tag in _SKIP_TAGS:
+            if not selfclose:
+                if tag in _RAW_CLOSE:
+                    # rawtext elements: consume to the close tag like the
+                    # stdlib CDATA mode (content dropped either way)
+                    mc = _RAW_CLOSE[tag].search(payload, pos)
+                    pos = mc.end() if mc else n
+                else:
+                    skip = 1
+            continue
+        node = _Node(tag, cur)
+        cur.content.append(node)
+        if not selfclose and tag not in _VOID_TAGS:
+            cur = node
+    return root
+
+
+def _stdlib_tree(payload: str) -> _Node:
+    builder = _TreeBuilder()
+    builder.feed(payload)
+    builder.close()
+    return builder.root
+
+
 def _measure(node: _Node, inside_link: bool, out: dict) -> tuple[int, int]:
     """Return (text_len, link_text_len) of the subtree; memoize in ``out``."""
     is_link = inside_link or node.tag == "a"
@@ -139,16 +233,20 @@ def extract_html(payload: str) -> tuple[str, list[tuple[int, int, str]]]:
     Returns ``(clean_text, spans)`` where spans are ``(start, end, tag)``
     char offsets into clean_text, one per retained block element.
     """
-    builder = _TreeBuilder()
     try:
-        builder.feed(payload)
-        builder.close()
+        root = _fast_tree(payload)
     except Exception:
-        text = clean_line(re.sub(r"<[^>]+>", " ", payload))
-        return (text, [(0, len(text), "text")] if text else [])
+        try:
+            root = _stdlib_tree(payload)
+        except Exception:
+            text = clean_line(re.sub(r"<[^>]+>", " ", payload))
+            return (text, [(0, len(text), "text")] if text else [])
+    return _extract_from_root(root)
 
+
+def _extract_from_root(root: _Node) -> tuple[str, list[tuple[int, int, str]]]:
     measures: dict = {}
-    _measure(builder.root, False, measures)
+    _measure(root, False, measures)
 
     # candidate containers scored by non-link text mass × (1 − link density)
     best: _Node | None = None
@@ -167,9 +265,9 @@ def extract_html(payload: str) -> tuple[str, list[tuple[int, int, str]]]:
         for c in n.children:
             consider(c)
 
-    consider(builder.root)
+    consider(root)
 
-    target = best if best is not None else builder.root
+    target = best if best is not None else root
     blocks: list[tuple[str, str]] = []
     _blocks_in(target, measures, blocks)
     if not blocks:

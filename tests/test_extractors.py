@@ -123,3 +123,46 @@ def test_cells_spans_multi_segment():
     assert [(s["start"], s["end"]) for s in first] == [(0, 3)]
     both = _cells_spans(doc, all_segments=True)
     assert [(s["start"], s["end"]) for s in both] == [(0, 3), (5, 8)]
+
+
+def test_fast_html_tree_equals_stdlib():
+    """The regex tokenizer must produce the same extraction output as
+    the stdlib html.parser twin over the full fixture corpus and an
+    adversarial payload set (entities, rawtext, mis-nesting, stray '<',
+    quoted '>' in attrs, self-closing and void tags, skip-tag nesting)."""
+    from pdf_ocr_api_spark.extract.html_extract import (
+        _extract_from_root,
+        _fast_tree,
+        _stdlib_tree,
+    )
+
+    adversarial = [
+        "<body><div><p>AT&amp;T &lt;tag&gt; &#65;</p></div></body>",
+        "<div title=\"a>b\"><p>quoted gt in attr</p></div>",
+        "<div><script>var s = \"<p>not content</p>\";</script><p>real</p></div>",
+        "<div><style>p::before { content: \"<fake>\"; }</style><p>styled</p></div>",
+        "<ul><li>um<li>dois<li>tres</ul>",                      # unclosed li
+        "<div><p>mis<b>nested</p></b><p>after</p></div>",       # crossing tags
+        "<p>1<2 and 3>4</p>",                                    # stray < in prose
+        "<head><title>skip me</title></head><body><p>keep</p></body>",
+        "<svg><text>vector text skipped</text></svg><p>kept</p>",
+        "<noscript><p>hidden</p></noscript><p>shown</p>",
+        "<div/><p>self-closed container</p>",
+        "<br><hr/><img src=x><p>voids</p>",
+        "<!-- <p>comment</p> --><p>visible</p>",
+        "<!DOCTYPE html><?xml pi?><p>decls</p>",
+        "<TABLE><TR><TD>Upper</TD></TR></TABLE>",
+        "<template><p>nope</p></template><p>sim</p>",
+        "<div><a href='#'>link heavy link heavy</a><p>tiny</p></div>",
+        "texto puro sem tags",
+        "",
+    ]
+    meta = fixtures.fixture_frame(200, with_meta=True)
+    corpus = [t for t in meta["text"] if isinstance(t, str) and t.lstrip()[:1] == "<"]
+    checked = 0
+    for payload in adversarial + corpus:
+        want = _extract_from_root(_stdlib_tree(payload))
+        got = _extract_from_root(_fast_tree(payload))
+        assert got == want, payload[:200]
+        checked += 1
+    assert checked > 100  # the corpus actually contributed
