@@ -64,3 +64,115 @@ def test_stream_resume_is_exactly_once(spark, depara, tmp_path):
     q.awaitTermination(300)
     n2 = spark.read.parquet(out).count()
     assert n2 == n1 + len(extra)
+
+
+def _drain(df_stream, spark, name):
+    q = (
+        df_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization must equal the batch
+    lag+running-sum window, with state carried ACROSS micro-batches
+    (maxFilesPerTrigger=1 forces one batch per file)."""
+    import pandas as pd
+
+    from pdf_ocr_api_spark.streaming import stateful
+
+    src = tmp_path / "sess_src"
+    rows = []
+    base = pd.Timestamp("2025-01-01 00:00:00")
+    for conv in ("a", "b"):
+        t = base
+        for i in range(30):
+            # gaps > 30 min every 7th turn open a new session
+            t = t + pd.Timedelta(minutes=45 if i % 7 == 0 and i else 3)
+            rows.append((conv, i, t))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts"])
+    ddl = "conv_id STRING, turn_idx INT, ts TIMESTAMP"
+    sdf = spark.createDataFrame(pdf, ddl)
+    # 3 files in turn order → 3 micro-batches crossing session boundaries
+    for k in range(3):
+        part = pdf[(pdf.turn_idx >= k * 10) & (pdf.turn_idx < (k + 1) * 10)]
+        spark.createDataFrame(part, ddl).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("conv_id STRING, turn_idx INT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = (
+        _drain(stateful.sessionize_stream(stream), spark, "sess_out")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = F.lag("ts").over(w)
+    flag = F.when(prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1).otherwise(0)
+    sess = F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = (
+        sdf.select("conv_id", "turn_idx", sess.cast("int").alias("session_id"))
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    assert got[["conv_id", "turn_idx", "session_id"]].equals(want)
+    assert got.session_id.max() >= 4  # sessions actually split
+
+
+def test_stateful_category_inheritance_matches_twin(spark, tmp_path):
+    """Streaming A4 inheritance must equal the byte-parity Python twin
+    (preencher_categoria) over the ordered rows, with the carried
+    category crossing micro-batch boundaries."""
+    import pandas as pd
+
+    from pdf_ocr_api_spark.extract.document import preencher_categoria
+    from pdf_ocr_api_spark.streaming import stateful
+
+    src = tmp_path / "cat_src"
+    svcs = []
+    for conv in ("c1", "c2"):
+        for i in range(24):
+            if i % 8 == 0:
+                svcs.append((conv, i, 0, None, None, f"CATEGORIA {conv}-{i} - obras", None, None))
+            else:
+                svcs.append((conv, i, 0, str(i), None, f"servico {i}", 1, f"{i},0"))
+    cols = ["conv_id", "turn_idx", "svc_idx", "Item", "Categoria", "Descricao", "Unidade", "Quantidade"]
+    pdf = pd.DataFrame(svcs, columns=cols)
+    ddl = ("conv_id STRING, turn_idx INT, svc_idx INT, Item STRING, Categoria STRING, "
+           "Descricao STRING, Unidade INT, Quantidade STRING")
+    for k in range(3):  # batch boundary at turns 8/16 — mothers carried across
+        part = pdf[(pdf.turn_idx >= k * 8) & (pdf.turn_idx < (k + 1) * 8)]
+        spark.createDataFrame(part, ddl).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    got = (
+        _drain(stateful.inherit_category_stream(stream), spark, "cat_out")
+        .orderBy("conv_id", "turn_idx", "svc_idx")
+        .toPandas()
+    )
+
+    for conv in ("c1", "c2"):
+        ordered = pdf[pdf.conv_id == conv].sort_values(["turn_idx", "svc_idx"])
+        twin_rows = [
+            {"Item": r.Item, "Categoria": r.Categoria, "Descricao": r.Descricao,
+             "Unidade": r.Unidade, "Quantidade": r.Quantidade}
+            for r in ordered.itertuples()
+        ]
+        want = [s["Categoria"] for s in preencher_categoria(twin_rows)]
+        g = got[got.conv_id == conv]
+        assert [c if c == c else None for c in g.Categoria] == want, conv
+        # qty counter is the A6 running count of quantity-bearing rows
+        has_qty = ordered.Quantidade.notna().to_numpy()
+        assert g.qty_counter.tolist() == list(has_qty.cumsum())
