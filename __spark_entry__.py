@@ -422,6 +422,31 @@ def q_dedup_jaccard(spark, sf_dir):
     return dedup.jaccard_verify(corpus, pairs, threshold=0.3)
 
 
+def _planted_pair_graph(spark, sf_dir):
+    """Deterministic pair graph over document ids: chains of 3
+    (d → d+1M → d+2M) for every 10th doc, cross-linked (d → d+10) for
+    every 50th — multi-hop components that exercise propagation depth."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    p1 = d.select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1000000).alias("id_b"))
+    p2 = d.select(
+        (F.col("doc_id") + 1000000).alias("id_a"), (F.col("doc_id") + 2000000).alias("id_b")
+    )
+    p3 = (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 10).alias("id_b"))
+    )
+    return p1.unionByName(p2).unionByName(p3)
+
+
+def q_dedup_components(spark, sf_dir):
+    """Connected components over the planted near-dup pair graph:
+    (id, comp=min id in component) — the group-formation step after
+    candidate verification. DuckDB-oracled via a recursive CTE."""
+    from pdf_ocr_api_spark.ops import dedup
+
+    return dedup.connected_components(_planted_pair_graph(spark, sf_dir))
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-pairs, Manku-banded full-recall variant
     (engine-specific hashing; rows-only check)."""
@@ -581,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fingerprint": q_dedup_fingerprint,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_components": q_dedup_components,
         "dedup_simhash": q_dedup_simhash,
         "textstats_quality": q_textstats_quality,
         "textstats_tokens": q_textstats_tokens,
@@ -845,6 +871,24 @@ def oracle_sql() -> dict[str, str]:
               JOIN sh a ON a.doc_id = p.id_a
               JOIN sh b ON b.doc_id = p.id_b
             ) WHERE j >= 0.3
+        """,
+        "dedup_components": """
+            WITH RECURSIVE base AS (
+              SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+            ), pairs AS (
+              SELECT doc_id AS a, doc_id + 1000000 AS b FROM base
+              UNION ALL
+              SELECT doc_id + 1000000 AS a, doc_id + 2000000 AS b FROM base
+              UNION ALL
+              SELECT doc_id AS a, doc_id + 10 AS b FROM base WHERE doc_id % 50 = 0
+            ), edges AS (
+              SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+            ), reach(id, r) AS (
+              SELECT a AS id, b AS r FROM edges
+              UNION
+              SELECT reach.id, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
+            )
+            SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id
         """,
         "textstats_quality": _quality_sql(),
         "textstats_tokens": r"""

@@ -159,6 +159,62 @@ def jaccard_verify(
     return out
 
 
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Near-dup GROUP formation: connected components over candidate
+    pairs — (id, comp) for every id appearing in ``pairs``, where comp
+    is the smallest id in the component (the canonical keeper).
+
+    Distributed min-label propagation with pointer jumping: each round
+    every node takes the min of its own label and its neighbors' labels
+    (one join + map-side-combined groupBy on uniform id keys), then
+    label ← label's label (one self-join) — the jump halves chain depth,
+    so convergence is O(log diameter) rounds, not O(diameter). No
+    driver-side state beyond the per-round convergence count; at
+    10^12-doc scale each round is two hash joins on the (small) pair
+    graph, never the corpus.
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    lab = edges.select(F.col("a").alias("id")).distinct().select(
+        "id", F.col("id").alias("comp")
+    )
+    for _ in range(max_iter):
+        nmin = (
+            edges.join(
+                lab.select(F.col("id").alias("b"), F.col("comp").alias("bcomp")), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("bcomp").alias("ncomp"))
+            .select(F.col("a").alias("id"), "ncomp")
+        )
+        new = lab.join(nmin, "id", "left").select(
+            "id", F.least("comp", F.coalesce("ncomp", F.col("comp"))).alias("comp")
+        )
+        # pointer jump: comp ← comp's comp (labels are ids, so the
+        # mapping is lab itself)
+        m = new.select(F.col("id").alias("_cid"), F.col("comp").alias("_ccomp"))
+        # localCheckpoint truncates the logical plan — without it the
+        # iterative self-reference grows the plan tree exponentially and
+        # the DRIVER (analysis), not the data, runs out of heap
+        new = (
+            new.join(m, new["comp"] == m["_cid"], "left")
+            .select("id", F.coalesce("_ccomp", "comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(lab.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            break
+    return lab
+
+
 def simhash64(
     df: DataFrame,
     text_col: str = "text",

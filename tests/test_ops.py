@@ -298,3 +298,43 @@ def test_quality_features_null_text(spark):
     assert q[1].n_tokens == 0 and q[1].n_chars == 0
     assert q[1].quality_score == 0.1 + 0.1  # only the punct/digit bonuses
     assert q[2].n_tokens == 4
+
+
+def test_connected_components_vs_union_find(spark):
+    """Min-label propagation + pointer jumping must equal a Python
+    union-find oracle on a graph with long chains (deep propagation),
+    stars, singleton pairs, and a cycle."""
+    import random
+
+    rng = random.Random(7)
+    edges = []
+    # a 40-node chain (depth stress for the pointer jumping)
+    chain = [1000 + i for i in range(40)]
+    edges += list(zip(chain, chain[1:]))
+    # a star
+    edges += [(2000, 2000 + i) for i in range(1, 8)]
+    # a cycle
+    edges += [(3000, 3001), (3001, 3002), (3002, 3000)]
+    # random pairs
+    for _ in range(30):
+        a, b = rng.sample(range(4000, 4060), 2)
+        edges.append((a, b))
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+    got = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
+    assert got == want
