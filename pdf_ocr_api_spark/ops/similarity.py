@@ -196,6 +196,31 @@ def ivf_index(
     return assigned, centroids
 
 
+def save_ivf_index(spark, indexed: DataFrame, centroids: list[list[float]], target: str) -> None:
+    """Persist an IVF index: the assigned vectors (partitioned by
+    ivf_list so a probe prunes whole files/partitions) + the centroids
+    as index METADATA (they ARE the index — reloading must never refit,
+    or assignments and queries would disagree)."""
+    from ..sources.io import write_table
+
+    write_table(indexed, f"{target}_vectors", mode="create", partition_by=["ivf_list"])
+    spark_centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "list_id INT, centroid ARRAY<DOUBLE>",
+    )
+    write_table(spark_centroids, f"{target}_centroids", mode="create")
+
+
+def load_ivf_index(spark, target: str) -> tuple[DataFrame, list[list[float]]]:
+    """Load a persisted IVF index; centroids come back in list_id order."""
+    from ..sources.io import read_table
+
+    indexed = read_table(spark, f"{target}_vectors")
+    rows = read_table(spark, f"{target}_centroids").orderBy("list_id").collect()
+    centroids = [[float(x) for x in r.centroid] for r in rows]
+    return indexed, centroids
+
+
 def ivf_topk(
     indexed: DataFrame,
     centroids: list[list[float]],

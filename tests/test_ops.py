@@ -338,3 +338,30 @@ def test_connected_components_vs_union_find(spark):
     pairs = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
     got = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
     assert got == want
+
+
+def test_ivf_index_save_load_roundtrip(emb, spark, tmp_path):
+    """Persisted IVF index must reload to identical assignments and
+    centroids (never refit), and queries over the loaded index must
+    equal queries over the in-memory one. The vectors table is
+    partitioned by ivf_list so a probe prunes whole partitions."""
+    df, vecs = emb
+    indexed, centroids = similarity.ivf_index(df, n_lists=4)
+    target = str(tmp_path / "ivf_idx")
+    similarity.save_ivf_index(spark, indexed, centroids, target)
+    loaded, c2 = similarity.load_ivf_index(spark, target)
+    assert c2 == [[float(x) for x in c] for c in centroids]
+    a = indexed.orderBy("vec_id").select("vec_id", "ivf_list").toPandas()
+    b = loaded.orderBy("vec_id").select("vec_id", "ivf_list").toPandas()
+    assert a.vec_id.tolist() == b.vec_id.tolist()
+    assert a.ivf_list.tolist() == b.ivf_list.tolist()
+
+    q = [float(x) for x in vecs[0]]
+    got1 = [r.id for r in similarity.ivf_topk(indexed.filter(F.col("vec_id") != 0), centroids, q, k=5, nprobe=2).collect()]
+    got2 = [r.id for r in similarity.ivf_topk(loaded.filter(F.col("vec_id") != 0), c2, q, k=5, nprobe=2).collect()]
+    assert got1 == got2
+
+    # partition pruning: the probe filter must reach the scan
+    import os
+    parts = [p for p in os.listdir(f"{target}_vectors") if p.startswith("ivf_list=")]
+    assert len(parts) == 4

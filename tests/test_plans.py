@@ -64,3 +64,44 @@ def test_whole_stage_codegen_present(stored):
     q = stored.filter(F.col("turn_idx") > 1).groupBy("role").count()
     q.collect()  # AQE materializes the final (codegen-annotated) plan on action
     assert PI.codegen_stage_count(q) >= 1
+
+
+def test_lsh_topk_plan_is_scan_filter_takeordered(spark):
+    """Multi-table SRP ANN must stay scan → filter → TakeOrdered: no
+    join, no Exchange — the whole query is one map-side pass."""
+    import numpy as np
+
+    from pdf_ocr_api_spark.ops import similarity
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    q = rows[0][1]
+    plan = PI.executed_plan(similarity.lsh_topk(emb.filter(F.col("vec_id") != 0), q, k=5))
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "Join" not in plan, plan[:1500]
+    assert PI.exchange_count(similarity.lsh_topk(emb, q, k=5)) == 0
+
+
+def test_embedding_near_pairs_no_cartesian(spark):
+    """Banded SRP blocking must never plan a cartesian/NLJ product —
+    candidates come from equi-joins on (band, signature)."""
+    import numpy as np
+
+    from pdf_ocr_api_spark.ops import similarity
+
+    rng = np.random.default_rng(4)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    plan = PI.executed_plan(similarity.embedding_near_pairs(emb, threshold=0.9))
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_simhash_banding_no_cartesian(spark):
+    from pdf_ocr_api_spark.ops import dedup
+
+    sim = spark.createDataFrame([(i, i * 7919) for i in range(50)], "id LONG, simhash LONG")
+    plan = PI.executed_plan(dedup.simhash_near_pairs(sim, max_hamming=3))
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
