@@ -159,6 +159,47 @@ def _parse_tables(doc: dict, depara: dict) -> list[dict]:
     return resultado
 
 
+def extract_tables_structured(doc: dict) -> list[dict]:
+    """Whole-table structured emission (SURVEY §2.9 optional — the
+    relational analogue of the reference's Extract TableStructureType.CSV
+    renditions, ref src/extractpdf/extract-text-table-info-with-tables-
+    structure-from-pdf.js:54-57): every table as
+    ``{"page": i, "header": [cells], "rows": [[cells]]}``.
+
+    Cells resolve via the SAME first-segment rule as the service parser
+    (P1, ``get_text_from_cell``); unresolved cells become '' so row
+    widths stay rectangular for CSV-style consumers. Unlike the tier-1
+    service parser this does NOT filter or reshape — it is the faithful
+    structured dump of what the payload carries.
+    """
+    out: list[dict] = []
+    doc_text = doc.get("text") or ""
+
+    def _lst(v):
+        return v if isinstance(v, list) else []
+
+    def _row(row) -> list[str]:
+        return [
+            (get_text_from_cell(doc_text, c) or "") for c in _lst((row or {}).get("cells"))
+        ]
+
+    for pg_i, page in enumerate(_lst(doc.get("pages"))):
+        if not isinstance(page, dict):
+            continue
+        for table in _lst(page.get("tables")):
+            if not isinstance(table, dict):
+                continue
+            header_rows = _lst(table.get("headerRows"))
+            out.append(
+                {
+                    "page": pg_i,
+                    "header": _row(header_rows[0]) if header_rows else [],
+                    "rows": [_row(r) for r in _lst(table.get("bodyRows"))],
+                }
+            )
+    return out
+
+
 def _parse_cat(texto_completo: str, depara: dict) -> list[dict]:
     """Tier 2 (X2) — ref :218-241. Returns [] when the split finds ≤1 segment."""
     resultado: list[dict] = []

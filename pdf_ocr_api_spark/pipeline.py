@@ -59,13 +59,18 @@ SERVICE_FIELDS = (
 )
 
 
-def extract_schema(with_styling: bool = False) -> str:
+TABLE_FIELDS = "page INT, header ARRAY<STRING>, rows ARRAY<ARRAY<STRING>>"
+
+
+def extract_schema(with_styling: bool = False, with_tables: bool = False) -> str:
     span_fields = STYLED_SPAN_FIELDS if with_styling else SPAN_FIELDS
+    tables_col = f"tables ARRAY<STRUCT<{TABLE_FIELDS}>>, " if with_tables else ""
     return (
         "conv_id STRING, turn_idx INT, role STRING, kind STRING, "
         "clean_text STRING, "
         f"spans ARRAY<STRUCT<{span_fields}>>, "
         f"services ARRAY<STRUCT<{SERVICE_FIELDS}>>, "
+        f"{tables_col}"
         "doc_text STRING, n_chars_in BIGINT, n_chars_out BIGINT, proc_us BIGINT"
     )
 
@@ -215,6 +220,7 @@ def make_extractor(
     with_services: bool = True,
     with_styling: bool = False,
     all_segments: bool = False,
+    with_tables: bool = False,
 ):
     """Build the mapInPandas function (depara captured in the closure —
     the dimension lists are tiny; this is the broadcast-dict analogue of
@@ -239,7 +245,7 @@ def make_extractor(
 
         for pdf in batches:
             t0 = time.monotonic()
-            out = _extract_frame(pdf, depara, with_services, with_styling, all_segments)
+            out = _extract_frame(pdf, depara, with_services, with_styling, all_segments, with_tables)
             # per-row share of the batch's Python wall time — summing the
             # column over any grouping gives that group's processing cost
             # (lineage metric, FIXTURES.md §4)
@@ -256,6 +262,7 @@ def _extract_frame(
     with_services: bool = True,
     with_styling: bool = False,
     all_segments: bool = False,
+    with_tables: bool = False,
 ) -> pd.DataFrame:
     route = classify_batch(pdf["text"])
 
@@ -268,6 +275,7 @@ def _extract_frame(
     clean: list = [""] * n
     spans: list = [[] for _ in range(n)]
     services: list = [[] for _ in range(n)]
+    tables: list = [[] for _ in range(n)] if with_tables else None
     # what the reference's parseDocument would see as this chunk's doc.text
     # (A1 input, ref parseDocument.js:59-61)
     doc_text: list = [t if isinstance(t, str) else "" for t in texts]
@@ -372,6 +380,10 @@ def _extract_frame(
             clean[p] = doc.get("text") or ""
             spans[p] = _cells_spans(doc, all_segments=all_segments)
             doc_text[p] = doc.get("text") or ""
+            if with_tables:
+                from .extract.services import extract_tables_structured
+
+                tables[p] = extract_tables_structured(doc)
 
     if with_styling:
         # non-layout spans gain null styling fields so the Arrow struct
@@ -395,6 +407,10 @@ def _extract_frame(
             "n_chars_out": [len(c) for c in clean],
         }
     )
+    if with_tables:
+        # column order must match extract_schema: tables sits between
+        # services and doc_text
+        out.insert(out.columns.get_loc("doc_text"), "tables", tables)
     return out
 
 
@@ -406,6 +422,7 @@ def extract_transcripts(
     with_services: bool = True,
     with_styling: bool = False,
     all_segments: bool = False,
+    with_tables: bool = False,
 ):
     """Run the extraction pipeline over a transcripts DataFrame.
 
@@ -433,6 +450,6 @@ def extract_transcripts(
         df = df.repartition(num_partitions, key) if num_partitions else df.repartition(key)
 
     return df.mapInPandas(
-        make_extractor(depara, with_services, with_styling, all_segments),
-        schema=extract_schema(with_styling),
+        make_extractor(depara, with_services, with_styling, all_segments, with_tables),
+        schema=extract_schema(with_styling, with_tables),
     )

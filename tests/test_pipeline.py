@@ -195,3 +195,40 @@ def test_styled_extraction_schema_and_values(spark, depara):
     assert [(s["start"], s["end"]) for s in base.iloc[0].spans] == [
         (s["start"], s["end"]) for s in styled
     ]
+
+
+def test_structured_tables_opt_in(spark, tiny, depara):
+    """with_tables=True emits every DocAI table as structured
+    header+rows (SURVEY §2.9 table-structure optional), equal to the
+    scalar extract_tables_structured twin; non-json turns carry []."""
+    from pdf_ocr_api_spark.extract.services import extract_tables_structured
+
+    meta, sdf = tiny
+    out = pipeline.extract_transcripts(sdf, depara, with_tables=True)
+    assert "tables" in out.columns
+    res = _collect_sorted(out)
+    raw = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in meta[["conv_id", "turn_idx", "text"]].itertuples()
+    }
+    checked_tables = 0
+    for row in res.itertuples():
+        got = [
+            {"page": t["page"], "header": list(t["header"]), "rows": [list(x) for x in t["rows"]]}
+            for t in row.tables
+        ]
+        text = raw[(row.conv_id, row.turn_idx)]
+        t = (text or "").lstrip()
+        want = []
+        if t.startswith("{"):
+            try:
+                doc = json.loads(text)
+                if isinstance(doc, dict) and "elements" not in doc:
+                    want = extract_tables_structured(doc)
+            except Exception:
+                want = []
+        assert got == want, (row.conv_id, row.turn_idx)
+        checked_tables += len(got)
+    assert checked_tables > 10  # the fixture corpus has real tables
+    # default mode: no tables column
+    assert "tables" not in pipeline.extract_transcripts(sdf, depara).columns
