@@ -58,6 +58,8 @@ def run(
     depara: dict | None = None,
     salt: int | None = None,
     with_services: bool = True,
+    with_styling: bool = False,
+    with_tables: bool = False,
     compact_write: bool = True,
 ) -> dict:
     """Execute one checkpointed extraction run; returns summary stats.
@@ -72,7 +74,13 @@ def run(
     """
     p = _paths(out_root)
     done = set(done_buckets(spark, out_root))
+    # the mode string is part of the resume guard: any option that
+    # changes the OUTPUT SCHEMA must refuse to mix within one root
     mode = "full" if with_services else "text_only"
+    if with_styling:
+        mode += "+styled"
+    if with_tables:
+        mode += "+tables"
 
     if depara is None:
         from .fixtures import runtime_depara
@@ -131,7 +139,12 @@ def run(
 
     t0 = time.monotonic()
     extracted = extract_transcripts(
-        df.drop("bucket"), depara=depara, salt=salt, with_services=with_services
+        df.drop("bucket"),
+        depara=depara,
+        salt=salt,
+        with_services=with_services,
+        with_styling=with_styling,
+        with_tables=with_tables,
     ).withColumn("bucket", bucket_expr(n_buckets))
     if compact_write:
         extracted = extracted.repartition(n_buckets, F.col("bucket"))

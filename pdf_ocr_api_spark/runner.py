@@ -60,6 +60,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--salt", type=int, default=None, help="salted repartition for skewed inputs")
     ap.add_argument("--text-only", action="store_true",
                     help="skip the service cascade: clean_text+spans only (~2x faster, ~45%% fewer output bytes)")
+    ap.add_argument("--styling", action="store_true",
+                    help="widen spans with Font/TextSize/Lang styling fields (pdf_layout turns)")
+    ap.add_argument("--tables", action="store_true",
+                    help="emit DocAI tables as structured header+rows arrays")
+    ap.add_argument("--records-rows", action="store_true",
+                    help="with --records: write the row-form record (one row per service) instead of the Servicos array")
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--driver-memory", default=None, help="local-mode driver JVM heap (default 8g)")
@@ -94,13 +100,18 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.buckets,
         salt=args.salt,
         with_services=not args.text_only,
+        with_styling=args.styling,
+        with_tables=args.tables,
     )
     print(json.dumps(summary))
 
     if args.records:
         ext = lineage.read_output(spark, args.output)
         tipo_dim = conversation.tipo_dim_df(spark, fixtures.DEPARA_RAW["tipoCertidao"])
-        recs = conversation.conversation_records(ext, tipo_dim)
+        if args.records_rows:
+            recs = conversation.conversation_service_rows(ext, tipo_dim)
+        else:
+            recs = conversation.conversation_records(ext, tipo_dim)
         write_table(recs, f"{args.output}/records" if "/" in args.output else f"{args.output}_records", mode="create")
     return 0
 
