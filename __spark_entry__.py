@@ -358,6 +358,14 @@ def q_x6_split_by_count(spark, sf_dir):
     return turnops.split_by_count(_pseudo_turns(spark, sf_dir), 4)
 
 
+def q_x6_split_by_ranges(spark, sf_dir):
+    """X6 — split-by-page-ranges: two ranges → two renumbered chunks
+    (ref split-pdf-by-page-ranges.js:93-98)."""
+    from pdf_ocr_api_spark.operators import turnops
+
+    return turnops.split_by_ranges(_pseudo_turns(spark, sf_dir), [(0, 2), (5, 8)])
+
+
 def q_s7_header_rules(spark, sf_dir):
     """S7 — deterministic header classifier replacing the reference's GPT
     call: J2 sigla-contains rules over normalized text (the same rules
@@ -600,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u4_insert_turns": q_u4_insert_turns,
         "rotate_turns": q_rotate_turns,
         "x6_split_by_count": q_x6_split_by_count,
+        "x6_split_by_ranges": q_x6_split_by_ranges,
         "s7_header_rules": q_s7_header_rules,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
@@ -816,6 +825,23 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT conv_id, turn_idx, doc_id, CAST(turn_idx // 4 AS INT) AS chunk FROM pt
+        """,
+        "x6_split_by_ranges": """
+            WITH pt AS (
+              SELECT printf('doc-conv-%04d', CAST(doc_id % 50 AS INT)) AS conv_id,
+                     CAST(doc_id // 50 AS INT) AS turn_idx, doc_id
+              FROM documents
+            ), tagged AS (
+              SELECT conv_id, turn_idx, doc_id,
+                     CASE WHEN turn_idx BETWEEN 0 AND 2 THEN 0
+                          WHEN turn_idx BETWEEN 5 AND 8 THEN 1
+                     END AS chunk
+              FROM pt
+            )
+            SELECT conv_id,
+                   CAST(row_number() OVER (PARTITION BY conv_id, chunk ORDER BY turn_idx) - 1 AS INT) AS turn_idx,
+                   doc_id, chunk
+            FROM tagged WHERE chunk IS NOT NULL
         """,
         "s7_header_rules": r"""
             SELECT doc_id,

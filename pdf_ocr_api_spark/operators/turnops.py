@@ -118,6 +118,22 @@ def split_by_count(df: DataFrame, turns_per_chunk: int) -> DataFrame:
     return df.withColumn("chunk", (F.col("turn_idx") / F.lit(turns_per_chunk)).cast("int"))
 
 
+def split_by_ranges(df: DataFrame, ranges: list[tuple[int, int]]) -> DataFrame:
+    """X6 — split-by-page-ranges: each inclusive (start, end) range
+    becomes one chunk, turns renumbered densely within (conv, chunk)
+    (ref split-pdf-by-page-ranges.js:93-98 — each output document holds
+    its range's pages, renumbered from 0). Turns outside every range are
+    dropped; overlapping ranges assign the FIRST matching range (the
+    reference API would emit the page into both files — pass
+    non-overlapping ranges for that semantics one range at a time)."""
+    chunk = F.lit(None).cast("int")
+    for i, (s, e) in reversed(list(enumerate(ranges))):
+        chunk = F.when(F.col("turn_idx").between(s, e), F.lit(i)).otherwise(chunk)
+    out = df.withColumn("chunk", chunk).filter(F.col("chunk").isNotNull())
+    w = Window.partitionBy("conv_id", "chunk").orderBy("turn_idx")
+    return out.withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
+
+
 def split_into_n(df: DataFrame, n_chunks: int) -> DataFrame:
     """X6 — split-into-number-of-files: ntile over the turn order
     (ref split-pdf-into-number-of-files.js:50-52)."""

@@ -230,6 +230,69 @@ def test_segmented_scalars_cross_chunk_straddle(spark, depara):
             assert tipo == want_tipo, (cid, chunk_turns, tipo, want_tipo)
 
 
+def test_segmented_scalars_randomized_straddle_fuzz(spark, depara):
+    """200 random conversations whose text is CUT AT ARBITRARY CHARACTER
+    POSITIONS into turns (tokens and numbers straddle turn boundaries
+    mid-token): the segmented scalars must equal the Python twin on the
+    '\\n'-joined text for every conversation, at chunk sizes that force
+    many chunk boundaries. One Spark job per chunk size (not per case)."""
+    import random
+
+    from pdf_ocr_api_spark.extract.tipo import detect_tipo_certidao
+    from pdf_ocr_api_spark.functions import patterns as P
+
+    rng = random.Random(20260816)
+    vocab = [
+        "acervo", "técnico", "ACERVO", "TECNICO", "OPERACIONAL", "cat", "CAO",
+        "crea", "CAU", "crt", "CRA", "cfta", "obra", "registro", "xyz",
+        "12345/2020", "99999/1999", "1234/2020", "em SP", "no RJ", "MGX",
+        "Página 1/2", "texto comum", "certidão", "un", "45,0",
+    ]
+    convs = {}
+    for ci in range(200):
+        n_words = rng.randint(3, 25)
+        full = " ".join(rng.choice(vocab) for _ in range(n_words))
+        # cut into 1..8 turns at arbitrary char positions (mid-token cuts)
+        n_turns = rng.randint(1, 8)
+        cuts = sorted(rng.sample(range(len(full) + 1), min(n_turns - 1, len(full))))
+        turns, prev = [], 0
+        for c in cuts:
+            turns.append(full[prev:c])
+            prev = c
+        turns.append(full[prev:])
+        convs[f"f{ci:03d}"] = turns
+
+    rows = [
+        (cid, i, "user", t, None)
+        for cid, turns in convs.items()
+        for i, t in enumerate(turns)
+    ]
+    sdf = spark.createDataFrame(rows, "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING")
+    ext = pipeline.extract_transcripts(sdf, depara)
+    tipo_dim = conversation.tipo_dim_df(spark, fixtures.DEPARA_RAW["tipoCertidao"])
+
+    for chunk_turns in (1, 3):
+        recs = (
+            conversation.conversation_records(ext, tipo_dim, chunk_turns=chunk_turns)
+            .toPandas().set_index("conv_id")
+        )
+        bad = []
+        for cid, turns in convs.items():
+            # the twin sees each turn's doc_text = the raw prose (text path)
+            joined = "\n".join(turns)
+            want = (
+                P.extract_numero(joined),
+                P.extract_estado(joined),
+                detect_tipo_certidao(joined, depara.get("listaTiposOriginal")),
+            )
+            got = recs.loc[cid]
+            tipo = got.TipodaCertidao
+            tipo = None if tipo is None or tipo != tipo else int(tipo)
+            if (got.NumerodaCertidao, got.Estado, tipo) != want:
+                bad.append((cid, chunk_turns, (got.NumerodaCertidao, got.Estado, tipo), want, turns))
+        assert not bad, bad[:3]
+
+
 def test_segmented_assembly_equals_monolithic(spark, depara):
     """The segmented-scan assembly (chunked A4/A6 + prefix combine) must
     be byte-identical to the single-window version — including the hot

@@ -96,3 +96,20 @@ def test_insert_from_other_conversation_relabels(convs):
     b = turnops.select_turns(convs.filter("conv_id='b'"), 3, 4)
     out = turnops.insert_turns(a, b, at=1, into_conv="a")
     assert _seq(out, "a") == ["a0", "b3", "b4", "a1", "a2", "a3", "a4", "a5", "a6", "a7"]
+
+
+def test_split_by_ranges(spark):
+    rows = [("c", i, i * 100) for i in range(10)]
+    df = spark.createDataFrame(rows, "conv_id STRING, turn_idx INT, doc_id LONG")
+    from pdf_ocr_api_spark.operators import turnops
+
+    out = (
+        turnops.split_by_ranges(df, [(0, 2), (5, 8)])
+        .orderBy("chunk", "turn_idx")
+        .collect()
+    )
+    got = [(r.chunk, r.turn_idx, r.doc_id) for r in out]
+    assert got == [
+        (0, 0, 0), (0, 1, 100), (0, 2, 200),
+        (1, 0, 500), (1, 1, 600), (1, 2, 700), (1, 3, 800),
+    ]
