@@ -38,15 +38,20 @@ def _raw_nome(item: dict) -> str:
     return item.get("unidadeNome") or item.get("valor") or item.get("nome") or ""
 
 
-def normalize_unidade(unidade_extraida: str | None, lista_unidades) -> int | None:
-    """J1 — exact match on cleaned sigla or full name, then alias fallback."""
-    if not unidade_extraida:
-        return None
-    if not isinstance(lista_unidades, list):
-        return None
+# per-dimension-list lookup tables (cleaned key → first matching id, in
+# LIST order — first match wins exactly like the reference's loop); the
+# tables depend only on the list contents, so they are built once per
+# distinct list and every normalize_unidade call becomes two dict probes
+_NORM_CACHE: dict[tuple, dict] = {}
 
-    limpa = clean_ocr(unidade_extraida)
 
+def _prepare_norm(lista_unidades) -> dict:
+    key = tuple((item.get("id"), _raw_nome(item)) for item in lista_unidades)
+    prep = _NORM_CACHE.get(key)
+    if prep is not None:
+        return prep
+
+    exact: dict[str, int] = {}
     for item in lista_unidades:
         raw = _raw_nome(item)
         if not raw:
@@ -57,19 +62,51 @@ def normalize_unidade(unidade_extraida: str | None, lista_unidades) -> int | Non
             primeiro.split()[0] if " " in primeiro and primeiro.split() else primeiro
         )
         nome_limpo = clean_ocr(partes[1] if len(partes) > 1 else "")
-        if limpa in (sigla_limpa, nome_limpo):
-            return item["id"]
+        for k in (sigla_limpa, nome_limpo):
+            exact.setdefault(k, item["id"])
 
+    # alias groups: cleaned variant → first item whose cleaned sigla is in
+    # the group (None when the group has no item — the original loop then
+    # falls through, i.e. the variant simply resolves to nothing)
+    alias: dict[str, int | None] = {}
     for variantes in ALIASES.values():
-        if not any(clean_ocr(v) == limpa for v in variantes):
-            continue
+        cleaned = [clean_ocr(v) for v in variantes]
+        group_id = None
         for item in lista_unidades:
             raw = _raw_nome(item)
-            sigla = clean_ocr((raw.split(" - ")[0] or ""))
-            if any(clean_ocr(v) == sigla for v in variantes):
-                return item["id"]
+            sigla = clean_ocr(raw.split(" - ")[0] or "")
+            if sigla in cleaned:
+                group_id = item["id"]
+                break
+        for cv in cleaned:
+            # a variant already resolved by an earlier group keeps it; a
+            # variant whose earlier group had NO item falls through to
+            # this group — exactly the reference loop's continue
+            if alias.get(cv) is None:
+                alias[cv] = group_id
 
-    return None
+    prep = {"exact": exact, "alias": alias}
+    if len(_NORM_CACHE) > 64:
+        _NORM_CACHE.clear()
+    _NORM_CACHE[key] = prep
+    return prep
+
+
+def normalize_unidade(unidade_extraida: str | None, lista_unidades) -> int | None:
+    """J1 — exact match on cleaned sigla or full name, then alias
+    fallback (ref parser/normalizeUnidade.js:25-66; list order = first
+    match wins, preserved by the prepared tables)."""
+    if not unidade_extraida:
+        return None
+    if not isinstance(lista_unidades, list):
+        return None
+
+    prep = _prepare_norm(lista_unidades)
+    limpa = clean_ocr(unidade_extraida)
+    hit = prep["exact"].get(limpa)
+    if hit is not None:
+        return hit
+    return prep["alias"].get(limpa)
 
 
 _WORDLIKE = re.compile(r"^[A-Za-z0-9_]+$")

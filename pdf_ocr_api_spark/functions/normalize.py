@@ -58,10 +58,15 @@ def normalize_tipo(s: str | None) -> str:
     return re.sub(r"[^A-Z0-9]", "", strip_accents_upper(s))
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=65536)
 def clean_ocr(s: str | None) -> str:
     """T5 — ref parser/normalizeUnidade.js:13-23 (cleanOCR):
     upper/NFD-strip, drop all whitespace, ×→X, '/' and '-'→X,
-    keep '%' plus [A-Z0-9X]."""
+    keep '%' plus [A-Z0-9X]. Pure and called tens of thousands of times
+    per batch on a small repeating unit vocabulary — memoized."""
     if s is None:
         s = ""
     out = strip_accents_upper(s)
