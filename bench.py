@@ -205,6 +205,107 @@ def scaling_worker(cores: int, n_convs: int) -> dict:
     }
 
 
+def cluster_worker(n_exec: int, cores_per_exec: int, n_convs: int) -> dict:
+    """One confined MULTI-EXECUTOR measurement: Spark's local-cluster
+    master launches ``n_exec`` SEPARATE executor JVMs (own heaps, own
+    Python workers, real netty shuffle between processes) — the closest
+    single-box approximation of an N-executor cluster, one step beyond
+    thread-based local[N]. The package reaches executors via
+    spark.executorEnv.PYTHONPATH (the spark-submit --py-files analogue)."""
+    from pyspark.sql import SparkSession
+
+    mem_mb = 6144
+    spark = (
+        SparkSession.builder.master(f"local-cluster[{n_exec},{cores_per_exec},{mem_mb}]")
+        .appName(f"bench-cluster-{n_exec}x{cores_per_exec}")
+        .config("spark.sql.shuffle.partitions", str(max(8, n_exec * cores_per_exec)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.executor.memory", f"{mem_mb}m")
+        # cluster-faithful JVM sizing: an executor in a k-core container
+        # sees k cores; without this every executor JVM in the shared
+        # cpuset sizes GC/compiler thread pools for the WHOLE box and the
+        # service threads crowd out the task threads
+        .config("spark.executor.extraJavaOptions", f"-XX:ActiveProcessorCount={cores_per_exec}")
+        # all data is node-local here; the default 3s locality wait can
+        # idle whole executors between waves in multi-process mode
+        .config("spark.locality.wait", "0s")
+        .config("spark.executorEnv.PYTHONPATH", str(REPO))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    transcripts = bench_transcripts(spark, n_convs)
+    n_turns = transcripts.count()
+    from pdf_ocr_api_spark import pipeline
+
+    pipeline.extract_transcripts(transcripts).count()  # warm pass
+    times = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        pipeline.extract_transcripts(transcripts).count()
+        times.append(time.monotonic() - t0)
+    dt = min(times)
+    spark.stop()
+    return {
+        "executors": n_exec,
+        "cores_per_executor": cores_per_exec,
+        "sec": round(dt, 2),
+        "all_sec": [round(x, 2) for x in times],
+        "turns_per_sec": round(n_turns / dt, 1),
+        "turns": n_turns,
+    }
+
+
+def run_scaling_cluster(n_convs: int | None = None) -> dict:
+    """The north rule verbatim: the same job at N and 4N EXECUTORS.
+
+    local-cluster[n,8,…] with SEPARATE executor JVMs, each pair pinned to
+    a cpuset of n×8 cores (the driver shares the executors' cpuset, as it
+    would share a node); warm pass + min-of-3 per size."""
+    import subprocess
+
+    n_convs = n_convs or int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "24000"))
+    spark = build_session(CPUS)
+    bench_transcripts(spark, n_convs)
+    spark.stop()
+
+    lo, hi = (int(x) for x in os.environ.get("SPARK_GRAFT_CLUSTER_PAIR", "1:4").split(":"))
+    cores_per_exec = int(os.environ.get("SPARK_GRAFT_CLUSTER_CORES", "8"))
+    out = {}
+    n_turns = None
+    for n_exec in (lo, hi):
+        cpuset = n_exec * cores_per_exec
+        proc = subprocess.run(
+            ["taskset", "-c", f"0-{cpuset - 1}", sys.executable, __file__,
+             "--cluster-worker", str(n_exec), str(cores_per_exec), str(n_convs)],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        r = json.loads(proc.stdout.strip().splitlines()[-1])
+        n_turns = r["turns"]
+        out[f"{n_exec}x{cores_per_exec}"] = {"sec": r["sec"], "turns_per_sec": r["turns_per_sec"]}
+
+    eff = (
+        out[f"{hi}x{cores_per_exec}"]["turns_per_sec"]
+        / out[f"{lo}x{cores_per_exec}"]["turns_per_sec"]
+    ) / (hi / lo)
+    return {
+        "metric": f"scaling_efficiency_{lo}_to_{hi}_executors",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "turns": n_turns,
+        "cores_per_executor": cores_per_exec,
+        "cpuset_pinned": True,
+        "separate_executor_jvms": True,
+        "runs": out,
+    }
+
+
 def run_scaling(n_convs: int | None = None) -> dict:
     """The two-cluster-size proxy (BASELINE.md): the same extraction job
     on an 8-core and a 32-core "cluster" over the same input.
@@ -255,6 +356,11 @@ if __name__ == "__main__":
     if "--scaling-worker" in sys.argv:
         i = sys.argv.index("--scaling-worker")
         print(json.dumps(scaling_worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]))))
+    elif "--cluster-worker" in sys.argv:
+        i = sys.argv.index("--cluster-worker")
+        print(json.dumps(cluster_worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]), int(sys.argv[i + 3]))))
+    elif "--scaling-cluster" in sys.argv:
+        print(json.dumps(run_scaling_cluster()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
