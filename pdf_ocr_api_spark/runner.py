@@ -46,6 +46,17 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
     )
+    if master and master.startswith("local-cluster"):
+        # separate executor JVMs must find the package: propagate the
+        # repo root the way spark-submit --py-files would (on a real
+        # cluster --py-files/archives governs; this covers the
+        # local-cluster harness)
+        import pathlib
+
+        b = b.config(
+            "spark.executorEnv.PYTHONPATH", str(pathlib.Path(__file__).resolve().parents[1])
+        )
+        b = b.config("spark.locality.wait", "0s")
     if shuffle_partitions:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     return b.getOrCreate()
