@@ -358,6 +358,14 @@ def q_x6_split_by_count(spark, sf_dir):
     return turnops.split_by_count(_pseudo_turns(spark, sf_dir), 4)
 
 
+def q_x6_split_into_n(spark, sf_dir):
+    """X6 — split-into-number-of-files: per-conversation ntile chunks
+    (ref split-pdf-into-number-of-files.js:50-52)."""
+    from pdf_ocr_api_spark.operators import turnops
+
+    return turnops.split_into_n(_pseudo_turns(spark, sf_dir), 3)
+
+
 def q_x6_split_by_ranges(spark, sf_dir):
     """X6 — split-by-page-ranges: two ranges → two renumbered chunks
     (ref split-pdf-by-page-ranges.js:93-98)."""
@@ -608,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u4_insert_turns": q_u4_insert_turns,
         "rotate_turns": q_rotate_turns,
         "x6_split_by_count": q_x6_split_by_count,
+        "x6_split_into_n": q_x6_split_into_n,
         "x6_split_by_ranges": q_x6_split_by_ranges,
         "s7_header_rules": q_s7_header_rules,
         # training-data pipeline
@@ -825,6 +834,16 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT conv_id, turn_idx, doc_id, CAST(turn_idx // 4 AS INT) AS chunk FROM pt
+        """,
+        "x6_split_into_n": """
+            WITH pt AS (
+              SELECT printf('doc-conv-%04d', CAST(doc_id % 50 AS INT)) AS conv_id,
+                     CAST(doc_id // 50 AS INT) AS turn_idx, doc_id
+              FROM documents
+            )
+            SELECT conv_id, turn_idx, doc_id,
+                   ntile(3) OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS chunk
+            FROM pt
         """,
         "x6_split_by_ranges": """
             WITH pt AS (

@@ -176,3 +176,50 @@ def test_stateful_category_inheritance_matches_twin(spark, tmp_path):
         # qty counter is the A6 running count of quantity-bearing rows
         has_qty = ordered.Quantidade.notna().to_numpy()
         assert g.qty_counter.tolist() == list(has_qty.cumsum())
+
+
+def test_throughput_monitor_windows(spark, tmp_path):
+    """Watermarked 1-minute windowed rollup over the stream: turn counts
+    per window match the batch groupBy, late rows within the watermark
+    are still aggregated (append mode emits closed windows)."""
+    import pandas as pd
+
+    src = tmp_path / "mon_src"
+    rows = []
+    base = pd.Timestamp("2025-03-01 08:00:00")
+    for i in range(120):
+        rows.append(("m0", i, "user", f"texto {i}", None, base + pd.Timedelta(seconds=30 * i)))
+    ddl = "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP"
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    spark.createDataFrame(pdf, ddl).coalesce(1).write.parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    q = (
+        S.throughput_monitor(stream)
+        .writeStream.format("memory")
+        .queryName("mon_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r.window_start: r.turns
+        for r in spark.sql("SELECT * FROM mon_out").collect()
+    }
+    want = {
+        r.ws: r.n
+        for r in spark.read.parquet(str(src))
+        .groupBy(F.window("ts", "1 minute").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("ws"), "n")
+        .collect()
+    }
+    # append mode withholds windows still inside the watermark — every
+    # EMITTED window must match the batch rollup, and most must emit
+    assert got, "no windows emitted"
+    for ws, n in got.items():
+        assert want[ws] == n, ws
+    assert len(got) >= len(want) - 11  # 10-min watermark holds back the tail
