@@ -5,18 +5,24 @@ extraction output (``pipeline.extract_transcripts``) and reproduces the
 reference's document assembly (ref parser/parseDocument.js:54-237) with
 window functions and column predicates only — **no Python in the loop**:
 
-* A5/A6  item renumbering   → bool_and + running sum windows (ref :104-114)
-* A4     category inherit   → last(..., ignorenulls) window (ref :30-52)
+* A5/A6  item renumbering   → bool_and + running sum (windowed or
+                              segmented two-pass prefix, ref :104-114)
+* A4     category inherit   → last(..., ignorenulls) scan, segmented
+                              by default (ref :30-52)
 * F7     header dedupe      → filter (ref :123-133)
 * F2-F12 garbage filters    → column predicates + one rlike (ref :139-215)
-* T10/11 numero/estado      → regexp_extract on the A1 concat (ref :85-91)
-* J6     tipo detection     → accent-translate + contains flags +
-                              broadcast lookup join (ref detectTipoCertidao.js)
+* T10/11 numero/estado      → per-turn regexp_extract + min_by reduce —
+                              exact vs the A1 concat, the patterns cannot
+                              span the '\\n' join (ref :85-91)
+* J6     tipo detection     → segmented accent-normalized contains flags
+                              ('#'-fenced boundary stream for cross-chunk
+                              matches) + broadcast lookup join
+                              (ref detectTipoCertidao.js)
 
-All conversation-scoped windows share ONE partitioning (conv_id) and one
-ordering (turn_idx, svc_idx), so Catalyst plans a single sort+window stage;
-the only shuffles are the window hash-partition and the final groupBy —
-both on conv_id, so AQE coalesces them and the exchange is reused.
+No stage in the default record plan is conversation-size-bound except
+the output Servicos array itself (inherent to array output — see
+``conversation_service_rows`` for the row-form record). The monolithic
+window variant remains available (``segmented=False``) and byte-equal.
 """
 
 from __future__ import annotations
