@@ -463,6 +463,22 @@ def q_dedup_components(spark, sf_dir):
     return dedup.connected_components(_planted_pair_graph(spark, sf_dir))
 
 
+def q_dedup_pipeline(spark, sf_dir):
+    """Full near-dup pipeline (LSH → Jaccard verify → components) over
+    documents + planted truncated copies (rows-only: xxhash64 MinHash is
+    engine-specific; each stage is individually anchored — dedup_jaccard
+    and dedup_components are oracled, recall is pytest-asserted)."""
+    from pdf_ocr_api_spark.ops import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    trunc = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, 1, cast(floor(length(text) * 0.8) as int))").alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(trunc)
+    return dedup.near_dup_groups(corpus, threshold=0.5, bands=16, parallelism=32)
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-pairs, Manku-banded full-recall variant
     (engine-specific hashing; rows-only check)."""
@@ -625,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_components": q_dedup_components,
+        "dedup_pipeline": q_dedup_pipeline,
         "dedup_simhash": q_dedup_simhash,
         "textstats_quality": q_textstats_quality,
         "textstats_tokens": q_textstats_tokens,

@@ -215,6 +215,32 @@ def connected_components(
     return lab
 
 
+def near_dup_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """The full near-dup dedup pipeline in one call:
+    MinHash+LSH candidates → exact n-gram Jaccard verify (≥ threshold)
+    → connected components. Returns (id, comp) for every document in a
+    verified near-dup group; ``comp`` is the smallest id in the group —
+    the canonical keeper. ``df.join(groups.filter(id != comp), on=id,
+    "left_anti")`` is the deduplicated corpus.
+
+    Every stage is bucketed/blocked (no all-pairs anywhere): the LSH
+    band join prunes candidates, the verify join touches only candidate
+    pairs, and the component propagation runs on the (small) verified
+    pair graph."""
+    cand = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, k, parallelism)
+    verified = jaccard_verify(df, cand.select("id_a", "id_b"), text_col, id_col, k, threshold)
+    return connected_components(verified)
+
+
 def simhash64(
     df: DataFrame,
     text_col: str = "text",

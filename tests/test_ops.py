@@ -365,3 +365,15 @@ def test_ivf_index_save_load_roundtrip(emb, spark, tmp_path):
     import os
     parts = [p for p in os.listdir(f"{target}_vectors") if p.startswith("ivf_list=")]
     assert len(parts) == 4
+
+
+def test_near_dup_groups_end_to_end(docs):
+    """LSH -> Jaccard verify -> components: the exact/near dups of doc 0
+    form one group with keeper 0; unrelated docs form no group."""
+    groups = {r.id: r.comp for r in dedup.near_dup_groups(docs, threshold=0.5, bands=16).collect()}
+    assert groups.get(0) == 0 and groups.get(1) == 0 and groups.get(6) == 0
+    assert groups.get(2) == 0  # one-token change passes jaccard 0.5 and links in
+    assert 3 not in groups and 4 not in groups and 5 not in groups
+    # dedup keep-list semantics: drop everything whose comp != id
+    drop = {i for i, c in groups.items() if i != c}
+    assert drop == {1, 2, 6}
