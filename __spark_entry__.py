@@ -547,6 +547,20 @@ def q_ann_lsh(spark, sf_dir):
     return similarity.lsh_topk(e.filter(F.col("vec_id") != 0), list(qv), k=10)
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN: driver-fitted codebooks (deterministic
+    value-hash sample), Arrow-batched encoding, LUT scoring as literal
+    array lookups + exact rerank (rows-only: lossy codes by design;
+    recall vs brute force asserted in tests)."""
+    from pdf_ocr_api_spark.ops import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    cand = e.filter(F.col("vec_id") != 0)
+    codes, cb = similarity.pq_index(cand, m=4)
+    return similarity.pq_topk(codes, cb, list(qv), k=10, emb=cand)
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs — exact variant (DuckDB-oracled);
     the SRP-blocked scale variant is exercised in tests."""
@@ -649,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_cosine": q_ann_brute_cosine,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_pq": q_ann_pq,
         "dedup_embedding": q_dedup_embedding,
         "mm_media_bytes": q_mm_media_bytes,
         "mm_media_features": q_mm_media_features,

@@ -239,6 +239,147 @@ def ivf_topk(
     return brute_force_topk(cand, q, k, id_col=id_col, vec_col=vec_col)
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-compressed ANN path: vectors are
+# stored as m uint8 codes (one k-means codebook per subspace), queries score
+# rows via per-subspace lookup tables folded into the plan as literal
+# arrays (pure JVM expressions). At 100 TB this shrinks the index ~dim*4/m
+# bytes→m bytes per vector and turns scoring into m array lookups.
+# ---------------------------------------------------------------------------
+
+
+def _pq_sample(emb: DataFrame, id_col: str, vec_col: str, sample_cap: int = 8192):
+    """Value-hash-selected training sample (partitioning-independent —
+    the same selection rule as the IVF fit)."""
+    import numpy as np
+
+    rows = (
+        emb.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(sample_cap)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_index: no vectors to index (empty input)")
+    return np.array([list(r.v) for r in rows], dtype=np.float64)
+
+
+def _lloyd(x, k, seed, iters=25):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    x_sq = (x * x).sum(axis=1)[:, None]
+    for _ in range(iters):
+        d2 = x_sq + (centers * centers).sum(axis=1)[None, :] - 2.0 * (x @ centers.T)
+        assign = d2.argmin(axis=1)
+        new = np.array(
+            [x[assign == j].mean(axis=0) if (assign == j).any() else centers[j] for j in range(len(centers))]
+        )
+        if np.allclose(new, centers):
+            break
+        centers = new
+    return centers
+
+
+def pq_index(
+    emb: DataFrame,
+    m: int = 4,
+    n_centroids: int = 256,
+    normalize: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, list]:
+    """Build a PQ index: (codes_df(id, codes ARRAY<INT>), codebooks).
+
+    The dim must divide by ``m`` subspaces; each subspace gets a
+    ``n_centroids``-entry k-means codebook fitted driver-side on the
+    deterministic value-hash sample (identical for any partitioning).
+    ``normalize=True`` L2-normalizes vectors before coding so squared-L2
+    ranking is monotone in cosine (the corpus convention here). Encoding
+    is a vectorized Arrow-batched pandas UDF (a 256-way argmin per
+    subspace is numpy work, not codegen work); QUERY scoring is pure
+    expressions (see ``pq_topk``)."""
+    import numpy as np
+
+    x = _pq_sample(emb, id_col, vec_col)
+    dim = x.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} must divide by m={m}")
+    dsub = dim // m
+    if normalize:
+        x = x / np.maximum(np.linalg.norm(x, axis=1)[:, None], 1e-12)
+    codebooks = [
+        _lloyd(x[:, i * dsub : (i + 1) * dsub], n_centroids, seed + i) for i in range(m)
+    ]
+    cb = [np.ascontiguousarray(c) for c in codebooks]
+
+    @F.pandas_udf("array<integer>")
+    def encode(col):
+        import pandas as pd
+
+        vecs = np.array(col.tolist(), dtype=np.float64)
+        if normalize:
+            vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1)[:, None], 1e-12)
+        codes = np.empty((len(vecs), m), dtype=np.int32)
+        for i in range(m):
+            sub = vecs[:, i * dsub : (i + 1) * dsub]
+            d2 = (
+                (sub * sub).sum(axis=1)[:, None]
+                + (cb[i] * cb[i]).sum(axis=1)[None, :]
+                - 2.0 * (sub @ cb[i].T)
+            )
+            codes[:, i] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    codes_df = emb.select(F.col(id_col).alias("id"), encode(F.col(vec_col)).alias("codes"))
+    return codes_df, [c.tolist() for c in codebooks]
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: list,
+    query_vec: list[float],
+    k: int = 10,
+    normalize: bool = True,
+    emb: DataFrame | None = None,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN query over a PQ index: the driver folds the query into
+    per-subspace lookup tables (LUT[i][c] = ‖q_i − codebook_i[c]‖²) and
+    the score is ``Σ element_at(LUT_i, code_i + 1)`` — m literal-array
+    lookups per row, whole-stage-codegen friendly, one
+    TakeOrderedAndProject. With ``emb`` given, the LUT top ``k·refine``
+    candidates are exactly reranked by cosine (asymmetric-distance
+    refinement, the standard PQ recipe)."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    if normalize:
+        q = q / max(float(np.linalg.norm(q)), 1e-12)
+    m = len(codebooks)
+    dsub = len(q) // m
+    dist = None
+    for i in range(m):
+        cbi = np.asarray(codebooks[i])
+        qi = q[i * dsub : (i + 1) * dsub]
+        lut = ((cbi - qi[None, :]) ** 2).sum(axis=1)
+        term = F.element_at(
+            F.array(*[F.lit(float(v)) for v in lut]),
+            F.element_at("codes", i + 1) + 1,
+        )
+        dist = term if dist is None else dist + term
+    scored = codes_df.select("id", dist.alias("pq_dist"))
+    top = scored.orderBy(F.asc("pq_dist"), F.asc("id")).limit(k * refine if emb is not None else k)
+    if emb is None:
+        return top
+    cand = emb.join(top.select("id"), emb[id_col] == F.col("id"), "left_semi")
+    return brute_force_topk(cand, [float(v) for v in query_vec], k, id_col=id_col, vec_col=vec_col)
+
+
 def cosine_pair_expr(a, b):
     """Cosine similarity between two array<float> columns (double math)."""
     ad = a.cast("array<double>")

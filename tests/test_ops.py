@@ -377,3 +377,33 @@ def test_near_dup_groups_end_to_end(docs):
     # dedup keep-list semantics: drop everything whose comp != id
     drop = {i for i, c in groups.items() if i != c}
     assert drop == {1, 2, 6}
+
+
+def test_pq_index_deterministic_and_recall(near_dup_corpus, spark):
+    """PQ codes are partitioning-invariant (value-hash sample fit +
+    pure encode); LUT-scored top-k with exact rerank reaches
+    recall@10 >= 0.8 vs brute force."""
+    df = near_dup_corpus
+    codes1, cb1 = similarity.pq_index(df, m=4)
+    codes2, cb2 = similarity.pq_index(df.repartition(7), m=4)
+    assert cb1 == cb2
+    a = codes1.orderBy("id").toPandas()
+    b = codes2.orderBy("id").toPandas()
+    assert a.codes.map(tuple).tolist() == b.codes.map(tuple).tolist()
+
+    q = [float(x) for x in df.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    cand = df.filter(F.col("vec_id") != 0)
+    cand_codes = codes1.filter(F.col("id") != 0)
+    brute = [r.id for r in similarity.brute_force_topk(cand, q, k=10).collect()]
+    approx = {r.id for r in similarity.pq_topk(cand_codes, cb1, q, k=10, emb=cand).collect()}
+    recall = len(set(brute) & approx) / 10
+    assert recall >= 0.8, f"recall@10={recall}"
+    # LUT-only path (no rerank) still returns a full result set
+    lut_only = {r.id for r in similarity.pq_topk(cand_codes, cb1, q, k=10).collect()}
+    assert len(lut_only) == 10
+
+
+def test_pq_dim_guard(emb):
+    df, _ = emb
+    with pytest.raises(ValueError, match="divide"):
+        similarity.pq_index(df, m=5)  # dim 16 % 5 != 0
