@@ -337,6 +337,33 @@ def pq_index(
     return codes_df, [c.tolist() for c in codebooks]
 
 
+def save_pq_index(spark, codes_df: DataFrame, codebooks: list, target: str) -> None:
+    """Persist a PQ index: codes table + codebooks as index metadata
+    (a reload must never refit — codes and queries would disagree)."""
+    from ..sources.io import write_table
+
+    write_table(codes_df, f"{target}_codes", mode="create")
+    rows = [
+        (i, j, [float(x) for x in centroid])
+        for i, cb in enumerate(codebooks)
+        for j, centroid in enumerate(cb)
+    ]
+    meta = spark.createDataFrame(rows, "subspace INT, code INT, centroid ARRAY<DOUBLE>")
+    write_table(meta, f"{target}_codebooks", mode="create")
+
+
+def load_pq_index(spark, target: str) -> tuple[DataFrame, list]:
+    from ..sources.io import read_table
+
+    codes = read_table(spark, f"{target}_codes")
+    rows = read_table(spark, f"{target}_codebooks").orderBy("subspace", "code").collect()
+    m = max(r.subspace for r in rows) + 1
+    codebooks: list[list] = [[] for _ in range(m)]
+    for r in rows:
+        codebooks[r.subspace].append([float(x) for x in r.centroid])
+    return codes, codebooks
+
+
 def pq_topk(
     codes_df: DataFrame,
     codebooks: list,

@@ -407,3 +407,16 @@ def test_pq_dim_guard(emb):
     df, _ = emb
     with pytest.raises(ValueError, match="divide"):
         similarity.pq_index(df, m=5)  # dim 16 % 5 != 0
+
+
+def test_pq_index_save_load_roundtrip(near_dup_corpus, spark, tmp_path):
+    df = near_dup_corpus
+    codes, cb = similarity.pq_index(df, m=4)
+    target = str(tmp_path / "pq_idx")
+    similarity.save_pq_index(spark, codes, cb, target)
+    codes2, cb2 = similarity.load_pq_index(spark, target)
+    assert cb2 == cb
+    q = [float(x) for x in df.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    a = [r.id for r in similarity.pq_topk(codes.filter(F.col("id") != 0), cb, q, k=5).collect()]
+    b = [r.id for r in similarity.pq_topk(codes2.filter(F.col("id") != 0), cb2, q, k=5).collect()]
+    assert a == b
