@@ -582,6 +582,19 @@ def q_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(indexed, centroids, list(qv), k=10, nprobe=3)
 
 
+def q_clean_corpus(spark, sf_dir):
+    """The corpus-cleaning flagship composition: extraction → quality/
+    language gates → near-dup removal, over documents reshaped as
+    transcripts (rows-only: extraction UDF + engine hashing upstream;
+    every stage individually oracled/tested)."""
+    from pdf_ocr_api_spark.ops import corpus
+
+    out = corpus.clean_corpus(
+        _pseudo_transcripts(spark, sf_dir), min_quality=0.3, min_tokens=3, parallelism=32
+    )
+    return out.select("conv_id", "turn_idx", "lang", "n_tokens")
+
+
 def q_mm_media_bytes(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload + byte metadata."""
     d = _t(spark, sf_dir, "documents")
@@ -665,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
         "dedup_embedding": q_dedup_embedding,
+        "clean_corpus": q_clean_corpus,
         "mm_media_bytes": q_mm_media_bytes,
         "mm_media_features": q_mm_media_features,
     }

@@ -420,3 +420,38 @@ def test_pq_index_save_load_roundtrip(near_dup_corpus, spark, tmp_path):
     a = [r.id for r in similarity.pq_topk(codes.filter(F.col("id") != 0), cb, q, k=5).collect()]
     b = [r.id for r in similarity.pq_topk(codes2.filter(F.col("id") != 0), cb2, q, k=5).collect()]
     assert a == b
+
+
+def test_clean_corpus_end_to_end(spark, depara):
+    """The corpus-cleaning composition: junk, too-short, wrong-language
+    and near-duplicate turns are dropped; good prose survives with its
+    language and quality attached."""
+    from pdf_ocr_api_spark.ops import corpus
+
+    good_en = ("the quick brown fox jumps over the lazy dog and runs across the river "
+               "bank to find the other animals in the quiet green forest of the north")
+    near_dup = good_en.replace("quiet green", "quiet dark")
+    rows = [
+        ("c0", 0, "user", good_en, None),
+        ("c0", 1, "user", near_dup, None),                       # near-dup of turn 0
+        ("c0", 2, "user", "1 2 3 , , , . . . 9 9 9 8 7", None),  # junk
+        ("c0", 3, "user", "too short", None),                    # < 5 tokens
+        ("c1", 0, "user", "el perro y la casa de los vecinos que viven cerca de la "
+                           "plaza mayor donde los ninos juegan cada tarde de verano", None),  # es
+        ("c1", 1, "user", "the cat and the dog of the house are in the garden near the "
+                           "old stone wall where the birds sing in the morning light", None),
+    ]
+    sdf = spark.createDataFrame(rows, "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING")
+    out = corpus.clean_corpus(sdf, min_quality=0.5, langs=["en"], dedup_threshold=0.6,
+                              depara=depara, parallelism=4).collect()
+    kept = {(r.conv_id, r.turn_idx): r for r in out}
+
+    assert ("c1", 1) in kept and kept[("c1", 1)].lang == "en"
+    assert ("c0", 2) not in kept          # junk quality
+    assert ("c0", 3) not in kept          # token floor
+    assert ("c1", 0) not in kept          # language gate
+    # exactly ONE of the near-dup pair survives (keeper = smallest
+    # surrogate hash — deterministic, not order-dependent)
+    pair = [(c, t) for (c, t) in kept if c == "c0" and t in (0, 1)]
+    assert len(pair) == 1, pair
+    assert all(r.quality_score >= 0.5 and r.n_tokens >= 5 for r in out)
