@@ -70,13 +70,26 @@ def clean_corpus(
         keep = keep & F.col("lang").isin(list(langs))
     gated = turns.filter(keep)
 
+    # stage 1: EXACT dedup (hash groupBy — one shuffle on uniform md5
+    # keys). Template-heavy corpora have huge identical families; running
+    # LSH over them would put a whole family into one band bucket and
+    # explode it quadratically. Keep the smallest surrogate id per hash.
+    hashed = gated.withColumn("_h", F.md5(dedup.normalized_text(F.col("clean_text"))))
+    reps = hashed.groupBy("_h").agg(F.min("_tid").alias("_tid"))
+    exact_kept = hashed.join(reps, ["_h", "_tid"]).drop("_h")
+
+    # stage 2: near-dup over the distinct representatives only, with a
+    # bucket-size cap as the skew backstop. The final keeper equals the
+    # unstaged pipeline's: each representative is already its exact
+    # group's min id, and components take the min across groups.
     groups = dedup.near_dup_groups(
-        gated.select(F.col("_tid").alias("doc_id"), F.col("clean_text").alias("text")),
+        exact_kept.select(F.col("_tid").alias("doc_id"), F.col("clean_text").alias("text")),
         threshold=dedup_threshold,
         num_hashes=num_hashes,
         bands=lsh_bands,
         parallelism=parallelism,
+        max_bucket_size=256,
     )
     losers = groups.filter(F.col("id") != F.col("comp")).select(F.col("id").alias("_tid"))
-    out = gated.join(losers, "_tid", "left_anti")
+    out = exact_kept.join(losers, "_tid", "left_anti")
     return out.select("conv_id", "turn_idx", "clean_text", "lang", "n_tokens", "quality_score")

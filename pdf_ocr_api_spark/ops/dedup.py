@@ -98,10 +98,20 @@ def minhash_lsh_pairs(
     bands: int = 8,
     k: int = 3,
     parallelism: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH over MinHash.
 
     rows: (id_a, id_b, n_shared_bands) with id_a < id_b.
+
+    ``max_bucket_size``: drop band buckets larger than this before the
+    self-join — a bucket of B ids yields B²/2 candidate pairs, so one
+    boilerplate family of 10^5 identical-ish texts would dominate the
+    whole job (10^10 pairs from one key). Oversized buckets are almost
+    always exact/near-exact template families: collapse EXACT dups
+    first (``exact_duplicates`` — see ``corpus.clean_corpus``), and the
+    capped near-dup pass keeps full recall for organic near-dups while
+    staying skew-free. None (default) = uncapped.
     """
     if num_hashes % bands != 0:
         raise ValueError(f"num_hashes={num_hashes} must be divisible by bands={bands}")
@@ -118,6 +128,12 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band_idx", "band_hash").agg(F.count("*").alias("_bsz"))
+        banded = (
+            banded.join(sizes.filter(F.col("_bsz") <= max_bucket_size), ["band_idx", "band_hash"])
+            .drop("_bsz")
+        )
     pairs = (
         banded.alias("a")
         .join(
@@ -224,6 +240,7 @@ def near_dup_groups(
     bands: int = 8,
     k: int = 3,
     parallelism: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """The full near-dup dedup pipeline in one call:
     MinHash+LSH candidates → exact n-gram Jaccard verify (≥ threshold)
@@ -235,8 +252,12 @@ def near_dup_groups(
     Every stage is bucketed/blocked (no all-pairs anywhere): the LSH
     band join prunes candidates, the verify join touches only candidate
     pairs, and the component propagation runs on the (small) verified
-    pair graph."""
-    cand = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, k, parallelism)
+    pair graph. At corpus scale collapse EXACT duplicates first and pass
+    ``max_bucket_size`` (template families otherwise explode one bucket
+    quadratically — see minhash_lsh_pairs)."""
+    cand = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes, bands, k, parallelism, max_bucket_size
+    )
     verified = jaccard_verify(df, cand.select("id_a", "id_b"), text_col, id_col, k, threshold)
     return connected_components(verified)
 
