@@ -277,11 +277,21 @@ def near_dup_groups(
     pairs, and the component propagation runs on the (small) verified
     pair graph. At corpus scale collapse EXACT duplicates first and pass
     ``max_bucket_size`` (template families otherwise explode one bucket
-    quadratically — see minhash_lsh_pairs)."""
-    cand = minhash_lsh_pairs(
-        df, text_col, id_col, num_hashes, bands, k, parallelism, max_bucket_size
+    quadratically — see minhash_lsh_pairs).
+
+    Both intermediate frames are materialized (localCheckpoint): the
+    candidate set fans out three ways into the verify stage (two id
+    projections + the pair join) and the verified pairs fan out into the
+    undirected edge union — without materialization the MinHash build
+    re-executes per consumer (measured: 662 s vs ~285 s at 1M turns)."""
+    cand = (
+        minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, k, parallelism, max_bucket_size)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
     )
-    verified = jaccard_verify(df, cand.select("id_a", "id_b"), text_col, id_col, k, threshold)
+    verified = jaccard_verify(df, cand, text_col, id_col, k, threshold).localCheckpoint(
+        eager=True
+    )
     return connected_components(verified)
 
 

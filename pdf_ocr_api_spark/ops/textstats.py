@@ -65,29 +65,73 @@ def lang_scores(col):
     )
 
 
+def _lang_id_from_scores(scores: list[tuple[str, "F.Column"]]):
+    """argmax with LANG_MARKERS-order tie-break, built so each score
+    expression appears at most TWICE (in greatest() and in one equality).
+
+    The naive accumulator chain (best = when(s > best, s).otherwise(best))
+    nests every previous score inside the next step: Spark does not CSE
+    across conditional branches, so s_1 is evaluated O(2^n) times per row
+    — measured as the dominant cost of a 1M-turn corpus sweep."""
+    best = F.greatest(*[s for _, s in scores]) if len(scores) > 1 else scores[0][1]
+    pick = F.lit(None).cast("string")
+    for lang, s in reversed(scores):
+        pick = F.when(s == best, F.lit(lang)).otherwise(pick)
+    return F.when(best > 0, pick).otherwise(F.lit("und"))
+
+
 def lang_id(col):
     """argmax over marker scores; 'und' when all zero. Deterministic
     tie-break = LANG_MARKERS declaration order."""
-    scores = [(lang, F.size(F.regexp_extract_all(_marker_basis(col), F.lit(rx), 0))) for lang, rx in LANG_MARKERS.items()]
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang, s in scores:
-        take = s > best_score
-        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(take, s).otherwise(best_score)
-    return best_lang
+    scores = [
+        (lang, F.size(F.regexp_extract_all(_marker_basis(col), F.lit(rx), 0)))
+        for lang, rx in LANG_MARKERS.items()
+    ]
+    return _lang_id_from_scores(scores)
+
+
+def with_lang_id(df: DataFrame, text_col: str, out: str = "lang") -> DataFrame:
+    """Corpus-sweep form of lang_id: the accent-folded basis and the five
+    marker counts are STAGED as columns (one projection each), so every
+    regex runs exactly once per row regardless of how the argmax
+    references them."""
+    staged = df.withColumn("_lb", _marker_basis(F.col(text_col)))
+    score_cols = [
+        F.size(F.regexp_extract_all(F.col("_lb"), F.lit(rx), 0)).alias(f"_s_{lang}")
+        for lang, rx in LANG_MARKERS.items()
+    ]
+    staged = staged.select("*", *score_cols)
+    pick = _lang_id_from_scores([(lang, F.col(f"_s_{lang}")) for lang in LANG_MARKERS])
+    return staged.withColumn(out, pick).drop("_lb", *[f"_s_{lang}" for lang in LANG_MARKERS])
 
 
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Length / punctuation / stopword / digit ratios + a composite
-    quality score in [0,1]."""
-    c = F.coalesce(F.col(text_col), F.lit(""))
-    n_chars = F.length(c)
-    n_tokens = token_count(c)
-    n_punct = F.size(F.regexp_extract_all(c, F.lit(_PUNCT), 0))
-    n_stop = F.size(F.regexp_extract_all(_marker_basis(c), F.lit(_STOPWORDS_PT_EN), 0))
-    n_digit = F.size(F.regexp_extract_all(c, F.lit(r"\d"), 0))
+    quality score in [0,1].
 
+    Two-stage projection: the five expensive counts (regex extracts over
+    the raw/normalized/accent-folded text) are STAGED as columns, and the
+    ratios/score reference only those integer columns — each regex runs
+    once per row (the nested single-expression form re-evaluated counts
+    inside every when() branch; Spark does not CSE across branches)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        c.alias("_t"),
+        normalized_text(c).alias("_n"),
+        _marker_basis(c).alias("_b"),
+    )
+    counts = staged.select(
+        "id",
+        F.length("_t").alias("n_chars"),
+        F.when(F.col("_n") == "", 0).otherwise(F.size(F.split("_n", " "))).alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("_t"), F.lit(_PUNCT), 0)).alias("n_punct"),
+        F.size(F.regexp_extract_all(F.col("_b"), F.lit(_STOPWORDS_PT_EN), 0)).alias("n_stop"),
+        F.size(F.regexp_extract_all(F.col("_t"), F.lit(r"\d"), 0)).alias("n_digit"),
+    )
+
+    n_chars, n_tokens = F.col("n_chars"), F.col("n_tokens")
+    n_punct, n_stop, n_digit = F.col("n_punct"), F.col("n_stop"), F.col("n_digit")
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
     digit_ratio = F.when(n_chars > 0, n_digit / n_chars).otherwise(F.lit(0.0))
@@ -103,14 +147,51 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         + F.when(digit_ratio <= 0.3, 0.1).otherwise(0.0)
     )
 
-    return df.select(
-        F.col(id_col).alias("id"),
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
+    return counts.select(
+        "id",
+        "n_chars",
+        "n_tokens",
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(digit_ratio, 6).alias("digit_ratio"),
         F.round(score, 6).alias("quality_score"),
+    )
+
+
+def with_quality(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus-sweep form of quality_features: appends ``n_tokens`` and
+    ``quality_score`` to the input frame WITHOUT a self-join (the
+    id-keyed quality_features would shuffle the corpus against its own
+    aggregate). Same staged-counts structure — each regex once per row."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.select(
+        "*",
+        c.alias("_qt"),
+        normalized_text(c).alias("_qn"),
+        _marker_basis(c).alias("_qb"),
+    )
+    counts = staged.select(
+        "*",
+        F.length("_qt").alias("_q_chars"),
+        F.when(F.col("_qn") == "", 0).otherwise(F.size(F.split("_qn", " "))).alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("_qt"), F.lit(_PUNCT), 0)).alias("_q_punct"),
+        F.size(F.regexp_extract_all(F.col("_qb"), F.lit(_STOPWORDS_PT_EN), 0)).alias("_q_stop"),
+        F.size(F.regexp_extract_all(F.col("_qt"), F.lit(r"\d"), 0)).alias("_q_digit"),
+    )
+    n_chars, n_tokens = F.col("_q_chars"), F.col("n_tokens")
+    punct_ratio = F.when(n_chars > 0, F.col("_q_punct") / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, F.col("_q_stop") / n_tokens).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, F.col("_q_digit") / n_chars).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.when((mean_tok_len >= 3) & (mean_tok_len <= 12), 0.2).otherwise(0.0)
+        + F.least(stop_ratio * 2, F.lit(0.2))
+        + F.when(punct_ratio <= 0.1, 0.1).otherwise(0.0)
+        + F.when(digit_ratio <= 0.3, 0.1).otherwise(0.0)
+    )
+    return counts.withColumn("quality_score", F.round(score, 6)).drop(
+        "_qt", "_qn", "_qb", "_q_chars", "_q_punct", "_q_stop", "_q_digit"
     )
 
 
