@@ -279,16 +279,18 @@ def q_x6_ntile(spark, sf_dir):
 
 
 def q_agg_pricing_summary(spark, sf_dir):
-    """Aggregation layer (decimal-exact, order-independent sums).
+    """Aggregation layer (order-independent sums, float-canonical).
 
-    Sums are cast to decimal(38,4): Spark widens sum(decimal(18,4)) to
-    decimal(28,4) while DuckDB widens to DECIMAL(38,4) — the values are
-    byte-identical but the driver's hash canonicalization includes the
-    declared type width, so both engines must agree on it."""
+    Both engines return rounded DOUBLE sums: the driver hashes value
+    *reprs*, so a Python Decimal('253942.0000') (Spark decimal column via
+    toPandas) can never repr-match DuckDB's float64 253942.0 no matter how
+    the declared types line up. Summing in decimal(18,4) keeps the
+    aggregation exact; the final cast-to-double + round(…, 4) makes the
+    repr canonical — same scheme the ANN entries use."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("decimal(38,4)").alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("decimal(38,4)").alias("sum_price"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"), 4).alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double"), 4).alias("sum_price"),
         F.count("*").alias("n_rows"),
     )
 
@@ -793,8 +795,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_price,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_price,
                    count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,

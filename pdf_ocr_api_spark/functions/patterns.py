@@ -160,17 +160,26 @@ def boilerplate_mask(lines):
     ``lines.str.contains(BOILERPLATE_COMBINED)`` (asserted in tests).
 
     The literal screen runs as C-speed ``str.find`` over ONE
-    '\\n'-joined lowered blob (no literal contains whitespace, so no
+    '\\n'-joined casefolded blob (no literal contains whitespace, so no
     match can cross the separator), positions mapped back to line ids
     with a searchsorted over the line-start offsets; the per-group
-    regexes then touch only the admitted lines."""
+    regexes then touch only the admitted lines.
+
+    The blob is ``str.casefold()``ed, not ``lower()``ed: IGNORECASE in
+    the combined regex uses Unicode simple folds, so characters with
+    irregular folds (U+017F 'ſ' matches 's' under IGNORECASE but
+    survives lower()) would false-negative a lower()-based screen. The
+    screen only ADMITS candidates — the authoritative match is always
+    the IGNORECASE regex over the original line — so casefold widening
+    (e.g. 'ß'→'ss') can only add candidates, never change the result.
+    Casefold never produces or consumes '\\n', so line mapping is exact."""
     import numpy as np
     import pandas as pd
 
     if lines.empty:
         return pd.Series(np.zeros(0, dtype=bool), index=lines.index)
     vals = lines.to_numpy()
-    low_vals = lines.str.lower().to_numpy()
+    low_vals = lines.str.casefold().to_numpy()
     n = len(vals)
     # ONE utf-8 encode of the joined blob; lines are recovered from byte
     # positions by counting '\n' bytes (0x0A never occurs inside a

@@ -40,6 +40,8 @@ def clean_corpus(
     lsh_bands: int = 8,
     num_hashes: int = 32,
     parallelism: int | None = None,
+    max_bucket_size: int | None = 256,
+    reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Raw transcripts → cleaned per-turn corpus.
 
@@ -54,7 +56,20 @@ def clean_corpus(
     × 4 rows targets ≈ 0.59, right for a 0.7 verify threshold; 16 bands
     × 2 rows (≈ 0.25) generated 5× the candidates for the same verified
     pairs on the 1M-turn corpus.
+
+    ``max_bucket_size`` caps LSH band buckets (skew backstop — exact
+    dedup already ran, so an over-cap bucket is an ORGANIC near-dup
+    family whose candidate pairs are dropped, costing recall). Buckets
+    that exceed it are counted and logged by ``minhash_lsh_pairs`` so
+    the loss is observable; pass ``None`` to disable the cap.
+    ``reliable_checkpoint_dir`` switches all lineage cuts (here and in
+    the dedup stages) to reliable storage checkpoints for preemptible
+    clusters.
     """
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return dedup._materialize(df, reliable_checkpoint_dir)
+
     ext = extract_transcripts(transcripts, depara=depara, with_services=False)
     # materialize the extraction output ONCE (localCheckpoint — at real
     # scale this is the stored extraction table, see lineage.run): the
@@ -62,12 +77,14 @@ def clean_corpus(
     # and the final anti-join, and WITHOUT materialization every branch
     # re-executes the mapInPandas UDF (measured: 570 s vs ~230 s for the
     # same 1M-turn run)
-    base = ext.select(
-        "conv_id",
-        "turn_idx",
-        "clean_text",
-        turn_id().alias("_tid"),
-    ).localCheckpoint(eager=True)
+    base = _cut(
+        ext.select(
+            "conv_id",
+            "turn_idx",
+            "clean_text",
+            turn_id().alias("_tid"),
+        )
+    )
 
     # quality + language are computed on a NARROW projection (_tid +
     # text only) and joined back: carrying the staged text copies
@@ -92,7 +109,7 @@ def clean_corpus(
     hashed = gated.withColumn("_h", F.md5(dedup.normalized_text(F.col("clean_text"))))
     reps = hashed.groupBy("_h").agg(F.min("_tid").alias("_tid"))
     # reused by the LSH build AND the final anti-join — materialize
-    exact_kept = hashed.join(reps, ["_h", "_tid"]).drop("_h").localCheckpoint(eager=True)
+    exact_kept = _cut(hashed.join(reps, ["_h", "_tid"]).drop("_h"))
 
     # stage 2: near-dup over the distinct representatives only, with a
     # bucket-size cap as the skew backstop. The final keeper equals the
@@ -104,7 +121,8 @@ def clean_corpus(
         num_hashes=num_hashes,
         bands=lsh_bands,
         parallelism=parallelism,
-        max_bucket_size=256,
+        max_bucket_size=max_bucket_size,
+        reliable_checkpoint_dir=reliable_checkpoint_dir,
     )
     losers = groups.filter(F.col("id") != F.col("comp")).select(F.col("id").alias("_tid"))
     out = exact_kept.join(losers, "_tid", "left_anti")

@@ -18,13 +18,33 @@ is needed beyond AQE. The exact-verify join touches only candidate pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import logging
+
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 
 def normalized_text(col):
     """Dedup normalization: lower, collapse whitespace, trim."""
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def _materialize(df: DataFrame, reliable_dir: str | None = None) -> DataFrame:
+    """Cut lineage and persist an intermediate frame.
+
+    Default: ``localCheckpoint`` — executor-block-backed, fast, the right
+    choice on a stable cluster or in local mode. Its blocks are LOST on
+    executor failure, so on a preemptible 1000-executor cluster pass
+    ``reliable_dir`` (an HDFS/S3 path): the frame is then written through
+    a reliable ``checkpoint()`` and every iteration/fan-out survives
+    executor loss at the cost of one storage round-trip per cut."""
+    if reliable_dir is None:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    sc.setCheckpointDir(reliable_dir)
+    return df.checkpoint(eager=True)
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -128,14 +148,37 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+    obs = None
+    left = banded
     if max_bucket_size is not None:
         sizes = banded.groupBy("band_idx", "band_hash").agg(F.count("*").alias("_bsz"))
-        banded = (
-            banded.join(sizes.filter(F.col("_bsz") <= max_bucket_size), ["band_idx", "band_hash"])
+        # piggyback dropped-bucket accounting on the action that consumes
+        # this frame (Observation = zero extra jobs): recall loss from the
+        # cap must be observable, not silent
+        obs = Observation("lsh_bucket_cap")
+        sizes = sizes.observe(
+            obs,
+            F.sum((F.col("_bsz") > max_bucket_size).cast("long")).alias("dropped_buckets"),
+            F.max("_bsz").alias("max_bucket"),
+        )
+        # cap the LEFT side only: a pair exists iff its a-side row sits in
+        # an under-cap bucket, so this is equivalent to capping both sides
+        # — and it keeps the CollectMetrics node unique in the plan (a
+        # self-join of the capped frame would duplicate it, which Spark's
+        # observation machinery rejects) while saving one join. The size
+        # filter runs AFTER the join, not on sizes: filtering sizes first
+        # can leave the observed stage empty at runtime, and AQE's
+        # empty-relation propagation then drops the metrics (verified —
+        # obs.get returns a schemaless empty row). The join stays linear
+        # (1:N on bucket keys) either way; only the self-join below is
+        # quadratic, and it sees the capped frame.
+        left = (
+            banded.join(sizes, ["band_idx", "band_hash"])
+            .filter(F.col("_bsz") <= max_bucket_size)
             .drop("_bsz")
         )
     pairs = (
-        banded.alias("a")
+        left.alias("a")
         .join(
             banded.alias("b"),
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -145,7 +188,50 @@ def minhash_lsh_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_shared_bands"))
     )
+    pairs._bucket_cap_observation = obs
+    if max_bucket_size is not None:
+        # fallback for warn_dropped_buckets when AQE prunes the observed
+        # stage (it rebuilds the final plan without the CollectMetrics
+        # node whenever a downstream stage turns out empty): the
+        # unfiltered sizes frame + the cap, to recompute the two scalars
+        pairs._bucket_cap_fallback = (
+            banded.groupBy("band_idx", "band_hash").agg(F.count("*").alias("_bsz")),
+            max_bucket_size,
+        )
     return pairs
+
+
+def warn_dropped_buckets(pairs: DataFrame) -> int:
+    """After an action has executed a capped ``minhash_lsh_pairs`` frame,
+    log (and return) the number of band buckets the cap dropped. 0 when
+    uncapped, nothing dropped, or no observation is attached."""
+    obs = getattr(pairs, "_bucket_cap_observation", None)
+    if obs is None:
+        return 0
+    try:
+        metrics = obs.get
+    except Exception:
+        # AQE rebuilt the final plan without the CollectMetrics node (it
+        # does this whenever a downstream stage is empty at runtime —
+        # i.e. exactly the every-bucket-over-cap case). Recompute the two
+        # scalars directly; one small extra job, only on this path.
+        sizes, cap = pairs._bucket_cap_fallback
+        row = sizes.agg(
+            F.sum((F.col("_bsz") > cap).cast("long")).alias("dropped_buckets"),
+            F.max("_bsz").alias("max_bucket"),
+        ).collect()[0]
+        metrics = {"dropped_buckets": row.dropped_buckets, "max_bucket": row.max_bucket}
+    dropped = int(metrics.get("dropped_buckets") or 0)
+    if dropped:
+        _log.warning(
+            "minhash_lsh_pairs: bucket cap dropped %d band bucket(s) "
+            "(largest seen: %s members) — candidate pairs from those "
+            "buckets are lost; if exact dedup already ran these are "
+            "organic near-dup families and the cap is costing recall",
+            dropped,
+            metrics.get("max_bucket"),
+        )
+    return dropped
 
 
 def jaccard_verify(
@@ -191,7 +277,11 @@ def jaccard_verify(
 
 
 def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+    reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup GROUP formation: connected components over candidate
     pairs — (id, comp) for every id appearing in ``pairs``, where comp
@@ -205,20 +295,27 @@ def connected_components(
     driver-side state beyond the per-round convergence count; at
     10^12-doc scale each round is two hash joins on the (small) pair
     graph, never the corpus.
+
+    Raises if ``max_iter`` rounds exhaust without convergence — a split
+    group silently returned would be a wrong answer; with pointer
+    jumping 25 rounds cover diameters up to ~2^25, so hitting this means
+    something is broken, not slow. ``reliable_checkpoint_dir`` switches
+    the per-round lineage cuts from executor-local blocks to a reliable
+    storage checkpoint (preemptible-cluster safe); see ``_materialize``.
     """
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     # materialize the edge list ONCE: the loop references it every
     # iteration, and without this the whole upstream pipeline that
     # produced the pairs (LSH + verify at corpus scale) would re-execute
     # per iteration — measured as a 25x blowup on a 1M-turn run
-    edges = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    edges = _materialize(
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct(),
+        reliable_checkpoint_dir,
     )
     lab = edges.select(F.col("a").alias("id")).distinct().select(
         "id", F.col("id").alias("comp")
     )
+    changed = 0
     for _ in range(max_iter):
         nmin = (
             edges.join(
@@ -237,10 +334,11 @@ def connected_components(
         # localCheckpoint truncates the logical plan — without it the
         # iterative self-reference grows the plan tree exponentially and
         # the DRIVER (analysis), not the data, runs out of heap
-        new = (
-            new.join(m, new["comp"] == m["_cid"], "left")
-            .select("id", F.coalesce("_ccomp", "comp").alias("comp"))
-            .localCheckpoint(eager=True)
+        new = _materialize(
+            new.join(m, new["comp"] == m["_cid"], "left").select(
+                "id", F.coalesce("_ccomp", "comp").alias("comp")
+            ),
+            reliable_checkpoint_dir,
         )
         changed = (
             new.alias("n")
@@ -251,6 +349,12 @@ def connected_components(
         lab = new
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — refusing to return "
+            "possibly split groups; raise max_iter or inspect the pair graph"
+        )
     return lab
 
 
@@ -264,6 +368,7 @@ def near_dup_groups(
     k: int = 3,
     parallelism: int | None = None,
     max_bucket_size: int | None = None,
+    reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The full near-dup dedup pipeline in one call:
     MinHash+LSH candidates → exact n-gram Jaccard verify (≥ threshold)
@@ -283,16 +388,19 @@ def near_dup_groups(
     candidate set fans out three ways into the verify stage (two id
     projections + the pair join) and the verified pairs fan out into the
     undirected edge union — without materialization the MinHash build
-    re-executes per consumer (measured: 662 s vs ~285 s at 1M turns)."""
-    cand = (
-        minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, k, parallelism, max_bucket_size)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
+    re-executes per consumer (measured: 662 s vs ~285 s at 1M turns).
+    The cuts default to localCheckpoint (executor-block-backed); pass
+    ``reliable_checkpoint_dir`` on preemptible clusters to spill them to
+    reliable storage instead (see ``_materialize``)."""
+    raw = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes, bands, k, parallelism, max_bucket_size
     )
-    verified = jaccard_verify(df, cand, text_col, id_col, k, threshold).localCheckpoint(
-        eager=True
+    cand = _materialize(raw.select("id_a", "id_b"), reliable_checkpoint_dir)
+    warn_dropped_buckets(raw)  # materialization above ran the action
+    verified = _materialize(
+        jaccard_verify(df, cand, text_col, id_col, k, threshold), reliable_checkpoint_dir
     )
-    return connected_components(verified)
+    return connected_components(verified, reliable_checkpoint_dir=reliable_checkpoint_dir)
 
 
 def simhash64(

@@ -403,7 +403,11 @@ def pq_topk(
     top = scored.orderBy(F.asc("pq_dist"), F.asc("id")).limit(k * refine if emb is not None else k)
     if emb is None:
         return top
-    cand = emb.join(top.select("id"), emb[id_col] == F.col("id"), "left_semi")
+    # alias the candidate ids: an unqualified F.col("id") would be
+    # ambiguous (or trivially self-referential) whenever emb itself
+    # carries an 'id' column
+    top_ids = top.select(F.col("id").alias("_pq_id"))
+    cand = emb.join(top_ids, emb[id_col] == top_ids["_pq_id"], "left_semi")
     return brute_force_topk(cand, [float(v) for v in query_vec], k, id_col=id_col, vec_col=vec_col)
 
 

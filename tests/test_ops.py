@@ -455,3 +455,59 @@ def test_clean_corpus_end_to_end(spark, depara):
     pair = [(c, t) for (c, t) in kept if c == "c0" and t in (0, 1)]
     assert len(pair) == 1, pair
     assert all(r.quality_score >= 0.5 and r.n_tokens >= 5 for r in out)
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """The reliable-checkpoint path (storage-backed checkpoint() instead
+    of executor-local blocks) must produce identical components and must
+    actually write checkpoint data under the given dir."""
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)]
+    pairs = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+    ckpt = str(tmp_path / "reliable_ckpt")
+    got_local = {r.id: r.comp for r in dedup.connected_components(pairs).collect()}
+    got_rel = {
+        r.id: r.comp
+        for r in dedup.connected_components(
+            pairs, reliable_checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert got_rel == got_local
+    import pathlib
+
+    written = list(pathlib.Path(ckpt).rglob("*"))
+    assert written, "reliable checkpoint dir is empty — checkpoint() never wrote"
+
+
+def test_near_dup_groups_reliable_checkpoint(docs, tmp_path):
+    """near_dup_groups must thread the reliable knob through all three
+    cuts and return the same groups."""
+    a = dedup.near_dup_groups(docs, threshold=0.5).collect()
+    b = dedup.near_dup_groups(
+        docs, threshold=0.5, reliable_checkpoint_dir=str(tmp_path / "ck2")
+    ).collect()
+    assert sorted((r.id, r.comp) for r in a) == sorted((r.id, r.comp) for r in b)
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Exhausting max_iter must raise, never silently return split
+    groups (a chain of depth 3 cannot converge in one round)."""
+    edges = [(i, i + 1) for i in range(1, 9)]
+    pairs = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=1)
+
+
+def test_bucket_cap_drop_is_observable(spark):
+    """When the bucket cap drops a band bucket, warn_dropped_buckets must
+    report a nonzero count (recall loss is never silent)."""
+    # 12 identical docs -> every band bucket holds all 12 members
+    rows = [(i, "the same exact sentence repeated for the template family test") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    raw = dedup.minhash_lsh_pairs(df, max_bucket_size=4)
+    out = raw.select("id_a", "id_b").localCheckpoint(eager=True)
+    assert out.count() == 0  # all buckets over cap -> no candidates
+    assert dedup.warn_dropped_buckets(raw) > 0
+
+    raw2 = dedup.minhash_lsh_pairs(df, max_bucket_size=100)
+    raw2.select("id_a", "id_b").localCheckpoint(eager=True)
+    assert dedup.warn_dropped_buckets(raw2) == 0

@@ -34,8 +34,12 @@ def canon(v) -> str:
             return "nan"
         # normalize float repr (driver-style value hash tolerance)
         return repr(round(v, 9))
+    # Decimals are hashed AS-IS (repr of the Decimal object), matching the
+    # driver: a Decimal repr never equals a float repr, so any entry that
+    # returns decimals while its oracle returns floats MUST show red here.
+    # (r2 lesson: float-normalizing them masked the driver's one failure.)
     if isinstance(v, Decimal):
-        return repr(float(v))
+        return repr(v)
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, bytes):
