@@ -561,14 +561,6 @@ def assemble_services_segmented(svc: DataFrame, chunk_turns: int = 512) -> DataF
     item_blank = F.trim(F.coalesce(F.col("Item"), F.lit(""))) == ""
     is_mother = (~has_qty) & F.col("Descricao").isNotNull() & (F.col("Descricao") != "")
 
-    # A5 via groupBy+join, NOT a conv-window: an unordered window still
-    # funnels the whole conversation into one task; groupBy gets map-side
-    # partial aggregation and stays chunk-parallel
-    blanks = svc.groupBy("conv_id").agg(
-        (F.min(F.when(item_blank, 1).otherwise(0)) == 1).alias("_all_blank")
-    )
-    svc = svc.join(blanks, "conv_id")
-
     # pass 1: within-chunk scans (parallel across chunks)
     svc = (
         svc.withColumn("_qty_in_chunk", F.sum(has_qty.cast("int")).over(chunk_run))
@@ -578,23 +570,38 @@ def assemble_services_segmented(svc: DataFrame, chunk_turns: int = 512) -> DataF
         )
     )
 
-    # chunk summaries: totals + last mother of each chunk (tiny per conv).
+    # chunk summaries: totals + last mother of each chunk (tiny per
+    # conv), computed FROM the window outputs, not the raw columns: the
+    # running sum/last at the chunk's final row ARE the chunk totals, and
+    # referencing the window columns lets this aggregation ride the
+    # window's (conv_id, _chunk) partitioning — an aggregation over the
+    # raw columns would be planned as a SEPARATE branch that re-executes
+    # the whole explode pipeline plus its own exchange (verified in the
+    # formatted plan: duplicate Generate + 2 extra SortAggregates).
     # NOT F.last(...) — inside groupBy().agg() Last is order-NON-
     # deterministic (partial aggs merge in shuffle arrival order);
-    # max_by keyed on (turn_idx, svc_idx) is order-free and skips rows
-    # whose ordering key is null (non-mothers).
-    mother_key = F.when(is_mother, F.struct("turn_idx", "svc_idx"))
+    # max_by keyed on the unique (turn_idx, svc_idx) is order-free.
+    row_key = F.struct("turn_idx", "svc_idx")
     summaries = svc.groupBy("conv_id", "_chunk").agg(
-        F.sum(has_qty.cast("int")).alias("_qty_total"),
-        F.max_by(F.when(is_mother, F.trim(F.col("Descricao"))), mother_key).alias("_last_mother"),
+        F.max("_qty_in_chunk").alias("_qty_total"),
+        F.max_by("_mother_in_chunk", row_key).alias("_last_mother"),
+        # A5 chunk partial: folded into this aggregation (and the
+        # whole-partition window below) instead of a separate
+        # conv-grain groupBy + join — one shuffle and one join fewer,
+        # same chunk-parallel map-side combine
+        F.min(F.when(item_blank, 1).otherwise(0)).alias("_blank_min"),
     )
     sum_w = Window.partitionBy("conv_id").orderBy("_chunk")
     prev = sum_w.rowsBetween(Window.unboundedPreceding, -1)
+    whole = sum_w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     summaries = summaries.select(
         "conv_id",
         "_chunk",
         F.coalesce(F.sum("_qty_total").over(prev), F.lit(0)).alias("_qty_carry"),
         F.last("_last_mother", ignorenulls=True).over(prev).alias("_mother_carry"),
+        # A5 conv total over the tiny summary rows — same sort, same
+        # window exec, no extra exchange
+        (F.min("_blank_min").over(whole) == 1).alias("_all_blank"),
     )
 
     # pass 2: join back the carried-in state (summaries ≈ #convs × #chunks
