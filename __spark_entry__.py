@@ -310,6 +310,79 @@ def _pseudo_turns(spark, sf_dir):
     )
 
 
+def q_extract_metadata(spark, sf_dir):
+    """§2.9 pdf-properties analogue through the REAL extraction UDF:
+    Adobe-structuredData JSON payloads are synthesized per documents row
+    (declared extended_metadata on doc_id%3==0 — passthrough must win
+    over derivation, hence declared page_count != len(pages); pages[]
+    carry is_scanned/rotation for the derived path), extracted with
+    with_metadata=True, and composed via with_extended_metadata. The
+    oracle recomputes every field directly from doc_id arithmetic — any
+    UDF parse/passthrough/derivation error hash-mismatches. Element text
+    is a fixed English-marker string so the content-language fallback is
+    deterministic ('en')."""
+    from pdf_ocr_api_spark import pipeline
+
+    d = _t(spark, sf_dir, "documents")
+    pc = (F.col("doc_id") % 4 + 1).cast("int")
+    declared = F.col("doc_id") % 3 == 0
+    payload = F.to_json(
+        F.struct(
+            F.struct(F.lit("1.6.1").alias("json_export")).alias("version"),
+            F.when(
+                declared,
+                F.struct(
+                    F.lit("pt").alias("language"),
+                    (pc + 10).alias("page_count"),
+                    F.lit("1.7").alias("pdf_version"),
+                    (F.col("doc_id") % 7 == 0).alias("is_encrypted"),
+                ),
+            ).alias("extended_metadata"),
+            F.array(
+                F.struct(
+                    F.lit(1).alias("ObjectID"),
+                    F.lit("//Document/P").alias("Path"),
+                    F.lit("the and is with for that").alias("Text"),
+                    F.array(F.lit(50.0), F.lit(700.0), F.lit(400.0), F.lit(730.0)).alias("Bounds"),
+                    F.lit(0).alias("Page"),
+                )
+            ).alias("elements"),
+            F.transform(
+                F.sequence(F.lit(1), pc),
+                lambda i: F.struct(
+                    (i - 1).alias("page_number"),
+                    F.lit(600.0).alias("width"),
+                    F.lit(800.0).alias("height"),
+                    (F.col("doc_id") % 2 == 0).alias("is_scanned"),
+                    ((F.col("doc_id") % 4) * 90).cast("int").alias("rotation"),
+                ),
+            ).alias("pages"),
+        )
+    )
+    turns = d.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        payload.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+    )
+    ext = pipeline.with_extended_metadata(
+        pipeline.extract_transcripts(turns, with_metadata=True)
+    )
+    return ext.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        F.col("extended_metadata.language").alias("language"),
+        F.col("extended_metadata.page_count").alias("page_count"),
+        F.col("extended_metadata.pdf_version").alias("pdf_version"),
+        # string-cast: a NULLABLE boolean lands as float NaN in DuckDB's
+        # pandas frame but None in Spark's — reprs can never match;
+        # VARCHAR nulls stay None in both engines
+        F.col("extended_metadata.is_encrypted").cast("string").alias("is_encrypted"),
+        F.col("extended_metadata.is_scanned").alias("is_scanned"),
+        F.col("extended_metadata.rotation").alias("rotation"),
+    )
+
+
 def q_o3_select_turns(spark, sf_dir):
     """O3 — page-range selection + dense renumber (reorder-pdf-pages)."""
     from pdf_ocr_api_spark.operators import turnops
@@ -664,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_split_into_n": q_x6_split_into_n,
         "x6_split_by_ranges": q_x6_split_by_ranges,
         "s7_header_rules": q_s7_header_rules,
+        "extract_metadata": q_extract_metadata,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
@@ -993,6 +1067,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_id": lang_case,
+        "extract_metadata": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'pt' ELSE 'en' END AS language,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 4 + 11
+                             ELSE doc_id % 4 + 1 END AS INT) AS page_count,
+                   CASE WHEN doc_id % 3 = 0 THEN '1.7' END AS pdf_version,
+                   CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 7 = 0 AS VARCHAR) END AS is_encrypted,
+                   doc_id % 2 = 0 AS is_scanned,
+                   CAST((doc_id % 4) * 90 AS INT) AS rotation
+            FROM documents
+        """,
         "ann_brute_cosine": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id AS id,

@@ -148,3 +148,51 @@ def extract_pdf_layout(doc: dict, with_styling: bool = False) -> tuple[str, list
             spans.append((start, pos, leaf))
         pos += 1
     return "\n".join(parts), spans
+
+
+def document_metadata(doc: dict) -> tuple:
+    """Per-document ``extended_metadata`` projection (§2.9 pdf-properties
+    analogue — ref src/pdfproperties/get-pdf-properties.js:67-69 surfaces
+    fileSize/pdfVersion/pageCount; the golden ``structuredData.json``
+    carries ``extended_metadata{language, page_count, pdf_version,
+    is_encrypted}`` and per-page ``is_scanned``/``rotation``).
+
+    Returns ``(language_hint, page_count, pdf_version, is_encrypted,
+    is_scanned, rotation)``: declared ``extended_metadata`` fields pass
+    through verbatim when present; ``page_count`` falls back to
+    ``len(pages)``; ``is_scanned`` is the any-page OR; ``rotation`` is
+    the first page's. The language *hint* is only the declared field —
+    content-based fallback (``ops.textstats.lang_id``) is composed
+    Spark-side in ``pipeline.with_extended_metadata`` so the heuristic
+    stays a JVM expression, not Python."""
+    ext = doc.get("extended_metadata")
+    if not isinstance(ext, dict):
+        ext = {}
+    pages = doc.get("pages")
+    if not isinstance(pages, list):
+        pages = []
+    page_dicts = [p for p in pages if isinstance(p, dict)]
+
+    lang = ext.get("language")
+    pc = ext.get("page_count")
+    if not isinstance(pc, int) or isinstance(pc, bool):
+        pc = len(pages) if pages else None
+    ver = ext.get("pdf_version")
+    enc = ext.get("is_encrypted")
+    scanned = None
+    if any("is_scanned" in p for p in page_dicts):
+        scanned = any(bool(p.get("is_scanned")) for p in page_dicts)
+    rot = None
+    for p in page_dicts:
+        r = p.get("rotation")
+        if isinstance(r, (int, float)) and not isinstance(r, bool):
+            rot = int(r)
+        break
+    return (
+        lang if isinstance(lang, str) else None,
+        pc,
+        ver if isinstance(ver, str) else None,
+        enc if isinstance(enc, bool) else None,
+        scanned,
+        rot,
+    )

@@ -60,6 +60,7 @@ def run(
     with_services: bool = True,
     with_styling: bool = False,
     with_tables: bool = False,
+    with_metadata: bool = False,
     compact_write: bool = True,
 ) -> dict:
     """Execute one checkpointed extraction run; returns summary stats.
@@ -81,6 +82,8 @@ def run(
         mode += "+styled"
     if with_tables:
         mode += "+tables"
+    if with_metadata:
+        mode += "+meta"
 
     if depara is None:
         from .fixtures import runtime_depara
@@ -145,6 +148,7 @@ def run(
         with_services=with_services,
         with_styling=with_styling,
         with_tables=with_tables,
+        with_metadata=with_metadata,
     ).withColumn("bucket", bucket_expr(n_buckets))
     if compact_write:
         extracted = extracted.repartition(n_buckets, F.col("bucket"))

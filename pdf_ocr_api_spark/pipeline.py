@@ -61,16 +61,30 @@ SERVICE_FIELDS = (
 
 TABLE_FIELDS = "page INT, header ARRAY<STRING>, rows ARRAY<ARRAY<STRING>>"
 
+# §2.9 pdf-properties analogue (golden structuredData.json
+# extended_metadata{language, page_count, pdf_version, is_encrypted} +
+# pages[].is_scanned/rotation) — flat meta_* columns out of the UDF;
+# with_extended_metadata() composes them into the struct with the
+# lang_id content fallback
+META_FIELDS = (
+    "meta_language_hint STRING, meta_page_count INT, meta_pdf_version STRING, "
+    "meta_is_encrypted BOOLEAN, meta_is_scanned BOOLEAN, meta_rotation INT"
+)
 
-def extract_schema(with_styling: bool = False, with_tables: bool = False) -> str:
+
+def extract_schema(
+    with_styling: bool = False, with_tables: bool = False, with_metadata: bool = False
+) -> str:
     span_fields = STYLED_SPAN_FIELDS if with_styling else SPAN_FIELDS
     tables_col = f"tables ARRAY<STRUCT<{TABLE_FIELDS}>>, " if with_tables else ""
+    meta_cols = f"{META_FIELDS}, " if with_metadata else ""
     return (
         "conv_id STRING, turn_idx INT, role STRING, kind STRING, "
         "clean_text STRING, "
         f"spans ARRAY<STRUCT<{span_fields}>>, "
         f"services ARRAY<STRUCT<{SERVICE_FIELDS}>>, "
         f"{tables_col}"
+        f"{meta_cols}"
         "doc_text STRING, n_chars_in BIGINT, n_chars_out BIGINT, proc_us BIGINT"
     )
 
@@ -221,6 +235,7 @@ def make_extractor(
     with_styling: bool = False,
     all_segments: bool = False,
     with_tables: bool = False,
+    with_metadata: bool = False,
 ):
     """Build the mapInPandas function (depara captured in the closure —
     the dimension lists are tiny; this is the broadcast-dict analogue of
@@ -245,7 +260,9 @@ def make_extractor(
 
         for pdf in batches:
             t0 = time.monotonic()
-            out = _extract_frame(pdf, depara, with_services, with_styling, all_segments, with_tables)
+            out = _extract_frame(
+                pdf, depara, with_services, with_styling, all_segments, with_tables, with_metadata
+            )
             # per-row share of the batch's Python wall time — summing the
             # column over any grouping gives that group's processing cost
             # (lineage metric, FIXTURES.md §4)
@@ -263,6 +280,7 @@ def _extract_frame(
     with_styling: bool = False,
     all_segments: bool = False,
     with_tables: bool = False,
+    with_metadata: bool = False,
 ) -> pd.DataFrame:
     route = classify_batch(pdf["text"])
 
@@ -276,6 +294,9 @@ def _extract_frame(
     spans: list = [[] for _ in range(n)]
     services: list = [[] for _ in range(n)]
     tables: list = [[] for _ in range(n)] if with_tables else None
+    # (language_hint, page_count, pdf_version, is_encrypted, is_scanned,
+    # rotation) — all-null for non-document payloads
+    metas: list = [(None,) * 6 for _ in range(n)] if with_metadata else None
     # what the reference's parseDocument would see as this chunk's doc.text
     # (A1 input, ref parseDocument.js:59-61)
     doc_text: list = [t if isinstance(t, str) else "" for t in texts]
@@ -362,6 +383,11 @@ def _extract_frame(
                 services[p] = parse_services_tiered({"text": raw, "pages": []}, depara)[0]
             continue
 
+        if with_metadata:
+            from .extract.pdf_layout import document_metadata
+
+            metas[p] = document_metadata(doc)
+
         if "elements" in doc:
             text, sp = extract_pdf_layout(doc, with_styling=with_styling)
             kind[p] = "pdf_layout"
@@ -411,6 +437,24 @@ def _extract_frame(
         # column order must match extract_schema: tables sits between
         # services and doc_text
         out.insert(out.columns.get_loc("doc_text"), "tables", tables)
+    if with_metadata:
+        # meta_* columns sit between tables (when present) and doc_text,
+        # matching extract_schema order
+        at = out.columns.get_loc("doc_text")
+        names = [
+            "meta_language_hint",
+            "meta_page_count",
+            "meta_pdf_version",
+            "meta_is_encrypted",
+            "meta_is_scanned",
+            "meta_rotation",
+        ]
+        for off, name in enumerate(names):
+            out.insert(at + off, name, [m[off] for m in metas])
+        # pandas would store ints as float64 when nulls are present;
+        # nullable Int32 keeps the Arrow cast exact
+        out["meta_page_count"] = out["meta_page_count"].astype("Int32")
+        out["meta_rotation"] = out["meta_rotation"].astype("Int32")
     return out
 
 
@@ -423,6 +467,7 @@ def extract_transcripts(
     with_styling: bool = False,
     all_segments: bool = False,
     with_tables: bool = False,
+    with_metadata: bool = False,
 ):
     """Run the extraction pipeline over a transcripts DataFrame.
 
@@ -450,6 +495,35 @@ def extract_transcripts(
         df = df.repartition(num_partitions, key) if num_partitions else df.repartition(key)
 
     return df.mapInPandas(
-        make_extractor(depara, with_services, with_styling, all_segments, with_tables),
-        schema=extract_schema(with_styling, with_tables),
+        make_extractor(depara, with_services, with_styling, all_segments, with_tables, with_metadata),
+        schema=extract_schema(with_styling, with_tables, with_metadata),
     )
+
+
+def with_extended_metadata(extracted):
+    """Compose the flat ``meta_*`` UDF columns (extraction run with
+    ``with_metadata=True``) into the golden-schema ``extended_metadata``
+    struct (ref structuredData.json: extended_metadata{language,
+    page_count, pdf_version, is_encrypted}; get-pdf-properties.js:67-69),
+    plus the per-page passthroughs.
+
+    ``language`` = declared document language when the payload carries
+    one, else the content heuristic ``ops.textstats.lang_id`` over the
+    extracted text — staged score columns (one regex pass per marker per
+    row, the CSE-safe sweep form), pure JVM expressions."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from .ops.textstats import with_lang_id
+
+    staged = with_lang_id(extracted, "clean_text", out="_content_lang")
+    return staged.withColumn(
+        "extended_metadata",
+        F.struct(
+            F.coalesce(F.col("meta_language_hint"), F.col("_content_lang")).alias("language"),
+            F.col("meta_page_count").alias("page_count"),
+            F.col("meta_pdf_version").alias("pdf_version"),
+            F.col("meta_is_encrypted").alias("is_encrypted"),
+            F.col("meta_is_scanned").alias("is_scanned"),
+            F.col("meta_rotation").alias("rotation"),
+        ),
+    ).drop("_content_lang")

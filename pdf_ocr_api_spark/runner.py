@@ -75,6 +75,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="widen spans with Font/TextSize/Lang styling fields (pdf_layout turns)")
     ap.add_argument("--tables", action="store_true",
                     help="emit DocAI tables as structured header+rows arrays")
+    ap.add_argument("--metadata", action="store_true",
+                    help="emit per-document extended_metadata fields (pdf-properties analogue)")
     ap.add_argument("--records-rows", action="store_true",
                     help="with --records: write the row-form record (one row per service) instead of the Servicos array")
     ap.add_argument("--master", default=None)
@@ -113,6 +115,7 @@ def main(argv: list[str] | None = None) -> int:
         with_services=not args.text_only,
         with_styling=args.styling,
         with_tables=args.tables,
+        with_metadata=args.metadata,
     )
     print(json.dumps(summary))
 

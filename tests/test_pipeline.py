@@ -232,3 +232,65 @@ def test_structured_tables_opt_in(spark, tiny, depara):
     assert checked_tables > 10  # the fixture corpus has real tables
     # default mode: no tables column
     assert "tables" not in pipeline.extract_transcripts(sdf, depara).columns
+
+
+def test_extended_metadata(spark, depara):
+    """§2.9 pdf-properties analogue: declared extended_metadata fields
+    pass through verbatim; page_count/is_scanned/rotation derive from
+    pages[] when undeclared; language falls back to the lang_id content
+    heuristic; non-document payloads stay all-null (language still from
+    content)."""
+    layout_doc = {
+        "version": {"json_export": "1.6.1"},
+        "extended_metadata": {
+            "language": "pt",
+            "page_count": 4,
+            "pdf_version": "1.7",
+            "is_encrypted": False,
+        },
+        "elements": [
+            {"ObjectID": 1, "Path": "//Document/P", "Text": "certidao de acervo",
+             "Bounds": [50.0, 700.0, 400.0, 730.0], "Page": 0}
+        ],
+        "pages": [
+            {"page_number": 0, "width": 600.0, "height": 800.0, "is_scanned": True, "rotation": 90}
+        ],
+    }
+    bare_doc = {
+        "elements": [
+            {"ObjectID": 1, "Path": "//Document/P", "Text": "sem metadados declarados",
+             "Bounds": [50.0, 700.0, 400.0, 730.0], "Page": 0}
+        ],
+        "pages": [
+            {"page_number": 0, "width": 600.0, "height": 800.0, "is_scanned": False, "rotation": 0},
+            {"page_number": 1, "width": 600.0, "height": 800.0, "is_scanned": True, "rotation": 180},
+        ],
+    }
+    plain = ("the quick brown fox jumps over the lazy dog and runs across the "
+             "river bank with the other animals")
+    rows = [
+        ("c0", 0, "user", json.dumps(layout_doc), None),
+        ("c0", 1, "user", json.dumps(bare_doc), None),
+        ("c0", 2, "user", plain, None),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING"
+    )
+    ext = pipeline.extract_transcripts(sdf, depara, with_metadata=True)
+    out = {
+        r.turn_idx: r.extended_metadata
+        for r in pipeline.with_extended_metadata(ext).collect()
+    }
+    m0 = out[0]
+    assert (m0.language, m0.page_count, m0.pdf_version, m0.is_encrypted,
+            m0.is_scanned, m0.rotation) == ("pt", 4, "1.7", False, True, 90)
+    m1 = out[1]
+    assert m1.page_count == 2          # len(pages) fallback
+    assert m1.is_scanned is True       # any-page OR
+    assert m1.rotation == 0            # first page's
+    assert m1.pdf_version is None and m1.is_encrypted is None
+    m2 = out[2]
+    assert m2.language == "en"         # lang_id content fallback
+    assert m2.page_count is None and m2.is_scanned is None
+    # default mode: no meta_* columns
+    assert "meta_page_count" not in pipeline.extract_transcripts(sdf, depara).columns
