@@ -540,9 +540,13 @@ def q_dedup_components(spark, sf_dir):
 
 def q_dedup_pipeline(spark, sf_dir):
     """Full near-dup pipeline (LSH → Jaccard verify → components) over
-    documents + planted truncated copies (rows-only: xxhash64 MinHash is
-    engine-specific; each stage is individually anchored — dedup_jaccard
-    and dedup_components are oracled, recall is pytest-asserted)."""
+    documents + planted 80%-truncated copies — FULL-MATCH oracled (r3):
+    the DuckDB twin computes ALL-pairs shingle Jaccard ≥ threshold and
+    takes recursive-CTE connected components, i.e. the pipeline's exact
+    end-shape with no LSH at all. The hash match therefore also PROVES
+    the banded LSH (deterministic xxhash64) reaches full recall on this
+    corpus at threshold 0.5 / 16 bands — any dropped candidate pair
+    would split a component and mismatch."""
     from pdf_ocr_api_spark.ops import dedup
 
     d = _t(spark, sf_dir, "documents")
@@ -634,6 +638,20 @@ def q_ann_pq(spark, sf_dir):
     cand = e.filter(F.col("vec_id") != 0)
     codes, cb = similarity.pq_index(cand, m=4)
     return similarity.pq_topk(codes, cb, list(qv), k=10, emb=cand)
+
+
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF×PQ composed ANN (the disk-scale IVFADC layout): coarse-probe
+    the nearest lists, LUT-score the surviving PQ codes in codegen,
+    exact-rerank the survivors (rows-only: lossy quantizers by design;
+    recall@10 >= 0.8 vs brute force asserted in tests)."""
+    from pdf_ocr_api_spark.ops import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    cand = e.filter(F.col("vec_id") != 0)
+    codes, cents, cbs = similarity.ivfpq_index(cand, n_lists=16, m=4)
+    return similarity.ivfpq_topk(codes, cents, cbs, list(qv), k=10, nprobe=4, emb=cand)
 
 
 def q_dedup_embedding(spark, sf_dir):
@@ -753,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
+        "ann_ivfpq": q_ann_ivfpq,
         "dedup_embedding": q_dedup_embedding,
         "clean_corpus": q_clean_corpus,
         "mm_media_bytes": q_mm_media_bytes,
@@ -1038,6 +1057,41 @@ def oracle_sql() -> dict[str, str]:
               JOIN sh a ON a.doc_id = p.id_a
               JOIN sh b ON b.doc_id = p.id_b
             ) WHERE j >= 0.3
+        """,
+        "dedup_pipeline": r"""
+            WITH RECURSIVE corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id,
+                     substring(text, 1, CAST(floor(length(text) * 0.8) AS INT)) AS text
+              FROM documents WHERE doc_id % 10 = 0
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(toks) >= 3
+                            THEN list_transform(range(1, len(toks) - 1),
+                                                i -> array_to_string(toks[i:i+2], ' '))
+                            ELSE [array_to_string(toks, ' ')] END
+                     ) AS sh
+              FROM (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+                FROM corpus
+              )
+            ), verified AS (
+              -- ALL candidate pairs (no LSH): the end-shape ground truth
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+            ), edges AS (
+              SELECT a, b FROM verified UNION SELECT b AS a, a AS b FROM verified
+            ), reach(id, r) AS (
+              SELECT a AS id, b AS r FROM edges
+              UNION
+              SELECT reach.id, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
+            )
+            SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id
         """,
         "dedup_components": """
             WITH RECURSIVE base AS (

@@ -411,6 +411,106 @@ def pq_topk(
     return brute_force_topk(cand, [float(v) for v in query_vec], k, id_col=id_col, vec_col=vec_col)
 
 
+def ivfpq_index(
+    emb: DataFrame,
+    n_lists: int = 16,
+    m: int = 4,
+    n_centroids: int = 256,
+    normalize: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]], list]:
+    """IVF×PQ composition — the standard disk-scale ANN layout (IVFADC
+    shape: inverted lists of compressed codes): the IVF coarse quantizer
+    buckets vectors into ``n_lists`` lists, PQ compresses each vector to
+    ``m`` codes. Returns ``(codes(id, ivf_list, codes), centroids,
+    codebooks)``.
+
+    At 100 TB the index table is persisted partitioned by ``ivf_list``
+    (as ``save_ivfpq_index`` does) so a probe prunes whole files; the
+    codes column is ~m bytes/vector, so a probe's scan is RAM-speed even
+    for billion-vector lists. Both quantizers fit on the deterministic
+    value-hash sample — identical for any input partitioning."""
+    assigned, centroids = ivf_index(
+        emb, n_lists, vec_col=vec_col, seed=seed, id_col=id_col
+    )
+    codes_df, codebooks = pq_index(
+        emb, m, n_centroids, normalize, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    lists = assigned.select(F.col(id_col).alias("id"), "ivf_list")
+    return codes_df.join(lists, "id"), centroids, codebooks
+
+
+def save_ivfpq_index(
+    spark, codes: DataFrame, centroids: list[list[float]], codebooks: list, target: str
+) -> None:
+    """Persist an IVF×PQ index: codes partitioned by ivf_list (probe =
+    partition pruning) + both quantizers as metadata (reload must never
+    refit)."""
+    from ..sources.io import write_table
+
+    write_table(codes, f"{target}_codes", mode="create", partition_by=["ivf_list"])
+    spark_centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "list_id INT, centroid ARRAY<DOUBLE>",
+    )
+    write_table(spark_centroids, f"{target}_centroids", mode="create")
+    rows = [
+        (i, j, [float(x) for x in centroid])
+        for i, cb in enumerate(codebooks)
+        for j, centroid in enumerate(cb)
+    ]
+    meta = spark.createDataFrame(rows, "subspace INT, code INT, centroid ARRAY<DOUBLE>")
+    write_table(meta, f"{target}_codebooks", mode="create")
+
+
+def load_ivfpq_index(spark, target: str) -> tuple[DataFrame, list[list[float]], list]:
+    from ..sources.io import read_table
+
+    codes = read_table(spark, f"{target}_codes")
+    crows = read_table(spark, f"{target}_centroids").orderBy("list_id").collect()
+    centroids = [[float(x) for x in r.centroid] for r in crows]
+    rows = read_table(spark, f"{target}_codebooks").orderBy("subspace", "code").collect()
+    mm = max(r.subspace for r in rows) + 1
+    codebooks: list[list] = [[] for _ in range(mm)]
+    for r in rows:
+        codebooks[r.subspace].append([float(x) for x in r.centroid])
+    return codes, centroids, codebooks
+
+
+def ivfpq_topk(
+    codes: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    normalize: bool = True,
+    emb: DataFrame | None = None,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query an IVF×PQ index: probe the ``nprobe`` nearest lists (driver
+    picks the probe set → partition pruning on the persisted index),
+    LUT-score the surviving codes in codegen, exact-rerank the top
+    ``k·refine`` against ``emb`` when given (asymmetric-distance
+    refinement). Plan shape: pruned scan → literal-array lookups →
+    TakeOrderedAndProject → (optional) semi-join rerank."""
+    q = [float(v) for v in query_vec]
+    # probe selection uses the RAW query: the coarse quantizer was fitted
+    # and assigned on raw vectors (ivf_index), so probing must measure in
+    # the same space — PQ's normalize applies only inside pq_topk's LUTs
+    d2 = [sum((a - b) ** 2 for a, b in zip(q, c)) for c in centroids]
+    probes = sorted(range(len(centroids)), key=lambda i: d2[i])[:nprobe]
+    cand = codes.filter(F.col("ivf_list").isin(probes)).drop("ivf_list")
+    return pq_topk(
+        cand, codebooks, query_vec, k=k, normalize=normalize, emb=emb,
+        refine=refine, id_col=id_col, vec_col=vec_col,
+    )
+
+
 def cosine_pair_expr(a, b):
     """Cosine similarity between two array<float> columns (double math)."""
     ad = a.cast("array<double>")

@@ -511,3 +511,36 @@ def test_bucket_cap_drop_is_observable(spark):
     raw2 = dedup.minhash_lsh_pairs(df, max_bucket_size=100)
     raw2.select("id_a", "id_b").localCheckpoint(eager=True)
     assert dedup.warn_dropped_buckets(raw2) == 0
+
+
+def test_ivfpq_recall_and_roundtrip(near_dup_corpus, spark, tmp_path):
+    """IVF×PQ composition: probe + LUT-score + exact rerank reaches
+    recall@10 >= 0.8 vs brute force; persisted index reloads to
+    identical results (never refits)."""
+    df = near_dup_corpus
+    codes, cents, cbs = similarity.ivfpq_index(df, n_lists=8, m=4)
+    q = [float(x) for x in df.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    cand = df.filter(F.col("vec_id") != 0)
+    cand_codes = codes.filter(F.col("id") != 0)
+    brute = [r.id for r in similarity.brute_force_topk(cand, q, k=10).collect()]
+    approx = {
+        r.id
+        for r in similarity.ivfpq_topk(
+            cand_codes, cents, cbs, q, k=10, nprobe=4, emb=cand
+        ).collect()
+    }
+    recall = len(set(brute) & approx) / 10
+    assert recall >= 0.8, f"recall@10={recall}"
+    # LUT-only (no rerank) still returns a full result set
+    lut_only = similarity.ivfpq_topk(cand_codes, cents, cbs, q, k=10, nprobe=4).collect()
+    assert len(lut_only) == 10
+
+    target = str(tmp_path / "ivfpq_idx")
+    similarity.save_ivfpq_index(spark, codes, cents, cbs, target)
+    codes2, cents2, cbs2 = similarity.load_ivfpq_index(spark, target)
+    assert cents2 == cents and cbs2 == cbs
+    a = [r.id for r in similarity.ivfpq_topk(
+        codes.filter(F.col("id") != 0), cents, cbs, q, k=5, nprobe=4).collect()]
+    b = [r.id for r in similarity.ivfpq_topk(
+        codes2.filter(F.col("id") != 0), cents2, cbs2, q, k=5, nprobe=4).collect()]
+    assert a == b
