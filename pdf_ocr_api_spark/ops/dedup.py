@@ -80,14 +80,29 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<bigint>) — MinHash signatures, staged for throughput:
 
-    1. hash each shingle STRING once (xxhash64) into a `_h0` column;
-    2. derive the per-seed family by re-hashing the resulting LONGS
-       (xxhash64(h, seed)) — ~15-20× cheaper than re-hashing strings per
-       seed, and min(xxhash64(·, seed) ∘ h) is still a MinHash family.
+    1. hash each TOKEN once (xxhash64 of the split words) into a `_th`
+       column;
+    2. compose each k-shingle's hash from the k consecutive TOKEN HASHES
+       (``xxhash64(h_i, …, h_{i+k-1})``) — no shingle strings are ever
+       built. The r2 profile showed shingle-STRING construction
+       (slice + concat_ws over ~6×10⁷ positions) was 66 s of a 76 s
+       signature build at 1M turns; token-hash composition measures
+       3.8 s for the same stage (12 s full signature, 6×). The hash
+       family changes (values are engine-internal either way — rows-only
+       gates) but remains a uniform shingle identity: distinct token
+       sequences collide only via 64-bit xxhash collisions, same as the
+       string form;
+    3. derive the per-seed family by re-hashing the shingle LONGS
+       (xxhash64(h, seed)) — min(xxhash64(·, seed) ∘ h) is a MinHash
+       family.
 
-    The two projections are deliberate: referencing `_h0` as an attribute
-    lets Spark evaluate the expensive shingle hashing once, where a single
-    nested expression repeats it per seed (no CSE across lambda scopes).
+    The staged projections are deliberate: referencing `_th`/`_h0` as
+    attributes lets Spark evaluate each expensive stage once, where a
+    single nested expression repeats it per consumer (no CSE across
+    lambda scopes — the O(n²) trap).
+
+    Exact-Jaccard verification (``jaccard_verify``) keeps the STRING
+    shingles — it runs on candidates only and is the oracled anchor.
 
     ``parallelism``: repartition before hashing — a small parquet file
     arrives as ONE partition and would pin one core (the reference's
@@ -95,10 +110,21 @@ def minhash_signatures(
     """
     if parallelism:
         df = df.repartition(parallelism)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s)).alias("_h0"),
+    s1 = df.select(F.col(id_col).alias("id"), normalized_text(F.col(text_col)).alias("_nm"))
+    s2 = s1.select(
+        "id",
+        "_nm",
+        F.transform(F.split(F.col("_nm"), " "), lambda t: F.xxhash64(t)).alias("_th"),
     )
+    n = F.size(F.col("_th"))
+    h0 = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.xxhash64(*[F.element_at("_th", i + j + 1) for j in range(k)]),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.col("_nm"))))
+    base = s2.select("id", h0.alias("_h0"))
     return base.select(
         "id",
         F.array(

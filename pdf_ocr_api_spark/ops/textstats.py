@@ -10,14 +10,33 @@ from pyspark.sql import functions as F
 
 from .dedup import normalized_text, shingles
 
-# tiny stopword banks for the n-gram/stopword langid heuristic
-LANG_MARKERS: dict[str, str] = {
-    "en": r"\b(the|and|of|to|is|in)\b",
-    "es": r"\b(el|la|los|las|de|que|y)\b",
-    "de": r"\b(der|die|das|und|ist|nicht)\b",
-    "fr": r"\b(le|la|les|des|et|est)\b",
-    "pt": r"\b(o|a|os|as|de|que|nao|uma)\b",  # accent-folded basis
+# stopword banks for the n-gram/stopword langid heuristic, as word lists
+# (LANG_MARKERS derives the per-lang regexes; the sweep form fuses all
+# banks into ONE extract pass + per-lang membership counts). Markers are
+# matched on the accent-folded ASCII basis (_marker_basis), so every
+# word here must be pure ASCII — 'não'→'nao', Polish 'się' is NOT usable
+# (ę is outside the fold table) and the pl bank sticks to ASCII words.
+# Declaration order is the tie-break: new languages append at the END so
+# ties resolve exactly as before the r3 widening.
+LANG_WORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in"],
+    "es": ["el", "la", "los", "las", "de", "que", "y"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "des", "et", "est"],
+    "pt": ["o", "a", "os", "as", "de", "que", "nao", "uma"],
+    "it": ["il", "gli", "di", "che", "della", "sono", "anche"],
+    "nl": ["het", "een", "van", "niet", "zijn", "maar"],
+    "pl": ["jest", "nie", "przez", "oraz", "czy", "dla", "jak"],
 }
+LANG_MARKERS: dict[str, str] = {
+    lang: r"\b(" + "|".join(words) + r")\b" for lang, words in LANG_WORDS.items()
+}
+# one alternation over every distinct marker word: \b-bounded single-word
+# alternatives can only match a WHOLE token, so at any position at most
+# one alternative fits and the combined extract's hits distribute exactly
+# into the per-language counts (asserted fused == per-lang in tests)
+_ALL_MARKER_WORDS: list[str] = list(dict.fromkeys(w for ws in LANG_WORDS.values() for w in ws))
+COMBINED_MARKER_RX: str = r"\b(" + "|".join(_ALL_MARKER_WORDS) + r")\b"
 
 _PUNCT = r"[.,;:!?…]"
 _STOPWORDS_PT_EN = r"\b(the|and|of|o|a|de|que|e|do|da)\b"
@@ -91,18 +110,27 @@ def lang_id(col):
 
 
 def with_lang_id(df: DataFrame, text_col: str, out: str = "lang") -> DataFrame:
-    """Corpus-sweep form of lang_id: the accent-folded basis and the five
-    marker counts are STAGED as columns (one projection each), so every
-    regex runs exactly once per row regardless of how the argmax
-    references them."""
-    staged = df.withColumn("_lb", _marker_basis(F.col(text_col)))
+    """Corpus-sweep form of lang_id: ONE combined regex pass over the
+    accent-folded basis extracts every marker hit; per-language scores
+    are membership counts over that (short) hit array — the text is
+    traversed once regardless of how many language banks exist, where
+    the per-lang form pays one full regex pass per language (8 passes
+    after the r3 widening). Equivalence with ``lang_id``'s per-lang
+    counts is structural (a \\b-bounded single-word alternative matches
+    only whole tokens, so hits distribute exactly) and asserted in
+    tests. Hit arrays and scores are STAGED as columns so each is
+    computed once per row regardless of how the argmax references them."""
+    staged = df.withColumn(
+        "_lh",
+        F.regexp_extract_all(_marker_basis(F.col(text_col)), F.lit(COMBINED_MARKER_RX), 0),
+    )
     score_cols = [
-        F.size(F.regexp_extract_all(F.col("_lb"), F.lit(rx), 0)).alias(f"_s_{lang}")
-        for lang, rx in LANG_MARKERS.items()
+        F.size(F.filter(F.col("_lh"), lambda w: w.isin(*LANG_WORDS[lang]))).alias(f"_s_{lang}")
+        for lang in LANG_WORDS
     ]
     staged = staged.select("*", *score_cols)
     pick = _lang_id_from_scores([(lang, F.col(f"_s_{lang}")) for lang in LANG_MARKERS])
-    return staged.withColumn(out, pick).drop("_lb", *[f"_s_{lang}" for lang in LANG_MARKERS])
+    return staged.withColumn(out, pick).drop("_lh", *[f"_s_{lang}" for lang in LANG_MARKERS])
 
 
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

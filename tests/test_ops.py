@@ -544,3 +544,47 @@ def test_ivfpq_recall_and_roundtrip(near_dup_corpus, spark, tmp_path):
     b = [r.id for r in similarity.ivfpq_topk(
         codes2.filter(F.col("id") != 0), cents2, cbs2, q, k=5, nprobe=4).collect()]
     assert a == b
+
+
+def test_lang_id_widened_bank_and_confusion(spark):
+    """r3 widened banks (it/nl/pl) classify correctly, and the CONFUSION
+    cases that motivated careful word choices resolve right: Italian
+    'di/che' vs pt 'de/que', Dutch 'van/het' vs de 'und/der', Polish
+    ASCII markers vs de 'nie'(never), plus accented inputs through the
+    fold."""
+    rows = [
+        (0, "il gatto e il cane sono nella casa che anche la nonna ama di piu"),
+        (1, "het huis van de buren is niet groot maar een tuin zijn er wel"),
+        (2, "to jest dom przez ktory czy dla nas jak oraz dla was jest dobry"),
+        (3, "la casa del perro que esta cerca de los arboles y las flores"),
+        (4, "não é uma casa de que os vizinhos gostam"),   # accents fold -> pt
+        (5, "der hund ist nicht im haus und die katze"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: r.lang for r in df.select(
+        "doc_id", textstats.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {0: "it", 1: "nl", 2: "pl", 3: "es", 4: "pt", 5: "de"}
+
+
+def test_with_lang_id_fused_equals_per_lang(spark, docs):
+    """The fused single-pass sweep form must equal the per-lang
+    expression form on every row — including marker-free, null, empty
+    and cross-lang-overlap texts ('de' appears in es/pt/fr banks)."""
+    extra = [
+        (1000, None),
+        (1001, ""),
+        (1002, "de de de de"),                       # overlap-only text
+        (1003, "the la le der o il het jest"),       # one hit per bank
+    ]
+    df = docs.select("doc_id", "text").unionByName(
+        spark.createDataFrame(extra, "doc_id LONG, text STRING")
+    )
+    per_lang = {
+        r.doc_id: r.lang
+        for r in df.select("doc_id", textstats.lang_id(F.col("text")).alias("lang")).collect()
+    }
+    fused = {
+        r.doc_id: r.lang
+        for r in textstats.with_lang_id(df, "text").select("doc_id", "lang").collect()
+    }
+    assert fused == per_lang
