@@ -43,12 +43,21 @@ def _raw_nome(item: dict) -> str:
 # tables depend only on the list contents, so they are built once per
 # distinct list and every normalize_unidade call becomes two dict probes
 _NORM_CACHE: dict[tuple, dict] = {}
+# id(list) → (held list ref, prep): identity fast path, same rationale
+# as _PREP_BY_ID below (key construction walks the whole list per call)
+_NORM_BY_ID: dict[int, tuple] = {}
 
 
 def _prepare_norm(lista_unidades) -> dict:
+    ent = _NORM_BY_ID.get(id(lista_unidades))
+    if ent is not None and ent[0] is lista_unidades:
+        return ent[1]
     key = tuple((item.get("id"), _raw_nome(item)) for item in lista_unidades)
     prep = _NORM_CACHE.get(key)
     if prep is not None:
+        if len(_NORM_BY_ID) > 64:
+            _NORM_BY_ID.clear()
+        _NORM_BY_ID[id(lista_unidades)] = (lista_unidades, prep)
         return prep
 
     exact: dict[str, int] = {}
@@ -89,6 +98,9 @@ def _prepare_norm(lista_unidades) -> dict:
     if len(_NORM_CACHE) > 64:
         _NORM_CACHE.clear()
     _NORM_CACHE[key] = prep
+    if len(_NORM_BY_ID) > 64:
+        _NORM_BY_ID.clear()
+    _NORM_BY_ID[id(lista_unidades)] = (lista_unidades, prep)
     return prep
 
 
@@ -134,12 +146,25 @@ def _partes(item: dict) -> list[str]:
 # cheap union "gate" — most prose lines contain no unit token at all, and
 # the gate skips the ordered per-term scan for them (~2× on the text path)
 _PREP_CACHE: dict[tuple, dict] = {}
+# id(list) → (held list ref, prep); the ref pins the id (see _prepare_units)
+_PREP_BY_ID: dict[int, tuple] = {}
 
 
 def _prepare_units(lista_unidades) -> dict:
+    # identity fast path: the depara list object is stable for the life
+    # of the extractor closure, and building the content key below walks
+    # the whole unit list (~15 µs/call — profiled as HALF of
+    # detect_unidade's cost across 9k calls/batch). The held reference
+    # keeps id() from being reused.
+    ent = _PREP_BY_ID.get(id(lista_unidades))
+    if ent is not None and ent[0] is lista_unidades:
+        return ent[1]
     key = tuple((item.get("id"), _raw_nome(item)) for item in (lista_unidades or []))
     prep = _PREP_CACHE.get(key)
     if prep is not None:
+        if len(_PREP_BY_ID) > 64:
+            _PREP_BY_ID.clear()
+        _PREP_BY_ID[id(lista_unidades)] = (lista_unidades, prep)
         return prep
 
     entries: list[list[tuple[str, re.Pattern]]] = []
@@ -167,6 +192,9 @@ def _prepare_units(lista_unidades) -> dict:
     if len(_PREP_CACHE) > 64:
         _PREP_CACHE.clear()
     _PREP_CACHE[key] = prep
+    if len(_PREP_BY_ID) > 64:
+        _PREP_BY_ID.clear()
+    _PREP_BY_ID[id(lista_unidades)] = (lista_unidades, prep)
     return prep
 
 
