@@ -105,3 +105,53 @@ def test_simhash_banding_no_cartesian(spark):
     plan = PI.executed_plan(dedup.simhash_near_pairs(sim, max_hamming=3))
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
+def test_ivfpq_probe_prunes_partitions(spark, tmp_path):
+    """A persisted IVF×PQ index is partitioned by ivf_list; the probe
+    filter must reach the scan as a PARTITION filter (file pruning), not
+    a post-scan filter — at 100 TB the probe reads nprobe/n_lists of the
+    index, never all of it."""
+    import numpy as np
+
+    from pdf_ocr_api_spark.ops import similarity
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    codes, cents, cbs = similarity.ivfpq_index(emb, n_lists=8, m=4)
+    target = str(tmp_path / "ivfpq_plan_idx")
+    similarity.save_ivfpq_index(spark, codes, cents, cbs, target)
+    loaded, cents2, cbs2 = similarity.load_ivfpq_index(spark, target)
+    top = similarity.ivfpq_topk(loaded, cents2, cbs2, rows[0][1], k=5, nprobe=2)
+    plan = PI.formatted_plan(top)
+    # partition pruning shows as PartitionFilters with the isin/in list
+    assert "PartitionFilters" in plan and "ivf_list" in plan.split("PartitionFilters", 1)[1][:300], plan[:2000]
+    assert "TakeOrderedAndProject" in PI.executed_plan(top)
+
+
+def test_fused_lang_id_single_regex_pass(stored, depara):
+    """The sweep-form lang-ID must traverse the text ONCE: exactly one
+    regexp_extract_all over the marker alternation in the plan,
+    regardless of how many language banks exist (8 after r3)."""
+    from pdf_ocr_api_spark.ops import textstats
+
+    df = textstats.with_lang_id(stored.select(F.col("text")), "text")
+    plan = PI.formatted_plan(df)
+    assert plan.count("regexp_extract_all") == 1, plan[:2000]
+
+
+def test_segmented_assembly_no_conversation_window(stored, depara):
+    """conversation_records' segmented assembly must contain no window
+    partitioned by conv_id ALONE over service rows (that would funnel a
+    hot conversation into one task) — conv-grain windows may only run
+    over the tiny chunk-summary rows."""
+    from pdf_ocr_api_spark import conversation, pipeline
+
+    ext = pipeline.extract_transcripts(stored, depara)
+    recs = conversation.conversation_records(ext)
+    plan = PI.executed_plan(recs)
+    # the plan is allowed windows over (conv_id, _chunk) at row grain and
+    # over (conv_id) at summary grain; a cartesian or NLJ would be a bug
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
