@@ -578,6 +578,15 @@ def assemble_services_segmented(svc: DataFrame, chunk_turns: int = 512) -> DataF
     # raw columns would be planned as a SEPARATE branch that re-executes
     # the whole explode pipeline plus its own exchange (verified in the
     # formatted plan: duplicate Generate + 2 extra SortAggregates).
+    # NOTE on the remaining fan-out: Catalyst has no cross-branch subplan
+    # sharing, so svc.join(summaries) still plans the upstream subtree on
+    # both sides. Deliberate: re-reading the (persisted/stored) extraction
+    # and re-running explode+window is CHEAPER at scale than materializing
+    # the full windowed service frame just to avoid one recompute — the
+    # recomputed branch is map-side work over the cached input, while a
+    # materialization is an extra full write+read of the widest frame in
+    # the plan. lineage.run's stored-table pattern covers the case where
+    # the input itself is expensive.
     # NOT F.last(...) — inside groupBy().agg() Last is order-NON-
     # deterministic (partial aggs merge in shuffle arrival order);
     # max_by keyed on the unique (turn_idx, svc_idx) is order-free.

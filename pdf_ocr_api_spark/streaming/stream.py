@@ -81,3 +81,33 @@ def throughput_monitor(stream_df: DataFrame) -> DataFrame:
         )
         .select(F.col("win.start").alias("window_start"), "turns", "bytes_in")
     )
+
+
+def gate_stream(
+    extracted: DataFrame,
+    min_quality: float = 0.5,
+    langs: list | None = None,
+    min_tokens: int = 5,
+) -> DataFrame:
+    """Streaming corpus gates: the quality/language/token-floor stage of
+    ``ops.corpus.clean_corpus`` over a streaming extraction frame.
+
+    Everything here is stateless projection/filter (staged-count quality
+    features, fused single-pass lang-ID), so it streams unchanged — the
+    per-turn gated corpus is incrementally appendable with exactly-once
+    file-sink semantics. Near-dup removal is inherently cross-document
+    and stays a batch (or periodic compaction) stage over the gated
+    store; at 100 TB the standard layout is this stream feeding the
+    bronze→silver table and `near_dup_groups` running as the silver→gold
+    batch job."""
+    from pyspark.sql import functions as F
+
+    from ..ops import textstats
+
+    gated = textstats.with_lang_id(
+        textstats.with_quality(extracted, "clean_text"), "clean_text"
+    )
+    keep = (F.col("quality_score") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    if langs:
+        keep = keep & F.col("lang").isin(list(langs))
+    return gated.filter(keep)

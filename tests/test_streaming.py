@@ -223,3 +223,43 @@ def test_throughput_monitor_windows(spark, tmp_path):
     for ws, n in got.items():
         assert want[ws] == n, ws
     assert len(got) >= len(want) - 11  # 10-min watermark holds back the tail
+
+
+def test_gated_corpus_stream_matches_batch(spark, depara, tmp_path):
+    """The corpus quality/lang/token gates are stateless and must
+    produce identical rows streamed vs batch (the streaming half of
+    clean_corpus; dedup stays the batch compaction stage)."""
+    src = str(tmp_path / "gsrc")
+    out = str(tmp_path / "gout")
+    ckpt = str(tmp_path / "gckpt")
+
+    pdf = fixtures.fixture_frame(10)
+    sdf = spark.createDataFrame(pdf).withColumn("turn_idx", F.col("turn_idx").cast("int"))
+    sdf.repartition(4).write.parquet(src)
+
+    stream = S.gate_stream(
+        S.extract_stream(S.read_transcript_stream(spark, src), depara),
+        min_quality=0.3, min_tokens=3,
+    ).select("conv_id", "turn_idx", "clean_text", "lang", "n_tokens", "quality_score")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out).orderBy("conv_id", "turn_idx").toPandas()
+    want = (
+        S.gate_stream(
+            pipeline.extract_transcripts(spark.read.parquet(src), depara),
+            min_quality=0.3, min_tokens=3,
+        )
+        .select("conv_id", "turn_idx", "clean_text", "lang", "n_tokens", "quality_score")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    assert got.equals(want)
+    assert 0 < len(got) <= len(pdf)
