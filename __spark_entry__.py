@@ -718,6 +718,39 @@ def q_mm_media_features(spark, sf_dir):
     return feats.select("media_id", "n_bytes", F.round(F.element_at("feature", 1), 5).alias("f0"))
 
 
+def q_mm_media_real(spark, sf_dir):
+    """REAL multimodal decode path (rows-only: Python feature extractor
+    by design): each documents row's text bytes become a genuine 24-bit
+    BMP payload INSIDE the executors, and media_features routes it
+    through the actual numpy BMP decoder + image-feature extractor (not
+    the fake stand-in) — magic-byte sniffing, decode, per-channel stats
+    and luma grid all exercised distributed."""
+    from pdf_ocr_api_spark.ops import multimodal
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pdf_ocr_api_spark.ops import codecs
+
+        need = 16 * 12 * 3
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                b = (t or " ").encode("utf-8")
+                reps = need // len(b) + 1
+                arr = np.frombuffer((b * reps)[:need], np.uint8).reshape(12, 16, 3)
+                payloads.append(codecs.encode_bmp(arr))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "kind": "image", "payload": payloads}
+            )
+
+    media = d.mapInPandas(build, "media_id BIGINT, kind STRING, payload BINARY")
+    return multimodal.media_features(media)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # flagship extraction engine (rows-only; pytest suite carries the
@@ -776,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "mm_media_bytes": q_mm_media_bytes,
         "mm_media_features": q_mm_media_features,
+        "mm_media_real": q_mm_media_real,
     }
 
 

@@ -1,0 +1,221 @@
+"""Pure-numpy codecs for UNCOMPRESSED public media formats.
+
+The container has no codec libraries (PIL/libvips/ffmpeg), but three
+classic formats need none — their layouts are fixed-offset headers over
+raw sample arrays, parseable with ``struct`` + ``numpy``:
+
+* **BMP** (Windows bitmap, 24-bit uncompressed, BI_RGB): 14-byte file
+  header + 40-byte BITMAPINFOHEADER + BGR rows padded to 4 bytes,
+  bottom-up (or top-down when height < 0).
+* **WAV** (RIFF/WAVE, PCM 16-bit): RIFF container, ``fmt `` chunk with
+  format tag 1, ``data`` chunk of little-endian int16 samples.
+* **Y4M** (YUV4MPEG2): ASCII stream header (``YUV4MPEG2 W.. H.. F..``),
+  then per-frame ``FRAME\\n`` markers + raw 4:2:0 planes.
+
+These are the real-decoder backends for ``ops.multimodal`` — compressed
+formats (JPEG/PNG/MP3/MP4) remain honestly stubbed behind
+``NotImplementedError`` until a codec library exists here.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# BMP (24-bit uncompressed)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → 24-bit BI_RGB bottom-up BMP bytes."""
+    a = np.asarray(rgb, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) uint8, got {a.shape}")
+    h, w, _ = a.shape
+    row_nbytes = w * 3
+    pad = (-row_nbytes) % 4
+    padded = row_nbytes + pad
+    data_size = padded * h
+    # rows bottom-up, channels BGR, right-padded with zeros
+    rows = a[::-1, :, ::-1].reshape(h, row_nbytes)
+    if pad:
+        rows = np.concatenate([rows, np.zeros((h, pad), np.uint8)], axis=1)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+    return header + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit BI_RGB BMP bytes → (H, W, 3) uint8 RGB (bottom-up or
+    top-down). Raises ValueError on anything that is not this exact
+    (but most common) flavor."""
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP flavor: bpp={bpp} compression={compression}")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    row_nbytes = w * 3
+    padded = row_nbytes + ((-row_nbytes) % 4)
+    need = data_offset + padded * h
+    if len(payload) < need:
+        raise ValueError("truncated BMP payload")
+    rows = np.frombuffer(payload, np.uint8, count=padded * h, offset=data_offset)
+    rows = rows.reshape(h, padded)[:, :row_nbytes].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def resize_nearest(rgb: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure index math — the deterministic,
+    library-free kernel; a real pipeline swaps in an area/lanczos kernel
+    with the same (array → array) contract)."""
+    a = np.asarray(rgb)
+    h, w = a.shape[:2]
+    yi = (np.arange(height) * (h / height)).astype(np.int64).clip(0, h - 1)
+    xi = (np.arange(width) * (w / width)).astype(np.int64).clip(0, w - 1)
+    return a[yi][:, xi]
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM 16-bit)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """(n,) or (n, channels) int16 → RIFF/WAVE PCM bytes."""
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    data = a.astype("<i2").tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    out = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return out
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM-16 bytes → ((n, channels) int16, sample_rate)."""
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV flavor: tag={tag} bits={bits}")
+    n = len(data) // (2 * ch)
+    samples = np.frombuffer(data, "<i2", count=n * ch).reshape(n, ch)
+    return samples.copy(), rate
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2, 4:2:0)
+# ---------------------------------------------------------------------------
+
+
+def encode_y4m(frames_y: np.ndarray, fps: int = 25) -> bytes:
+    """(n_frames, H, W) uint8 luma → YUV4MPEG2 4:2:0 bytes (chroma
+    planes neutral 128 — a grayscale video)."""
+    a = np.asarray(frames_y, dtype=np.uint8)
+    n, h, w = a.shape
+    if h % 2 or w % 2:
+        raise ValueError("Y4M 4:2:0 needs even dimensions")
+    chroma = np.full((h // 2) * (w // 2), 128, np.uint8).tobytes()
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode("ascii")]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(a[i].tobytes())
+        out.append(chroma)
+        out.append(chroma)
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, int]:
+    """YUV4MPEG2 4:2:0 bytes → ((n_frames, H, W) uint8 luma, fps).
+    Chroma planes are parsed (for offsets) but only luma is returned —
+    the feature/frame-sample consumers here are luma-based."""
+    if payload is None or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a Y4M payload")
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode("ascii", "replace").split(" ")
+    w = h = None
+    fps = 25
+    for tok in header[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("F"):
+            fps = int(tok[1:].split(":")[0])
+        elif tok.startswith("C") and tok[1:] not in ("420", "420jpeg", "420mpeg2"):
+            raise ValueError(f"unsupported Y4M chroma mode {tok}")
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    luma_n = w * h
+    chroma_n = (w // 2) * (h // 2)
+    frame_n = luma_n + 2 * chroma_n
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fe = payload.index(b"\n", pos)  # FRAME line (may carry params)
+        if not payload[pos:fe].startswith(b"FRAME"):
+            raise ValueError("Y4M frame marker missing")
+        body = payload[fe + 1 : fe + 1 + frame_n]
+        if len(body) < frame_n:
+            raise ValueError("truncated Y4M frame")
+        frames.append(np.frombuffer(body, np.uint8, count=luma_n).reshape(h, w))
+        pos = fe + 1 + frame_n
+    return np.stack(frames) if frames else np.zeros((0, h, w), np.uint8), fps
+
+
+# ---------------------------------------------------------------------------
+# magic-byte sniffing
+# ---------------------------------------------------------------------------
+
+
+def sniff_codec(payload: bytes | None) -> str | None:
+    """'bmp' | 'wav' | 'y4m' when the payload is one of the decodable
+    uncompressed formats, else None (codec-bound or unknown)."""
+    if not payload:
+        return None
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:9] == b"YUV4MPEG2":
+        return "y4m"
+    return None

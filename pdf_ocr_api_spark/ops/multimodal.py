@@ -1,14 +1,13 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata.
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
-metadata struct. The Spark-side plumbing — schema, partition sizing,
-Arrow batch shape, UDF signatures — is real and tested; the actual codec
-work is STUBBED (no image/audio libraries in this container):
-
-* ``decode_image`` raises ``NotImplementedError`` (clearly marked stub);
-* ``fake_features`` is the deterministic stand-in used by tests — a
-  seeded hash-derived vector, so the distributed plumbing can be verified
-  byte-for-byte without a codec.
+metadata struct. Decode/feature/resize/frame-sample are REAL for the
+uncompressed public formats a pure-numpy codec can parse (``codecs.py``:
+24-bit BMP images, PCM-16 WAV audio, YUV4MPEG2 video); compressed
+formats (JPEG/PNG/MP3/MP4) remain honestly stubbed behind
+``NotImplementedError`` — no codec library ships in this container —
+with ``fake_features`` as the deterministic stand-in that keeps the
+distributed plumbing byte-verifiable for ANY payload.
 
 At 100 TB the binary column dominates IO: keep media in its own table
 (or Iceberg file-split-friendly column ordering), size Arrow batches by
@@ -34,11 +33,42 @@ FEATURE_SCHEMA = "media_id BIGINT, kind STRING, n_bytes BIGINT, feature ARRAY<FL
 FEATURE_DIM = 16
 
 
-def decode_image(payload: bytes):
-    """STUB: real image decode requires a codec library (PIL/libvips),
-    not available in this container. The Spark plumbing calls
-    ``fake_features`` instead; swap this in when a codec is present."""
-    raise NotImplementedError("image decode stub — no codec library in this environment")
+def decode_image(payload: bytes) -> np.ndarray:
+    """Image decode: REAL for 24-bit uncompressed BMP (pure numpy,
+    ``codecs.decode_bmp``); compressed formats (JPEG/PNG/…) raise
+    ``NotImplementedError`` until a codec library exists here."""
+    from . import codecs
+
+    if codecs.sniff_codec(payload) == "bmp":
+        return codecs.decode_bmp(payload)
+    raise NotImplementedError(
+        "compressed-image decode needs a codec library (PIL/libvips) — "
+        "absent in this container; BMP decodes for real"
+    )
+
+
+def decode_audio(payload: bytes):
+    """Audio decode: REAL for PCM-16 WAV → ((n, ch) int16, rate);
+    compressed audio raises NotImplementedError (no codec library)."""
+    from . import codecs
+
+    if codecs.sniff_codec(payload) == "wav":
+        return codecs.decode_wav(payload)
+    raise NotImplementedError(
+        "compressed-audio decode needs a codec library — absent here; PCM WAV decodes for real"
+    )
+
+
+def decode_video_frames(payload: bytes):
+    """Video decode: REAL for YUV4MPEG2 → ((n_frames, H, W) luma, fps);
+    container formats (MP4/MKV) raise NotImplementedError."""
+    from . import codecs
+
+    if codecs.sniff_codec(payload) == "y4m":
+        return codecs.decode_y4m(payload)
+    raise NotImplementedError(
+        "container-video decode needs ffmpeg — absent here; Y4M decodes for real"
+    )
 
 
 def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
@@ -52,15 +82,81 @@ def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return rng.standard_normal(dim).astype(np.float32)
 
 
+def image_features(rgb: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """REAL image features from a decoded (H, W, 3) array: per-channel
+    mean/std (6), aspect ratio (1), and a 3×3 nearest-downsampled luma
+    grid (9) — 16 dims, all numpy."""
+    from . import codecs
+
+    a = rgb.astype(np.float32)
+    luma = a @ np.array([0.299, 0.587, 0.114], np.float32)
+    grid = codecs.resize_nearest(luma, 3, 3).reshape(-1) / 255.0
+    h, w = a.shape[:2]
+    out = np.concatenate(
+        [a.mean(axis=(0, 1)) / 255.0, a.std(axis=(0, 1)) / 255.0, [w / max(h, 1)], grid]
+    ).astype(np.float32)
+    return out[:dim] if len(out) >= dim else np.pad(out, (0, dim - len(out)))
+
+
+def audio_features(samples: np.ndarray, rate: int, dim: int = FEATURE_DIM) -> np.ndarray:
+    """REAL audio features from PCM samples: RMS, peak, zero-crossing
+    rate, duration (4) + 12 log-magnitude FFT band energies — 16 dims."""
+    x = samples.astype(np.float32).mean(axis=1) / 32768.0
+    n = len(x)
+    if n == 0:
+        return np.zeros(dim, np.float32)
+    rms = float(np.sqrt((x * x).mean()))
+    peak = float(np.abs(x).max())
+    zcr = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) if n > 1 else 0.0
+    dur = n / max(rate, 1)
+    spec = np.abs(np.fft.rfft(x))
+    bands = np.array_split(spec, 12)
+    energies = np.log1p(np.array([b.mean() if len(b) else 0.0 for b in bands], np.float32))
+    out = np.concatenate([[rms, peak, zcr, dur], energies]).astype(np.float32)
+    return out[:dim] if len(out) >= dim else np.pad(out, (0, dim - len(out)))
+
+
+def video_features(frames_y: np.ndarray, fps: int, dim: int = FEATURE_DIM) -> np.ndarray:
+    """REAL video features from decoded luma frames: frame count, fps,
+    global mean/std, mean inter-frame absolute difference (motion), and
+    per-frame means of up to 11 evenly sampled frames — 16 dims."""
+    n = len(frames_y)
+    if n == 0:
+        return np.zeros(dim, np.float32)
+    f = frames_y.astype(np.float32) / 255.0
+    motion = float(np.abs(np.diff(f, axis=0)).mean()) if n > 1 else 0.0
+    idx = np.linspace(0, n - 1, min(n, 11)).astype(np.int64)
+    per_frame = f[idx].mean(axis=(1, 2))
+    head = np.array([n, fps, f.mean(), f.std(), motion], np.float32)
+    out = np.concatenate([head, per_frame]).astype(np.float32)
+    return out[:dim] if len(out) >= dim else np.pad(out, (0, dim - len(out)))
+
+
+def media_feature_vector(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Feature router: REAL features for decodable payloads (BMP / WAV /
+    Y4M via magic bytes), deterministic fake stand-in for codec-bound or
+    unknown bytes — so one UDF serves mixed corpora."""
+    from . import codecs
+
+    kind = codecs.sniff_codec(payload)
+    if kind == "bmp":
+        return image_features(codecs.decode_bmp(payload), dim)
+    if kind == "wav":
+        return audio_features(*codecs.decode_wav(payload), dim=dim)
+    if kind == "y4m":
+        return video_features(*codecs.decode_y4m(payload), dim=dim)
+    return fake_features(payload, dim)
+
+
 def extract_features_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas body: binary payload column → feature vectors.
 
     The per-element loop is over *media objects* (one payload = one
-    document), with the numeric work vectorizable inside the extractor —
-    the same batch shape a real decoder (decode → resize → embed) uses.
+    document), with the numeric work vectorized inside each extractor —
+    decode → features all numpy; no payload ever leaves the executor.
     """
     for pdf in batches:
-        feats = [fake_features(p).tolist() for p in pdf["payload"]]
+        feats = [media_feature_vector(p).tolist() for p in pdf["payload"]]
         yield pd.DataFrame(
             {
                 "media_id": pdf["media_id"],
@@ -95,9 +191,70 @@ def synthesize_media(spark, n: int = 64):
     return df
 
 
-def resize_image(payload: bytes, width: int, height: int):
-    """STUB: image resize needs a codec (PIL/libvips) — absent here."""
-    raise NotImplementedError("image resize stub — no codec library in this environment")
+def synthesize_real_media(spark, n: int = 30):
+    """Deterministic media table with REAL decodable payloads: 24-bit
+    BMP gradients (image), PCM-16 WAV tones (audio), Y4M moving-bar
+    clips (video) — cycling by id, seeded, identical on every call.
+    Driver-generated (payloads are KB-scale test fixtures); production
+    media arrives from a binary source, not from here."""
+    from pyspark.sql import types as T
+
+    from . import codecs
+
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        rng = np.random.default_rng(1000 + i)
+        if kind == "image":
+            w, h = 16 + (i % 3) * 8, 12 + (i % 2) * 8
+            x = np.linspace(0, 255, w, dtype=np.float32)[None, :]
+            y = np.linspace(0, 255, h, dtype=np.float32)[:, None]
+            rgb = np.stack(
+                [np.broadcast_to(x, (h, w)), np.broadcast_to(y, (h, w)), rng.integers(0, 255, (h, w))],
+                axis=2,
+            ).astype(np.uint8)
+            payload, meta = codecs.encode_bmp(rgb), ("image/bmp", w, h, 0)
+        elif kind == "audio":
+            rate, dur_ms = 8000, 125 + 25 * (i % 4)
+            t = np.arange(int(rate * dur_ms / 1000)) / rate
+            tone = (np.sin(2 * np.pi * (220 + 55 * i) * t) * 12000).astype(np.int16)
+            payload, meta = codecs.encode_wav(tone, rate), ("audio/wav", 0, 0, dur_ms)
+        else:
+            w, h, nf = 16, 12, 4 + i % 3
+            frames = np.zeros((nf, h, w), np.uint8)
+            for f in range(nf):
+                frames[f, :, (f * 3) % w : (f * 3) % w + 2] = 255
+            payload, meta = codecs.encode_y4m(frames), ("video/y4m", w, h, nf * 40)
+        rows.append((i, kind, bytearray(payload), meta))
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("mime", T.StringType()),
+                        T.StructField("width", T.IntegerType()),
+                        T.StructField("height", T.IntegerType()),
+                        T.StructField("duration_ms", T.IntegerType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Image resize: REAL for BMP payloads — decode → nearest-neighbor
+    kernel → re-encode BMP, all numpy; compressed formats raise
+    NotImplementedError (no codec library here)."""
+    from . import codecs
+
+    rgb = decode_image(payload)  # raises NotImplementedError for codec-bound formats
+    return codecs.encode_bmp(codecs.resize_nearest(rgb, width, height))
 
 
 def fake_resized_bytes(payload: bytes, width: int, height: int) -> bytes:
@@ -111,7 +268,15 @@ RESIZE_SCHEMA = "media_id BIGINT, width INT, height INT, payload BINARY"
 
 
 def resize_media(df, width: int = 64, height: int = 64):
-    """binary media → resized binary (mapInPandas; deterministic fake)."""
+    """binary media → resized binary (mapInPandas): REAL
+    decode→resize→re-encode for BMP payloads, deterministic fake bytes
+    for codec-bound formats (same bytes→bytes contract)."""
+    from . import codecs
+
+    def one(p, w, h):
+        if codecs.sniff_codec(p) == "bmp":
+            return resize_image(p, w, h)
+        return fake_resized_bytes(p, w, h)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -120,7 +285,7 @@ def resize_media(df, width: int = 64, height: int = 64):
                     "media_id": pdf["media_id"],
                     "width": width,
                     "height": height,
-                    "payload": [fake_resized_bytes(p, width, height) for p in pdf["payload"]],
+                    "payload": [one(p, width, height) for p in pdf["payload"]],
                 }
             )
 
@@ -131,18 +296,34 @@ FRAME_SCHEMA = "media_id BIGINT, frame_idx INT, frame ARRAY<FLOAT>"
 
 
 def frame_sample(df, n_frames: int = 4):
-    """Video frame sampling plumbing: one media row → n_frames feature
-    rows (the UDTF row-expansion shape a real decoder uses; frames are
-    deterministic fakes seeded by (payload, frame_idx))."""
+    """Video frame sampling: one media row → n_frames feature rows (the
+    UDTF row-expansion shape). REAL for Y4M payloads — evenly sampled
+    decoded frames, per-frame image features over the luma plane; fake
+    deterministic frames for codec-bound formats."""
+    from . import codecs
+
+    def rows_for(payload):
+        if codecs.sniff_codec(payload) == "y4m":
+            frames_y, _fps = codecs.decode_y4m(payload)
+            if len(frames_y):
+                idx = np.linspace(0, len(frames_y) - 1, n_frames).astype(np.int64)
+                return [
+                    image_features(np.repeat(frames_y[j][:, :, None], 3, axis=2)).tolist()
+                    for j in idx
+                ]
+        return [
+            fake_features((payload or b"") + i.to_bytes(2, "big")).tolist()
+            for i in range(n_frames)
+        ]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                for i in range(n_frames):
+                for i, feat in enumerate(rows_for(payload)):
                     ids.append(mid)
                     idxs.append(i)
-                    frames.append(fake_features((payload or b"") + i.to_bytes(2, "big")).tolist())
+                    frames.append(feat)
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(fn, schema=FRAME_SCHEMA)
