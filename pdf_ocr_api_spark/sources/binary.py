@@ -23,6 +23,12 @@ _MAGIC = [
     ("jpeg", b"\xff\xd8\xff"),
     ("gif", b"GIF8"),
     ("zip", b"PK\x03\x04"),
+    # the pure-numpy-decodable formats (ops/codecs.py) — RIFF is sniffed
+    # as 'riff' here (WAV vs AVI needs bytes 8-12; ops.codecs.sniff_codec
+    # does the full check Python-side where the payload is in hand)
+    ("bmp", b"BM"),
+    ("riff", b"RIFF"),
+    ("y4m", b"YUV4MPEG2"),
 ]
 
 
