@@ -49,15 +49,20 @@ _NORM_BY_ID: dict[int, tuple] = {}
 
 
 def _prepare_norm(lista_unidades) -> dict:
+    # identity fast path assumes the depara list is IMMUTABLE job config
+    # (it is: captured once per extractor closure, like the reference's
+    # per-job payload). The len() check catches the common append/remove
+    # mutation and falls back to the content-key path; in-place edits of
+    # an item dict are NOT detected — copy the list to change it.
     ent = _NORM_BY_ID.get(id(lista_unidades))
-    if ent is not None and ent[0] is lista_unidades:
+    if ent is not None and ent[0] is lista_unidades and len(ent[0]) == ent[2]:
         return ent[1]
     key = tuple((item.get("id"), _raw_nome(item)) for item in lista_unidades)
     prep = _NORM_CACHE.get(key)
     if prep is not None:
         if len(_NORM_BY_ID) > 64:
             _NORM_BY_ID.clear()
-        _NORM_BY_ID[id(lista_unidades)] = (lista_unidades, prep)
+        _NORM_BY_ID[id(lista_unidades)] = (lista_unidades, prep, len(lista_unidades))
         return prep
 
     exact: dict[str, int] = {}
@@ -100,7 +105,7 @@ def _prepare_norm(lista_unidades) -> dict:
     _NORM_CACHE[key] = prep
     if len(_NORM_BY_ID) > 64:
         _NORM_BY_ID.clear()
-    _NORM_BY_ID[id(lista_unidades)] = (lista_unidades, prep)
+    _NORM_BY_ID[id(lista_unidades)] = (lista_unidades, prep, len(lista_unidades))
     return prep
 
 
@@ -155,16 +160,17 @@ def _prepare_units(lista_unidades) -> dict:
     # of the extractor closure, and building the content key below walks
     # the whole unit list (~15 µs/call — profiled as HALF of
     # detect_unidade's cost across 9k calls/batch). The held reference
-    # keeps id() from being reused.
+    # keeps id() from being reused. Immutability assumption + len guard:
+    # see _prepare_norm.
     ent = _PREP_BY_ID.get(id(lista_unidades))
-    if ent is not None and ent[0] is lista_unidades:
+    if ent is not None and ent[0] is lista_unidades and len(ent[0] or ()) == ent[2]:
         return ent[1]
     key = tuple((item.get("id"), _raw_nome(item)) for item in (lista_unidades or []))
     prep = _PREP_CACHE.get(key)
     if prep is not None:
         if len(_PREP_BY_ID) > 64:
             _PREP_BY_ID.clear()
-        _PREP_BY_ID[id(lista_unidades)] = (lista_unidades, prep)
+        _PREP_BY_ID[id(lista_unidades)] = (lista_unidades, prep, len(lista_unidades or ()))
         return prep
 
     entries: list[list[tuple[str, re.Pattern]]] = []
@@ -194,7 +200,7 @@ def _prepare_units(lista_unidades) -> dict:
     _PREP_CACHE[key] = prep
     if len(_PREP_BY_ID) > 64:
         _PREP_BY_ID.clear()
-    _PREP_BY_ID[id(lista_unidades)] = (lista_unidades, prep)
+    _PREP_BY_ID[id(lista_unidades)] = (lista_unidades, prep, len(lista_unidades or ()))
     return prep
 
 

@@ -43,8 +43,18 @@ def _materialize(df: DataFrame, reliable_dir: str | None = None) -> DataFrame:
     if reliable_dir is None:
         return df.localCheckpoint(eager=True)
     sc = df.sparkSession.sparkContext
-    sc.setCheckpointDir(reliable_dir)
-    return df.checkpoint(eager=True)
+    # the checkpoint dir is SESSION-GLOBAL state: set it only for the
+    # duration of this (eager, so completed-on-return) checkpoint and
+    # restore any caller-configured dir afterwards — a library helper
+    # must not permanently redirect unrelated df.checkpoint() calls
+    prev = sc.getCheckpointDir()
+    if prev != reliable_dir:
+        sc.setCheckpointDir(reliable_dir)
+    try:
+        return df.checkpoint(eager=True)
+    finally:
+        if prev is not None and prev != reliable_dir:
+            sc.setCheckpointDir(prev)
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -237,10 +247,15 @@ def warn_dropped_buckets(pairs: DataFrame) -> int:
     try:
         metrics = obs.get
     except Exception:
+        metrics = None
+    if not metrics or metrics.get("dropped_buckets") is None:
         # AQE rebuilt the final plan without the CollectMetrics node (it
         # does this whenever a downstream stage is empty at runtime —
-        # i.e. exactly the every-bucket-over-cap case). Recompute the two
-        # scalars directly; one small extra job, only on this path.
+        # i.e. exactly the every-bucket-over-cap case). Depending on the
+        # Spark version this surfaces as obs.get RAISING or as a
+        # schemaless EMPTY row (→ empty/None-valued dict) — both must
+        # take this fallback, or recall loss goes silent. Recompute the
+        # two scalars directly; one small extra job, only on this path.
         sizes, cap = pairs._bucket_cap_fallback
         row = sizes.agg(
             F.sum((F.col("_bsz") > cap).cast("long")).alias("dropped_buckets"),

@@ -135,16 +135,24 @@ def video_features(frames_y: np.ndarray, fps: int, dim: int = FEATURE_DIM) -> np
 def media_feature_vector(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Feature router: REAL features for decodable payloads (BMP / WAV /
     Y4M via magic bytes), deterministic fake stand-in for codec-bound or
-    unknown bytes — so one UDF serves mixed corpora."""
+    unknown bytes — so one UDF serves mixed corpora.
+
+    A sniff hit is only a 2-9-byte prefix match: payloads that LOOK like
+    a decodable format but fail to parse (corrupt file, text starting
+    'BM…') fall back to the fake stand-in instead of raising — one bad
+    row must never kill a corpus-scale job."""
     from . import codecs
 
     kind = codecs.sniff_codec(payload)
-    if kind == "bmp":
-        return image_features(codecs.decode_bmp(payload), dim)
-    if kind == "wav":
-        return audio_features(*codecs.decode_wav(payload), dim=dim)
-    if kind == "y4m":
-        return video_features(*codecs.decode_y4m(payload), dim=dim)
+    try:
+        if kind == "bmp":
+            return image_features(codecs.decode_bmp(payload), dim)
+        if kind == "wav":
+            return audio_features(*codecs.decode_wav(payload), dim=dim)
+        if kind == "y4m":
+            return video_features(*codecs.decode_y4m(payload), dim=dim)
+    except ValueError:
+        pass
     return fake_features(payload, dim)
 
 
@@ -275,7 +283,10 @@ def resize_media(df, width: int = 64, height: int = 64):
 
     def one(p, w, h):
         if codecs.sniff_codec(p) == "bmp":
-            return resize_image(p, w, h)
+            try:
+                return resize_image(p, w, h)
+            except ValueError:  # sniffed-but-corrupt: degrade, never kill the job
+                pass
         return fake_resized_bytes(p, w, h)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -304,8 +315,11 @@ def frame_sample(df, n_frames: int = 4):
 
     def rows_for(payload):
         if codecs.sniff_codec(payload) == "y4m":
-            frames_y, _fps = codecs.decode_y4m(payload)
-            if len(frames_y):
+            try:
+                frames_y, _fps = codecs.decode_y4m(payload)
+            except ValueError:  # sniffed-but-corrupt: degrade, never kill the job
+                frames_y = None
+            if frames_y is not None and len(frames_y):
                 idx = np.linspace(0, len(frames_y) - 1, n_frames).astype(np.int64)
                 return [
                     image_features(np.repeat(frames_y[j][:, :, None], 3, axis=2)).tolist()

@@ -118,38 +118,24 @@ def _sq_dist(col, center: list[float]):
 
 
 def _fit_centroids_deterministic(
-    emb: DataFrame, n_lists: int, id_col: str, vec_col: str, seed: int, sample_cap: int = 8192
+    emb: DataFrame,
+    n_lists: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+    sample_cap: int = 8192,
+    sample=None,
 ) -> list[list[float]]:
     """Partitioning-independent k-means fit: the training sample is the
     ``sample_cap`` rows with the smallest xxhash64(id) — a VALUE-based
     selection, identical for any physical layout — and Lloyd's runs
-    driver-side on numpy with seeded init. At corpus scale the sample is
-    one TakeOrdered scan; 8k × few-hundred dims fits any driver."""
-    import numpy as np
-    from pyspark.sql import functions as F  # noqa: N812
-
-    rows = (
-        emb.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
-        .orderBy("h")
-        .limit(sample_cap)
-        .collect()
-    )
-    if not rows:
-        raise ValueError("ivf_index: no vectors to index (empty input)")
-    x = np.array([list(r.v) for r in rows], dtype=np.float64)
-    rng = np.random.default_rng(seed)
-    centers = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
-    x_sq = (x * x).sum(axis=1)[:, None]
-    for _ in range(25):
-        # |x|^2 + |c|^2 - 2xc^T: O(sample x k) memory, not sample x k x dim
-        d2 = x_sq + (centers * centers).sum(axis=1)[None, :] - 2.0 * (x @ centers.T)
-        assign = d2.argmin(axis=1)
-        new = np.array(
-            [x[assign == j].mean(axis=0) if (assign == j).any() else centers[j] for j in range(len(centers))]
-        )
-        if np.allclose(new, centers):
-            break
-        centers = new
+    driver-side on numpy with seeded init (the shared ``_lloyd`` kernel).
+    At corpus scale the sample is one TakeOrdered scan; 8k ×
+    few-hundred dims fits any driver. ``sample``: a pre-collected numpy
+    sample to reuse (composed indexes fit both quantizers from ONE
+    collection — see ``ivfpq_index``)."""
+    x = sample if sample is not None else _pq_sample(emb, id_col, vec_col, sample_cap)
+    centers = _lloyd(x, n_lists, seed)
     return [[float(v) for v in c] for c in centers]
 
 
@@ -160,11 +146,11 @@ def ivf_index(
     seed: int = 42,
     id_col: str = "vec_id",
     deterministic: bool = True,
+    sample=None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF (inverted-file) index: k-means coarse quantizer.
 
-    The centroids come from ``pyspark.ml`` KMeans (JVM-side Lloyd's);
-    list assignment is a pure expression — per-centroid squared
+    List assignment is a pure expression — per-centroid squared
     distances via zip_with, argmin via array_position(array_min) — so
     the assignment scan stays in codegen and parallelizes like any map.
 
@@ -180,7 +166,7 @@ def ivf_index(
     that mode (they ARE the index metadata).
     """
     if deterministic:
-        centroids = _fit_centroids_deterministic(emb, n_lists, id_col, vec_col, seed)
+        centroids = _fit_centroids_deterministic(emb, n_lists, id_col, vec_col, seed, sample=sample)
     else:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -196,6 +182,46 @@ def ivf_index(
     return assigned, centroids
 
 
+def _write_centroids(spark, centroids: list[list[float]], target: str) -> None:
+    spark_centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "list_id INT, centroid ARRAY<DOUBLE>",
+    )
+    from ..sources.io import write_table
+
+    write_table(spark_centroids, target, mode="create")
+
+
+def _read_centroids(spark, target: str) -> list[list[float]]:
+    from ..sources.io import read_table
+
+    rows = read_table(spark, target).orderBy("list_id").collect()
+    return [[float(x) for x in r.centroid] for r in rows]
+
+
+def _write_codebooks(spark, codebooks: list, target: str) -> None:
+    rows = [
+        (i, j, [float(x) for x in centroid])
+        for i, cb in enumerate(codebooks)
+        for j, centroid in enumerate(cb)
+    ]
+    meta = spark.createDataFrame(rows, "subspace INT, code INT, centroid ARRAY<DOUBLE>")
+    from ..sources.io import write_table
+
+    write_table(meta, target, mode="create")
+
+
+def _read_codebooks(spark, target: str) -> list:
+    from ..sources.io import read_table
+
+    rows = read_table(spark, target).orderBy("subspace", "code").collect()
+    m = max(r.subspace for r in rows) + 1
+    codebooks: list[list] = [[] for _ in range(m)]
+    for r in rows:
+        codebooks[r.subspace].append([float(x) for x in r.centroid])
+    return codebooks
+
+
 def save_ivf_index(spark, indexed: DataFrame, centroids: list[list[float]], target: str) -> None:
     """Persist an IVF index: the assigned vectors (partitioned by
     ivf_list so a probe prunes whole files/partitions) + the centroids
@@ -204,11 +230,7 @@ def save_ivf_index(spark, indexed: DataFrame, centroids: list[list[float]], targ
     from ..sources.io import write_table
 
     write_table(indexed, f"{target}_vectors", mode="create", partition_by=["ivf_list"])
-    spark_centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "list_id INT, centroid ARRAY<DOUBLE>",
-    )
-    write_table(spark_centroids, f"{target}_centroids", mode="create")
+    _write_centroids(spark, centroids, f"{target}_centroids")
 
 
 def load_ivf_index(spark, target: str) -> tuple[DataFrame, list[list[float]]]:
@@ -216,9 +238,7 @@ def load_ivf_index(spark, target: str) -> tuple[DataFrame, list[list[float]]]:
     from ..sources.io import read_table
 
     indexed = read_table(spark, f"{target}_vectors")
-    rows = read_table(spark, f"{target}_centroids").orderBy("list_id").collect()
-    centroids = [[float(x) for x in r.centroid] for r in rows]
-    return indexed, centroids
+    return indexed, _read_centroids(spark, f"{target}_centroids")
 
 
 def ivf_topk(
@@ -260,7 +280,7 @@ def _pq_sample(emb: DataFrame, id_col: str, vec_col: str, sample_cap: int = 8192
         .collect()
     )
     if not rows:
-        raise ValueError("pq_index: no vectors to index (empty input)")
+        raise ValueError("no vectors to index (empty input)")
     return np.array([list(r.v) for r in rows], dtype=np.float64)
 
 
@@ -290,6 +310,8 @@ def pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    sample=None,
+    keep_cols: tuple = (),
 ) -> tuple[DataFrame, list]:
     """Build a PQ index: (codes_df(id, codes ARRAY<INT>), codebooks).
 
@@ -303,7 +325,7 @@ def pq_index(
     expressions (see ``pq_topk``)."""
     import numpy as np
 
-    x = _pq_sample(emb, id_col, vec_col)
+    x = sample if sample is not None else _pq_sample(emb, id_col, vec_col)
     dim = x.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim={dim} must divide by m={m}")
@@ -333,7 +355,9 @@ def pq_index(
             codes[:, i] = d2.argmin(axis=1)
         return pd.Series(list(codes))
 
-    codes_df = emb.select(F.col(id_col).alias("id"), encode(F.col(vec_col)).alias("codes"))
+    codes_df = emb.select(
+        F.col(id_col).alias("id"), *keep_cols, encode(F.col(vec_col)).alias("codes")
+    )
     return codes_df, [c.tolist() for c in codebooks]
 
 
@@ -343,25 +367,14 @@ def save_pq_index(spark, codes_df: DataFrame, codebooks: list, target: str) -> N
     from ..sources.io import write_table
 
     write_table(codes_df, f"{target}_codes", mode="create")
-    rows = [
-        (i, j, [float(x) for x in centroid])
-        for i, cb in enumerate(codebooks)
-        for j, centroid in enumerate(cb)
-    ]
-    meta = spark.createDataFrame(rows, "subspace INT, code INT, centroid ARRAY<DOUBLE>")
-    write_table(meta, f"{target}_codebooks", mode="create")
+    _write_codebooks(spark, codebooks, f"{target}_codebooks")
 
 
 def load_pq_index(spark, target: str) -> tuple[DataFrame, list]:
     from ..sources.io import read_table
 
     codes = read_table(spark, f"{target}_codes")
-    rows = read_table(spark, f"{target}_codebooks").orderBy("subspace", "code").collect()
-    m = max(r.subspace for r in rows) + 1
-    codebooks: list[list] = [[] for _ in range(m)]
-    for r in rows:
-        codebooks[r.subspace].append([float(x) for x in r.centroid])
-    return codes, codebooks
+    return codes, _read_codebooks(spark, f"{target}_codebooks")
 
 
 def pq_topk(
@@ -430,16 +443,20 @@ def ivfpq_index(
     At 100 TB the index table is persisted partitioned by ``ivf_list``
     (as ``save_ivfpq_index`` does) so a probe prunes whole files; the
     codes column is ~m bytes/vector, so a probe's scan is RAM-speed even
-    for billion-vector lists. Both quantizers fit on the deterministic
-    value-hash sample — identical for any input partitioning."""
+    for billion-vector lists. Both quantizers fit on ONE deterministic
+    value-hash sample (one TakeOrdered collection, identical for any
+    input partitioning), and the index is built in ONE corpus pass: the
+    coarse assignment expression and the PQ encoder run in the same
+    projection — no self-join, no second scan."""
+    x = _pq_sample(emb, id_col, vec_col)
     assigned, centroids = ivf_index(
-        emb, n_lists, vec_col=vec_col, seed=seed, id_col=id_col
+        emb, n_lists, vec_col=vec_col, seed=seed, id_col=id_col, sample=x
     )
     codes_df, codebooks = pq_index(
-        emb, m, n_centroids, normalize, id_col=id_col, vec_col=vec_col, seed=seed
+        assigned, m, n_centroids, normalize, id_col=id_col, vec_col=vec_col,
+        seed=seed, sample=x, keep_cols=("ivf_list",),
     )
-    lists = assigned.select(F.col(id_col).alias("id"), "ivf_list")
-    return codes_df.join(lists, "id"), centroids, codebooks
+    return codes_df, centroids, codebooks
 
 
 def save_ivfpq_index(
@@ -451,32 +468,19 @@ def save_ivfpq_index(
     from ..sources.io import write_table
 
     write_table(codes, f"{target}_codes", mode="create", partition_by=["ivf_list"])
-    spark_centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "list_id INT, centroid ARRAY<DOUBLE>",
-    )
-    write_table(spark_centroids, f"{target}_centroids", mode="create")
-    rows = [
-        (i, j, [float(x) for x in centroid])
-        for i, cb in enumerate(codebooks)
-        for j, centroid in enumerate(cb)
-    ]
-    meta = spark.createDataFrame(rows, "subspace INT, code INT, centroid ARRAY<DOUBLE>")
-    write_table(meta, f"{target}_codebooks", mode="create")
+    _write_centroids(spark, centroids, f"{target}_centroids")
+    _write_codebooks(spark, codebooks, f"{target}_codebooks")
 
 
 def load_ivfpq_index(spark, target: str) -> tuple[DataFrame, list[list[float]], list]:
     from ..sources.io import read_table
 
     codes = read_table(spark, f"{target}_codes")
-    crows = read_table(spark, f"{target}_centroids").orderBy("list_id").collect()
-    centroids = [[float(x) for x in r.centroid] for r in crows]
-    rows = read_table(spark, f"{target}_codebooks").orderBy("subspace", "code").collect()
-    mm = max(r.subspace for r in rows) + 1
-    codebooks: list[list] = [[] for _ in range(mm)]
-    for r in rows:
-        codebooks[r.subspace].append([float(x) for x in r.centroid])
-    return codes, centroids, codebooks
+    return (
+        codes,
+        _read_centroids(spark, f"{target}_centroids"),
+        _read_codebooks(spark, f"{target}_codebooks"),
+    )
 
 
 def ivfpq_topk(

@@ -34,7 +34,7 @@ import re
 import pandas as pd
 
 from .extract.html_extract import extract_html
-from .extract.pdf_layout import extract_pdf_layout
+from .extract.pdf_layout import document_metadata, extract_pdf_layout
 from .extract.services import parse_services_tiered
 from .functions import patterns as P
 from .functions.normalize import v_clean_line
@@ -384,8 +384,6 @@ def _extract_frame(
             continue
 
         if with_metadata:
-            from .extract.pdf_layout import document_metadata
-
             metas[p] = document_metadata(doc)
 
         if "elements" in doc:

@@ -25,11 +25,19 @@ _MAGIC = [
     ("zip", b"PK\x03\x04"),
     # the pure-numpy-decodable formats (ops/codecs.py) — RIFF is sniffed
     # as 'riff' here (WAV vs AVI needs bytes 8-12; ops.codecs.sniff_codec
-    # does the full check Python-side where the payload is in hand)
-    ("bmp", b"BM"),
+    # does the full check Python-side where the payload is in hand).
+    # 'BM' alone is a 2-byte prefix (1/65536 of random payloads, any text
+    # starting "BM…"), so the bmp entry is validated separately below:
+    # byte 14 must be a known BITMAPINFOHEADER size (40/108/124).
     ("riff", b"RIFF"),
     ("y4m", b"YUV4MPEG2"),
 ]
+
+
+def _is_bmp(payload_col):
+    return (F.hex(payload_col.substr(1, 2)) == "424D") & F.hex(
+        payload_col.substr(15, 1)
+    ).isin("28", "6C", "7C")
 
 
 def read_binary_docs(spark: SparkSession, path_glob: str) -> DataFrame:
@@ -49,7 +57,7 @@ def read_binary_docs(spark: SparkSession, path_glob: str) -> DataFrame:
 def sniff_kind(payload_col):
     """Magic-byte payload classifier (expression — runs in codegen).
     Binary columns have no startswith; compare the hex of the prefix."""
-    expr = F.lit("unknown")
+    expr = F.when(_is_bmp(payload_col), F.lit("bmp")).otherwise(F.lit("unknown"))
     for kind, magic in reversed(_MAGIC):
         prefix_hex = F.hex(payload_col.substr(1, len(magic)))
         expr = F.when(prefix_hex == magic.hex().upper(), kind).otherwise(expr)

@@ -664,3 +664,51 @@ def test_real_decode_resize_and_features(spark):
     for p in rs.payload:
         dec = codecs.decode_bmp(bytes(p))
         assert dec.shape == (4, 4, 3)
+
+
+def test_corrupt_sniffed_payloads_degrade_not_crash(spark):
+    """Payloads whose magic bytes sniff as decodable but fail to parse
+    (corrupt files, text starting 'BM…') must fall back to the fake
+    stand-ins — one bad row must never kill a corpus job."""
+    bad = [
+        (0, "image", bytearray(b"BMW sales figures for the quarter are up")),
+        (1, "image", bytearray(b"BM" + b"\x00" * 60)),           # BM + junk header
+        (2, "audio", bytearray(b"RIFF\x00\x00\x00\x00WAVEjunk")),  # no fmt/data
+        (3, "video", bytearray(b"YUV4MPEG2 W16 H12 F25:1\nFRAME\ntrunc")),
+        (4, "image", None),
+    ]
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    media = spark.createDataFrame(bad, schema)
+    feats = multimodal.media_features(media).orderBy("media_id").collect()
+    assert len(feats) == 5 and all(len(r.feature) == 16 for r in feats)
+    # scalar router agrees with the fake stand-in for each corrupt payload
+    for mid, _k, p in bad[:4]:
+        pb = bytes(p)
+        assert (multimodal.media_feature_vector(pb) == multimodal.fake_features(pb)).all()
+    rs = multimodal.resize_media(media, 8, 8).collect()
+    assert len(rs) == 5
+    fr = multimodal.frame_sample(media.filter("media_id = 3"), n_frames=2).collect()
+    assert len(fr) == 2
+
+
+def test_sniff_kind_bmp_validation(spark):
+    """sniff_kind must not classify arbitrary 'BM…' bytes as bmp — only
+    payloads with a known BITMAPINFOHEADER size byte at offset 14."""
+    from pdf_ocr_api_spark.ops import codecs
+    from pdf_ocr_api_spark.sources.binary import sniff_kind
+
+    real = codecs.encode_bmp(np.zeros((4, 4, 3), np.uint8))
+    rows = [
+        (0, bytearray(real)),
+        (1, bytearray(b"BMW sales figures, a text document")),
+        (2, bytearray(b"RIFF\x00\x00\x00\x00WAVEdata")),
+        (3, bytearray(b"YUV4MPEG2 W2 H2 F25:1\n")),
+    ]
+    df = spark.createDataFrame(rows, "i LONG, payload BINARY")
+    got = {r.i: r.kind for r in df.select("i", sniff_kind(F.col("payload")).alias("kind")).collect()}
+    assert got == {0: "bmp", 1: "unknown", 2: "riff", 3: "y4m"}
