@@ -134,11 +134,14 @@ def _fast_tree(payload: str) -> _Node:
         if m is None:
             break
         pos = m.end()
-        name = m.group(2)
+        # one group() call for all three operands (profiled: 3 separate
+        # calls were ~20 % of the tokenizer loop); tags are almost always
+        # already lowercase — islower() avoids the allocation
+        closing, name, selfclose_mark = m.group(1, 2, 4)
         if name is None:  # comment / cdata / doctype / PI
             continue
-        tag = name.lower()
-        if m.group(1):  # end tag
+        tag = name if name.islower() else name.lower()
+        if closing:  # end tag
             if skip:
                 if tag in _SKIP_TAGS:
                     skip -= 1
@@ -151,7 +154,7 @@ def _fast_tree(payload: str) -> _Node:
             if node is not None and node.parent is not None:
                 cur = node.parent
             continue
-        selfclose = bool(m.group(4))
+        selfclose = bool(selfclose_mark)
         if skip:
             if tag in _SKIP_TAGS and not selfclose:
                 skip += 1
