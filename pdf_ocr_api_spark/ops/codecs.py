@@ -134,6 +134,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        # struct.error is NOT a ValueError — a short fmt chunk must still
+        # surface as the parse-failure type the routers degrade on
+        raise ValueError(f"WAV fmt chunk too short ({len(fmt)} bytes)")
     tag, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", fmt, 0)
     if tag != 1 or bits != 16:
         raise ValueError(f"unsupported WAV flavor: tag={tag} bits={bits}")
