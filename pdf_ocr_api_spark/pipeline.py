@@ -313,11 +313,22 @@ def _extract_frame(
         batch_rows: dict = {}
         slow_labels: set = set()
         if with_services:
-            # route: ';' (possible tier-2) or a planilha marker (tier-3
-            # slice) → scalar cascade; everything else → batch tier 3
-            # (parity-fuzzed against the scalar path in tests)
+            # route: a REAL tier-2 trigger (CAT_SPLIT matching — not just
+            # any ';': tier 2 falls through to the same line parser the
+            # batch path twins when the split yields one segment, so
+            # ';'-only texts are routed fast with identical output) or a
+            # planilha marker (tier-3 slice) → scalar cascade; everything
+            # else → batch tier 3 (parity-fuzzed against the scalar path
+            # in tests). The ';' pre-screen keeps the heavier lookahead
+            # regex off the (majority) semicolon-free texts.
+            import pandas as _pd
+
             sub_f = sub.fillna("")
-            slow_mask = sub_f.str.contains(";", regex=False) | sub_f.str.contains(_MARKER_RX, regex=True)
+            semi = sub_f.str.contains(";", regex=False)
+            cat_mask = _pd.Series(False, index=sub_f.index)
+            if semi.any():
+                cat_mask.loc[semi] = sub_f[semi].str.contains(P.CAT_SPLIT)
+            slow_mask = cat_mask | sub_f.str.contains(_MARKER_RX, regex=True)
             slow_labels = set(sub.index[slow_mask])
             fast_lines = tp_lines[~tp_lines.index.isin(slow_labels)]
             from .extract.services import parse_lines_batch
@@ -354,6 +365,12 @@ def _extract_frame(
             tpos += 1
 
     # ---------------- html + json payloads ----------------
+    # NOTE (measured, r3): deferring no-CAT/no-marker DOC texts to
+    # parse_lines_batch was tried and REVERTED — doc payloads are
+    # service-dense, so most lines hit the J4 unit gate and take the
+    # per-line scalar loop inside the batch parser anyway; the batch
+    # machinery overhead made extraction ~15 % slower (208 → 245 µs/turn).
+    # The batch path wins only for prose-dominated text turns.
     for p in range(n):
         r = routes[p]
         if r == "text":
