@@ -640,6 +640,31 @@ def q_ann_pq(spark, sf_dir):
     return similarity.pq_topk(codes, cb, list(qv), k=10, emb=cand)
 
 
+def q_ann_batch_cosine(spark, sf_dir):
+    """Batched multi-query exact ANN — ONE corpus scan for all queries
+    (broadcast query table + per-query window top-k). Ranked on
+    round(cosine, 4) like ann_brute_cosine (DuckDB computes in float32;
+    4 decimals is the common exactness), id tie-break."""
+    from pyspark.sql import Window
+
+    from pdf_ocr_api_spark.ops import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cand = e.filter(F.col("vec_id") >= 3)
+    scored = cand.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        F.col("vec_id").alias("id"),
+        F.round(
+            similarity.cosine_pair_expr(F.col("embedding"), F.col("query_vec")).cast("double"), 4
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= 10).drop("_rk")
+
+
 def q_ann_ivfpq(spark, sf_dir):
     """IVF×PQ composed ANN (the disk-scale IVFADC layout): coarse-probe
     the nearest lists, LUT-score the surviving PQ codes in codegen,
@@ -805,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
         "ann_ivfpq": q_ann_ivfpq,
+        "ann_batch_cosine": q_ann_batch_cosine,
         "dedup_embedding": q_dedup_embedding,
         "clean_corpus": q_clean_corpus,
         "mm_media_bytes": q_mm_media_bytes,
@@ -1173,6 +1199,19 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q
             WHERE e.vec_id <> 0
             ORDER BY cosine DESC, id ASC LIMIT 10
+        """,
+        "ann_batch_cosine": """
+            SELECT query_id, id, cosine FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS id,
+                     round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 4) AS cosine,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 4) DESC,
+                                e.vec_id ASC
+                     ) AS rk
+              FROM embeddings e JOIN embeddings q ON q.vec_id < 3
+              WHERE e.vec_id >= 3
+            ) WHERE rk <= 10
         """,
         "dedup_embedding": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

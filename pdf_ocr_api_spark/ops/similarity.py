@@ -56,6 +56,46 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_batch(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k for MANY queries in ONE corpus scan: broadcast
+    the (small) query table, score every (vector, query) pair with the
+    JVM cosine expression, keep each query's top k via a per-query
+    window. Returns (query_id, id, cosine) with (cosine desc, id asc)
+    rank order; cosine rounded to 6 decimals BEFORE ranking so ties
+    break identically everywhere.
+
+    This is the batch-scoring shape a training pipeline needs (dedupe a
+    corpus against N seed/blocklist vectors, score against N probes):
+    per-query ``brute_force_topk`` would scan the corpus N times; this
+    scans once, and the only shuffle is the per-query top-k aggregation
+    on uniform query-id keys. At 100 TB with thousands of queries,
+    compose with the IVF/PQ indexes instead (probe per query); for the
+    tens-of-queries regime the broadcast product is the right plan."""
+    from pyspark.sql import Window
+
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        F.col(qid_col).alias("query_id"),
+        F.col(id_col).alias("id"),
+        F.round(
+            cosine_pair_expr(F.col(vec_col), F.col(qvec_col)), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]

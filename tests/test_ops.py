@@ -712,3 +712,22 @@ def test_sniff_kind_bmp_validation(spark):
     df = spark.createDataFrame(rows, "i LONG, payload BINARY")
     got = {r.i: r.kind for r in df.select("i", sniff_kind(F.col("payload")).alias("kind")).collect()}
     assert got == {0: "bmp", 1: "unknown", 2: "riff", 3: "y4m"}
+
+
+def test_brute_force_topk_batch_matches_per_query(emb):
+    """One-scan batched ANN must equal per-query brute force for every
+    query (modulo the shared rounded-cosine tie-break)."""
+    df, _rows = emb
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cand = df.filter(F.col("vec_id") >= 3)
+    got = similarity.brute_force_topk_batch(cand, queries, k=5)
+    grouped = {}
+    for r in got.collect():
+        grouped.setdefault(r.query_id, []).append((r.id, r.cosine))
+    assert set(grouped) == {0, 1, 2}
+    for qid in (0, 1, 2):
+        qv = [float(x) for x in df.filter(F.col("vec_id") == qid).collect()[0].embedding]
+        want = [(r.id, r.cosine) for r in similarity.brute_force_topk(cand, qv, k=5).collect()]
+        assert grouped[qid] == want, (qid, grouped[qid], want)
