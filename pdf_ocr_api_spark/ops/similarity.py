@@ -473,6 +473,7 @@ def ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    residual: bool = False,
 ) -> tuple[DataFrame, list[list[float]], list]:
     """IVF×PQ composition — the standard disk-scale ANN layout (IVFADC
     shape: inverted lists of compressed codes): the IVF coarse quantizer
@@ -487,39 +488,121 @@ def ivfpq_index(
     value-hash sample (one TakeOrdered collection, identical for any
     input partitioning), and the index is built in ONE corpus pass: the
     coarse assignment expression and the PQ encoder run in the same
-    projection — no self-join, no second scan."""
+    projection — no self-join, no second scan.
+
+    ``residual=True`` (pass explicitly; kept off by default for on-disk
+    compatibility with plain-PQ scoring) switches to true IVFADC: codes
+    quantize the RESIDUAL ``v − centroid[list]`` (in L2-normalized
+    space), which is far more compressible than raw vectors because each
+    list's residuals are centered at the origin; queries then build one
+    LUT per probed list from ``(q − centroid)``. Measured on the test
+    corpus: higher recall at identical code budget."""
     x = _pq_sample(emb, id_col, vec_col)
-    assigned, centroids = ivf_index(
-        emb, n_lists, vec_col=vec_col, seed=seed, id_col=id_col, sample=x
+    if not residual:
+        assigned, centroids = ivf_index(
+            emb, n_lists, vec_col=vec_col, seed=seed, id_col=id_col, sample=x
+        )
+        codes_df, codebooks = pq_index(
+            assigned, m, n_centroids, normalize, id_col=id_col, vec_col=vec_col,
+            seed=seed, sample=x, keep_cols=("ivf_list",),
+        )
+        return codes_df, centroids, codebooks
+
+    import numpy as np
+
+    # IVFADC in normalized space: coarse fit + assignment + residuals +
+    # codebooks all over L2-normalized vectors
+    xn = x / np.maximum(np.linalg.norm(x, axis=1)[:, None], 1e-12) if normalize else x
+    centers = _lloyd(xn, n_lists, seed)
+    centroids = [[float(v) for v in c] for c in centers]
+    # sample residuals for the codebook fit
+    d2 = (
+        (xn * xn).sum(axis=1)[:, None]
+        + (centers * centers).sum(axis=1)[None, :]
+        - 2.0 * (xn @ centers.T)
     )
-    codes_df, codebooks = pq_index(
-        assigned, m, n_centroids, normalize, id_col=id_col, vec_col=vec_col,
-        seed=seed, sample=x, keep_cols=("ivf_list",),
-    )
-    return codes_df, centroids, codebooks
+    res = xn - centers[d2.argmin(axis=1)]
+    dim = xn.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} must divide by m={m}")
+    dsub = dim // m
+    codebooks_np = [
+        np.ascontiguousarray(_lloyd(res[:, i * dsub : (i + 1) * dsub], n_centroids, seed + i))
+        for i in range(m)
+    ]
+    cb = codebooks_np
+    cents = np.ascontiguousarray(centers)
+
+    @F.pandas_udf("struct<ivf_list: integer, codes: array<integer>>")
+    def encode(col):
+        import pandas as pd
+
+        vecs = np.array(col.tolist(), dtype=np.float64)
+        if normalize:
+            vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1)[:, None], 1e-12)
+        dd = (
+            (vecs * vecs).sum(axis=1)[:, None]
+            + (cents * cents).sum(axis=1)[None, :]
+            - 2.0 * (vecs @ cents.T)
+        )
+        lists = dd.argmin(axis=1)
+        r = vecs - cents[lists]
+        codes = np.empty((len(vecs), m), dtype=np.int32)
+        for i in range(m):
+            sub = r[:, i * dsub : (i + 1) * dsub]
+            sd = (
+                (sub * sub).sum(axis=1)[:, None]
+                + (cb[i] * cb[i]).sum(axis=1)[None, :]
+                - 2.0 * (sub @ cb[i].T)
+            )
+            codes[:, i] = sd.argmin(axis=1)
+        return pd.DataFrame({"ivf_list": lists.astype(np.int32), "codes": list(codes)})
+
+    enc = emb.select(F.col(id_col).alias("id"), encode(F.col(vec_col)).alias("_e"))
+    codes_df = enc.select("id", F.col("_e.ivf_list").alias("ivf_list"), F.col("_e.codes").alias("codes"))
+    return codes_df, centroids, [c.tolist() for c in codebooks_np]
 
 
 def save_ivfpq_index(
-    spark, codes: DataFrame, centroids: list[list[float]], codebooks: list, target: str
+    spark,
+    codes: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list,
+    target: str,
+    residual: bool = False,
 ) -> None:
     """Persist an IVF×PQ index: codes partitioned by ivf_list (probe =
     partition pruning) + both quantizers as metadata (reload must never
-    refit)."""
+    refit) + an index-properties table so a loaded index knows which
+    scoring scheme (raw vs residual/IVFADC) its codes were built for."""
     from ..sources.io import write_table
 
     write_table(codes, f"{target}_codes", mode="create", partition_by=["ivf_list"])
     _write_centroids(spark, centroids, f"{target}_centroids")
     _write_codebooks(spark, codebooks, f"{target}_codebooks")
+    props = spark.createDataFrame([("residual", str(bool(residual)))], "key STRING, value STRING")
+    write_table(props, f"{target}_props", mode="create")
 
 
-def load_ivfpq_index(spark, target: str) -> tuple[DataFrame, list[list[float]], list]:
+def load_ivfpq_index(
+    spark, target: str
+) -> tuple[DataFrame, list[list[float]], list, dict]:
+    """Returns (codes, centroids, codebooks, props); ``props['residual']``
+    tells ``ivfpq_topk`` which scoring scheme the codes require (older
+    indexes without a props table load as residual=False)."""
     from ..sources.io import read_table
 
     codes = read_table(spark, f"{target}_codes")
+    try:
+        props = {r.key: r.value for r in read_table(spark, f"{target}_props").collect()}
+    except Exception:
+        props = {"residual": "False"}
+    props["residual"] = props.get("residual", "False") == "True"
     return (
         codes,
         _read_centroids(spark, f"{target}_centroids"),
         _read_codebooks(spark, f"{target}_codebooks"),
+        props,
     )
 
 
@@ -535,24 +618,68 @@ def ivfpq_topk(
     refine: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """Query an IVF×PQ index: probe the ``nprobe`` nearest lists (driver
     picks the probe set → partition pruning on the persisted index),
     LUT-score the surviving codes in codegen, exact-rerank the top
     ``k·refine`` against ``emb`` when given (asymmetric-distance
     refinement). Plan shape: pruned scan → literal-array lookups →
-    TakeOrderedAndProject → (optional) semi-join rerank."""
+    TakeOrderedAndProject → (optional) semi-join rerank.
+
+    ``residual`` must match how the index was built: residual indexes
+    score each probed list with its OWN LUTs built from
+    ``(q − centroid_list)`` — still literal arrays in codegen, one
+    when-branch per probed list (nprobe is small)."""
+    import numpy as np
+
     q = [float(v) for v in query_vec]
-    # probe selection uses the RAW query: the coarse quantizer was fitted
-    # and assigned on raw vectors (ivf_index), so probing must measure in
-    # the same space — PQ's normalize applies only inside pq_topk's LUTs
-    d2 = [sum((a - b) ** 2 for a, b in zip(q, c)) for c in centroids]
-    probes = sorted(range(len(centroids)), key=lambda i: d2[i])[:nprobe]
-    cand = codes.filter(F.col("ivf_list").isin(probes)).drop("ivf_list")
-    return pq_topk(
-        cand, codebooks, query_vec, k=k, normalize=normalize, emb=emb,
-        refine=refine, id_col=id_col, vec_col=vec_col,
+    if not residual:
+        # probe selection uses the RAW query: the coarse quantizer was
+        # fitted and assigned on raw vectors (ivf_index), so probing must
+        # measure in the same space — PQ's normalize applies only inside
+        # pq_topk's LUTs
+        d2 = [sum((a - b) ** 2 for a, b in zip(q, c)) for c in centroids]
+        probes = sorted(range(len(centroids)), key=lambda i: d2[i])[:nprobe]
+        cand = codes.filter(F.col("ivf_list").isin(probes)).drop("ivf_list")
+        return pq_topk(
+            cand, codebooks, query_vec, k=k, normalize=normalize, emb=emb,
+            refine=refine, id_col=id_col, vec_col=vec_col,
+        )
+
+    qn = np.asarray(q, dtype=np.float64)
+    if normalize:
+        qn = qn / max(float(np.linalg.norm(qn)), 1e-12)
+    cents = np.asarray(centroids, dtype=np.float64)
+    d2 = ((cents - qn[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2)[:nprobe]]
+    m = len(codebooks)
+    dsub = len(qn) // m
+
+    dist = None
+    for li in probes:
+        rq = qn - cents[li]
+        term = None
+        for i in range(m):
+            cbi = np.asarray(codebooks[i])
+            lut = ((cbi - rq[i * dsub : (i + 1) * dsub][None, :]) ** 2).sum(axis=1)
+            t = F.element_at(
+                F.array(*[F.lit(float(v)) for v in lut]),
+                F.element_at("codes", i + 1) + 1,
+            )
+            term = t if term is None else term + t
+        branch = F.when(F.col("ivf_list") == li, term)
+        dist = branch if dist is None else dist.when(F.col("ivf_list") == li, term)
+
+    scored = codes.filter(F.col("ivf_list").isin(probes)).select(
+        "id", dist.alias("pq_dist")
     )
+    top = scored.orderBy(F.asc("pq_dist"), F.asc("id")).limit(k * refine if emb is not None else k)
+    if emb is None:
+        return top
+    top_ids = top.select(F.col("id").alias("_pq_id"))
+    cand = emb.join(top_ids, emb[id_col] == top_ids["_pq_id"], "left_semi")
+    return brute_force_topk(cand, q, k, id_col=id_col, vec_col=vec_col)
 
 
 def cosine_pair_expr(a, b):

@@ -537,8 +537,8 @@ def test_ivfpq_recall_and_roundtrip(near_dup_corpus, spark, tmp_path):
 
     target = str(tmp_path / "ivfpq_idx")
     similarity.save_ivfpq_index(spark, codes, cents, cbs, target)
-    codes2, cents2, cbs2 = similarity.load_ivfpq_index(spark, target)
-    assert cents2 == cents and cbs2 == cbs
+    codes2, cents2, cbs2, props = similarity.load_ivfpq_index(spark, target)
+    assert cents2 == cents and cbs2 == cbs and props["residual"] is False
     a = [r.id for r in similarity.ivfpq_topk(
         codes.filter(F.col("id") != 0), cents, cbs, q, k=5, nprobe=4).collect()]
     b = [r.id for r in similarity.ivfpq_topk(
@@ -731,3 +731,45 @@ def test_brute_force_topk_batch_matches_per_query(emb):
         qv = [float(x) for x in df.filter(F.col("vec_id") == qid).collect()[0].embedding]
         want = [(r.id, r.cosine) for r in similarity.brute_force_topk(cand, qv, k=5).collect()]
         assert grouped[qid] == want, (qid, grouped[qid], want)
+
+
+def test_ivfpq_residual_encoding(near_dup_corpus, spark, tmp_path):
+    """True-IVFADC residual mode: codes quantize v - centroid[list];
+    recall@10 (with rerank) >= 0.8, and LUT-only ranking is at least as
+    good as raw-vector PQ at the same code budget on this corpus. The
+    persisted props table round-trips the scoring scheme."""
+    df = near_dup_corpus
+    q = [float(x) for x in df.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    cand = df.filter(F.col("vec_id") != 0)
+    brute = [r.id for r in similarity.brute_force_topk(cand, q, k=10).collect()]
+
+    def recall(codes, cents, cbs, residual, rerank):
+        got = {
+            r.id
+            for r in similarity.ivfpq_topk(
+                codes.filter(F.col("id") != 0), cents, cbs, q, k=10, nprobe=4,
+                emb=cand if rerank else None, residual=residual,
+            ).collect()
+        }
+        return len(set(brute) & got) / 10
+
+    codes_r, cents_r, cbs_r = similarity.ivfpq_index(df, n_lists=8, m=4, residual=True)
+    codes_p, cents_p, cbs_p = similarity.ivfpq_index(df, n_lists=8, m=4, residual=False)
+
+    assert recall(codes_r, cents_r, cbs_r, True, rerank=True) >= 0.8
+    lut_res = recall(codes_r, cents_r, cbs_r, True, rerank=False)
+    lut_raw = recall(codes_p, cents_p, cbs_p, False, rerank=False)
+    assert lut_res >= lut_raw, (lut_res, lut_raw)
+
+    # determinism across partitionings
+    codes_r2, cents_r2, cbs_r2 = similarity.ivfpq_index(df.repartition(7), n_lists=8, m=4, residual=True)
+    assert cents_r2 == cents_r and cbs_r2 == cbs_r
+    a = codes_r.orderBy("id").toPandas()
+    b = codes_r2.orderBy("id").toPandas()
+    assert a.ivf_list.tolist() == b.ivf_list.tolist()
+    assert a.codes.map(tuple).tolist() == b.codes.map(tuple).tolist()
+
+    target = str(tmp_path / "ivfpq_res")
+    similarity.save_ivfpq_index(spark, codes_r, cents_r, cbs_r, target, residual=True)
+    codes3, cents3, cbs3, props = similarity.load_ivfpq_index(spark, target)
+    assert props["residual"] is True and cents3 == cents_r and cbs3 == cbs_r

@@ -122,7 +122,7 @@ def test_ivfpq_probe_prunes_partitions(spark, tmp_path):
     codes, cents, cbs = similarity.ivfpq_index(emb, n_lists=8, m=4)
     target = str(tmp_path / "ivfpq_plan_idx")
     similarity.save_ivfpq_index(spark, codes, cents, cbs, target)
-    loaded, cents2, cbs2 = similarity.load_ivfpq_index(spark, target)
+    loaded, cents2, cbs2, _props = similarity.load_ivfpq_index(spark, target)
     top = similarity.ivfpq_topk(loaded, cents2, cbs2, rows[0][1], k=5, nprobe=2)
     plan = PI.formatted_plan(top)
     # partition pruning shows as PartitionFilters with the isin/in list
