@@ -666,17 +666,20 @@ def q_ann_batch_cosine(spark, sf_dir):
 
 
 def q_ann_ivfpq(spark, sf_dir):
-    """IVF×PQ composed ANN (the disk-scale IVFADC layout): coarse-probe
-    the nearest lists, LUT-score the surviving PQ codes in codegen,
-    exact-rerank the survivors (rows-only: lossy quantizers by design;
-    recall@10 >= 0.8 vs brute force asserted in tests)."""
+    """IVF×PQ composed ANN, RESIDUAL (true-IVFADC) mode: codes quantize
+    v − centroid[list] in normalized space, each probed list scored with
+    its own (q − centroid) LUTs in codegen, exact rerank (rows-only:
+    lossy quantizers by design; recall@10 >= 0.8 vs brute force and the
+    residual-vs-raw LUT advantage asserted in tests)."""
     from pdf_ocr_api_spark.ops import similarity
 
     e = _t(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     cand = e.filter(F.col("vec_id") != 0)
-    codes, cents, cbs = similarity.ivfpq_index(cand, n_lists=16, m=4)
-    return similarity.ivfpq_topk(codes, cents, cbs, list(qv), k=10, nprobe=4, emb=cand)
+    codes, cents, cbs = similarity.ivfpq_index(cand, n_lists=16, m=4, residual=True)
+    return similarity.ivfpq_topk(
+        codes, cents, cbs, list(qv), k=10, nprobe=4, emb=cand, residual=True
+    )
 
 
 def q_dedup_embedding(spark, sf_dir):
