@@ -1037,7 +1037,11 @@ def oracle_sql() -> dict[str, str]:
                      CAST(doc_id // 50 AS INT) AS turn_idx, doc_id
               FROM documents
             )
-            SELECT conv_id, turn_idx, doc_id, CAST(turn_idx // 4 AS INT) AS chunk FROM pt
+            SELECT conv_id,
+                   CAST(row_number() OVER (PARTITION BY conv_id, CAST(turn_idx // 4 AS INT)
+                                           ORDER BY turn_idx) - 1 AS INT) AS turn_idx,
+                   doc_id, CAST(turn_idx // 4 AS INT) AS chunk
+            FROM pt
         """,
         "x6_split_into_n": """
             WITH pt AS (
@@ -1045,9 +1049,14 @@ def oracle_sql() -> dict[str, str]:
                      CAST(doc_id // 50 AS INT) AS turn_idx, doc_id
               FROM documents
             )
-            SELECT conv_id, turn_idx, doc_id,
-                   ntile(3) OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS chunk
-            FROM pt
+            SELECT conv_id,
+                   CAST(row_number() OVER (PARTITION BY conv_id, chunk ORDER BY turn_idx) - 1 AS INT) AS turn_idx,
+                   doc_id, chunk
+            FROM (
+              SELECT conv_id, turn_idx, doc_id,
+                     ntile(3) OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS chunk
+              FROM pt
+            )
         """,
         "x6_split_by_ranges": """
             WITH pt AS (

@@ -188,31 +188,57 @@ def run(
         "bucket", "input_count", "extracted_count", "bytes_in", "bytes_out",
         "services_count", "proc_us", "run_id", "wall_ms", "ts",
     )
-    write_table(lineage, p["lineage"], mode="append")
+    # collect ONCE: the rollup plan (read-back groupBy + input-scan join)
+    # would otherwise lazily re-execute for every consumer below — the
+    # lineage write, the manifest write, the bucket list and the totals
+    # were four independent actions (three redundant full passes at the
+    # 10^12-turn design point), and per-action F.current_timestamp()
+    # even gave lineage and manifest different ts values within one run.
+    # The result is ~n_buckets rows — driver-trivial.
+    rows = lineage.collect()
 
-    manifest = (
-        lineage.select("bucket")
-        .withColumn("run_id", F.lit(run_id))
-        .withColumn("status", F.lit("done"))
-        .withColumn("mode", F.lit(mode))
-        .withColumn("n_buckets", F.lit(n_buckets))
-        .withColumn("depara_digest", F.lit(depara_digest))
-        .withColumn("ts", F.current_timestamp())
-    )
-    write_table(manifest, p["manifest"], mode="append")
+    # idempotent lineage append: a crash between the lineage and
+    # manifest writes leaves ORPHAN lineage rows for buckets that were
+    # never manifested — the resume reprocesses those buckets (data
+    # converges via overwrite_partitions) and must not append their
+    # metrics twice. Only non-manifested buckets reach this point, so
+    # any bucket already present in the lineage table IS such an orphan:
+    # keep the durable row, skip the duplicate.
+    fresh = rows
+    if rows and table_exists(spark, p["lineage"]):
+        seen = {
+            r.bucket
+            for r in read_table(spark, p["lineage"]).select("bucket").distinct().collect()
+        }
+        fresh = [r for r in rows if r.bucket not in seen]
+    if fresh:
+        write_table(
+            spark.createDataFrame(fresh, lineage.schema), p["lineage"], mode="append"
+        )
 
-    new_buckets = [r.bucket for r in lineage.select("bucket").collect()]
-    counts = lineage.agg(
-        F.coalesce(F.sum("extracted_count"), F.lit(0)).alias("turns"),
-        F.coalesce(F.sum("services_count"), F.lit(0)).alias("services"),
-    ).collect()[0]
+    if rows:
+        # manifest marks EVERY bucket processed this run as done — the
+        # commit point of the resume protocol (written last)
+        lineage_local = spark.createDataFrame(rows, lineage.schema)
+        manifest = (
+            lineage_local.select("bucket", "ts")
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("status", F.lit("done"))
+            .withColumn("mode", F.lit(mode))
+            .withColumn("n_buckets", F.lit(n_buckets))
+            .withColumn("depara_digest", F.lit(depara_digest))
+            .select("bucket", "run_id", "status", "mode", "n_buckets", "depara_digest", "ts")
+        )
+        write_table(manifest, p["manifest"], mode="append")
+
+    new_buckets = [r.bucket for r in rows]
     return {
         "run_id": run_id,
         "wall_ms": wall_ms,
         "buckets_processed": sorted(new_buckets),
         "buckets_skipped": sorted(done),
-        "turns": counts.turns,
-        "services": counts.services,
+        "turns": sum(r.extracted_count or 0 for r in rows),
+        "services": sum(r.services_count or 0 for r in rows),
     }
 
 

@@ -112,10 +112,21 @@ def combine_conversations(dfs: list[DataFrame], new_conv_id: str) -> DataFrame:
     return _renumber(out, [F.col("_src"), F.col("turn_idx")])
 
 
+def _renumber_within_chunk(df: DataFrame) -> DataFrame:
+    """Dense 0..n-1 turn_idx within each (conv, chunk) — every split
+    output is a standalone document whose pages start at 0, exactly the
+    reference's split semantics (each output file's pages renumbered)."""
+    w = Window.partitionBy("conv_id", "chunk").orderBy("turn_idx")
+    return df.withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
+
+
 def split_by_count(df: DataFrame, turns_per_chunk: int) -> DataFrame:
     """X6 — split-by-number-of-pages: assign a chunk id every
-    ``turns_per_chunk`` turns (ref split-pdf-by-number-of-pages.js:51-52)."""
-    return df.withColumn("chunk", (F.col("turn_idx") / F.lit(turns_per_chunk)).cast("int"))
+    ``turns_per_chunk`` turns, turns renumbered densely within each
+    chunk (ref split-pdf-by-number-of-pages.js:51-52 — each output
+    document's pages start at 0, like split_by_ranges)."""
+    out = df.withColumn("chunk", (F.col("turn_idx") / F.lit(turns_per_chunk)).cast("int"))
+    return _renumber_within_chunk(out)
 
 
 def split_by_ranges(df: DataFrame, ranges: list[tuple[int, int]]) -> DataFrame:
@@ -135,7 +146,9 @@ def split_by_ranges(df: DataFrame, ranges: list[tuple[int, int]]) -> DataFrame:
 
 
 def split_into_n(df: DataFrame, n_chunks: int) -> DataFrame:
-    """X6 — split-into-number-of-files: ntile over the turn order
-    (ref split-pdf-into-number-of-files.js:50-52)."""
+    """X6 — split-into-number-of-files: ntile over the turn order,
+    turns renumbered densely within each chunk (ref
+    split-pdf-into-number-of-files.js:50-52)."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    return df.withColumn("chunk", F.ntile(n_chunks).over(w) - 1)
+    out = df.withColumn("chunk", F.ntile(n_chunks).over(w) - 1)
+    return _renumber_within_chunk(out)

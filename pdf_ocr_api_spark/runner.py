@@ -91,6 +91,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if not args.input or not args.output:
         ap.error("--input and --output are required (or --selftest)")
+    if args.records_rows and not args.records:
+        ap.error("--records-rows requires --records")
     if args.records and args.text_only:
         ap.error("--records requires the service cascade; drop --text-only")
 

@@ -20,9 +20,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 def iceberg_available(spark: SparkSession) -> bool:
     """True when an Iceberg catalog is configured AND the runtime jar is
-    on the classpath."""
-    confs = spark.sparkContext.getConf().getAll()
-    has_catalog = any(k.startswith("spark.sql.catalog.") for k, _ in confs)
+    on the classpath. Catalogs are looked up in the session's
+    RuntimeConfig, not the SparkContext conf — catalogs registered at
+    runtime via ``spark.conf.set("spark.sql.catalog.x", ...)`` (as the
+    jar-gated test fixture does) never appear in the context conf."""
+    try:
+        confs = spark.conf.getAll  # pyspark >= 3.4 property
+    except Exception:
+        confs = {}
+    has_catalog = any(k.startswith("spark.sql.catalog.") for k in confs)
     if not has_catalog:
         return False
     try:
@@ -73,6 +79,14 @@ def write_table(
     `overwrite_partitions` mode (same idempotent-resume semantics).
     """
     if is_table_ident(target):
+        # first write against a fresh root must CREATE the table:
+        # append()/overwritePartitions() raise NoSuchTableException on a
+        # missing table, and lineage.run's very first run would otherwise
+        # crash on every new Iceberg output root
+        if mode in ("append", "overwrite_partitions") and not df.sparkSession.catalog.tableExists(
+            target
+        ):
+            mode = "create"
         w = df.writeTo(target)
         if mode == "append":
             w.append()

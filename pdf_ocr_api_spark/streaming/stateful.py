@@ -57,8 +57,16 @@ def sessionize_stream(turns: DataFrame, gap_minutes: int = 30) -> DataFrame:
             if pdf.empty:
                 continue
             pdf = pdf.sort_values("turn_idx")
-            epochs = pdf["ts"].astype("int64").to_numpy() / 1e9
             import numpy as np
+
+            ts = pd.to_datetime(pdf["ts"])
+            epochs = ts.astype("int64").to_numpy().astype("float64") / 1e9
+            # NaT → int64-min through astype; map to NaN instead so every
+            # gap comparison involving a null ts is False — exactly the
+            # batch twin's null semantics (ts > prev + interval is NULL →
+            # flag 0), instead of a ~-9.2e9 epoch that forces a spurious
+            # new session on the NEXT row and poisons the carried state
+            epochs[ts.isna().to_numpy()] = np.nan
 
             prev = np.empty_like(epochs)
             prev[1:] = epochs[:-1]

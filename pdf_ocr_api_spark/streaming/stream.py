@@ -100,8 +100,6 @@ def gate_stream(
     store; at 100 TB the standard layout is this stream feeding the
     bronze→silver table and `near_dup_groups` running as the silver→gold
     batch job."""
-    from pyspark.sql import functions as F
-
     from ..ops import textstats
 
     gated = textstats.with_lang_id(

@@ -263,3 +263,41 @@ def test_gated_corpus_stream_matches_batch(spark, depara, tmp_path):
     )
     assert got.equals(want)
     assert 0 < len(got) <= len(pdf)
+
+
+def test_stateful_sessionize_null_ts(spark, tmp_path):
+    """NULL ts rows must not open spurious sessions nor poison carried
+    state — mirroring the batch lag semantics (null comparison → no
+    split)."""
+    import pandas as pd
+
+    from pdf_ocr_api_spark.streaming import stateful
+
+    base = pd.Timestamp("2025-01-01 00:00:00")
+    rows = [
+        ("c", 0, base),
+        ("c", 1, pd.NaT),                              # null ts mid-stream
+        ("c", 2, base + pd.Timedelta(minutes=3)),
+        ("c", 3, base + pd.Timedelta(minutes=45)),     # real gap -> new session
+        ("c", 4, pd.NaT),
+        ("c", 5, base + pd.Timedelta(minutes=48)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts"])
+    src = str(tmp_path / "nats")
+    spark.createDataFrame(pdf, "conv_id STRING, turn_idx INT, ts TIMESTAMP").coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("conv_id STRING, turn_idx INT, ts TIMESTAMP").parquet(src)
+    out = str(tmp_path / "nat_out")
+    q = (
+        stateful.sessionize_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "nat_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r.turn_idx: r.session_id for r in spark.read.parquet(out).collect()}
+    # turn 0 opens session 1; NaT turns never split; 45-min gap at turn 3
+    # opens session 2; turn 5 follows a NaT (null comparison -> no split)
+    assert got == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 2}, got

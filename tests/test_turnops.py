@@ -113,3 +113,20 @@ def test_split_by_ranges(spark):
         (0, 0, 0), (0, 1, 100), (0, 2, 200),
         (1, 0, 500), (1, 1, 600), (1, 2, 700), (1, 3, 800),
     ]
+
+
+def test_split_variants_renumber_densely(convs):
+    """Every split variant emits standalone chunks whose turn_idx starts
+    at 0 — the reference's 'pages renumbered from 0' split semantics
+    (split_by_ranges always did; by_count/into_n aligned in r3)."""
+    for out in (
+        turnops.split_by_count(convs, 3),
+        turnops.split_into_n(convs, 4),
+    ):
+        firsts = (
+            out.groupBy("conv_id", "chunk")
+            .agg(F.min("turn_idx").alias("lo"), F.max("turn_idx").alias("hi"), F.count("*").alias("n"))
+            .collect()
+        )
+        for r in firsts:
+            assert r.lo == 0 and r.hi == r.n - 1, r
