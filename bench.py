@@ -151,7 +151,26 @@ def headline_queries(spark, transcripts):
     }
 
 
+def _contention_probe() -> float:
+    """Fixed-size numpy matmul wall time (seconds) — a box-health
+    sentinel. The sandbox has a hypervisor co-tenant that can slow the
+    whole suite 3-4× by stealing MEMORY BANDWIDTH with no CPU-steal
+    signal (BENCH.md reconciliation, runs 5-8); this probe runs before
+    and after the suite so any single reading carries its own
+    interpretability: quiet-box baseline ≈ 0.3-0.5 s — a probe 2×+ that
+    means the suite numbers are contention-inflated, not code."""
+    import numpy as np
+
+    a = np.random.default_rng(0).standard_normal((1500, 1500))
+    t0 = time.monotonic()
+    for _ in range(3):
+        a = a @ a
+        a /= np.abs(a).max() + 1.0
+    return round(time.monotonic() - t0, 3)
+
+
 def run_default() -> dict:
+    probe_before = _contention_probe()
     spark = build_session(CPUS)
     transcripts = bench_transcripts(spark, BENCH_CONVS)
     n_turns = transcripts.count()
@@ -173,6 +192,9 @@ def run_default() -> dict:
         "bench_turns": n_turns,
         "extract_turns_per_sec": round(n_turns / timings["extract"], 1) if timings["extract"] else None,
         "cores": CPUS,
+        # box-health sentinels (see _contention_probe): ≈0.2-0.3 s quiet
+        "probe_before_sec": probe_before,
+        "probe_after_sec": _contention_probe(),
     }
     spark.stop()
     return result
