@@ -156,7 +156,15 @@ def _fast_tree(payload: str) -> _Node:
             continue
         selfclose = bool(selfclose_mark)
         if skip:
-            if tag in _SKIP_TAGS and not selfclose:
+            if tag in _RAW_CLOSE and not selfclose:
+                # rawtext elements must consume to their close tag EVEN
+                # inside a skipped subtree: a '</svg>' inside a JS string
+                # would otherwise decrement skip and leak the rest of the
+                # skipped subtree into the tree (stdlib CDATA mode never
+                # sees markup inside script/style — twin equivalence)
+                mc = _RAW_CLOSE[tag].search(payload, pos)
+                pos = mc.end() if mc else n
+            elif tag in _SKIP_TAGS and not selfclose:
                 skip += 1
             continue
         if tag in _SKIP_TAGS:

@@ -80,6 +80,11 @@ def _parse_tables(doc: dict, depara: dict) -> list[dict]:
     def _lst(v):
         return v if isinstance(v, list) else []
 
+    def _cells(row):
+        # a non-dict row (string/number in bodyRows) reads as "no cells",
+        # matching JS row.cells -> undefined -> || [] — never AttributeError
+        return row.get("cells") or [] if isinstance(row, dict) else []
+
     for page in _lst(doc.get("pages")):
         if not isinstance(page, dict):
             continue
@@ -92,14 +97,14 @@ def _parse_tables(doc: dict, depara: dict) -> list[dict]:
 
             # header sometimes arrives as the first body row (ref :138-148)
             if header_row is None and body_rows:
-                first_cells = [get_text_from_cell(doc_text, c) for c in body_rows[0].get("cells", [])]
+                first_cells = [get_text_from_cell(doc_text, c) for c in _cells(body_rows[0])]
                 first_row_text = " ".join("" if c is None else c for c in first_cells).upper()
                 if P.HDR_UNIDADE.search(first_row_text) and P.HDR_QUANTIDADE.search(first_row_text):
                     header_row = body_rows[0]
                     body_rows = body_rows[1:]
 
             header_cells = (
-                [get_text_from_cell(doc_text, c) for c in header_row.get("cells", [])]
+                [get_text_from_cell(doc_text, c) for c in _cells(header_row)]
                 if header_row
                 else []
             )
@@ -111,7 +116,7 @@ def _parse_tables(doc: dict, depara: dict) -> list[dict]:
             )
 
             for row in body_rows:
-                cells = [get_text_from_cell(doc_text, c) for c in row.get("cells", [])]
+                cells = [get_text_from_cell(doc_text, c) for c in _cells(row)]
                 if not any(cells):
                     continue
 
@@ -186,9 +191,8 @@ def extract_tables_structured(doc: dict) -> list[dict]:
         return v if isinstance(v, list) else []
 
     def _row(row) -> list[str]:
-        return [
-            (get_text_from_cell(doc_text, c) or "") for c in _lst((row or {}).get("cells"))
-        ]
+        cells = row.get("cells") if isinstance(row, dict) else None
+        return [(get_text_from_cell(doc_text, c) or "") for c in _lst(cells)]
 
     for pg_i, page in enumerate(_lst(doc.get("pages"))):
         if not isinstance(page, dict):
@@ -353,8 +357,6 @@ def parse_lines_batch(lines, depara: dict) -> dict:
     uid = np.full(len(L), None, dtype=object)
     sem_unit = sem_qtd.to_numpy(dtype=object, copy=True)
     if hit.any():
-        from .units import detect_unidade
-
         unidades = depara.get("unidades") or []
         hit_np = hit.to_numpy()
         for i in np.nonzero(hit_np)[0]:
@@ -369,8 +371,13 @@ def parse_lines_batch(lines, depara: dict) -> dict:
     item = sem_unit_s.str.extract(P.ITEM_LEADING_CAPTURE, expand=False)
     resto = sem_unit_s.str.replace(P.ITEM_LEADING, "", n=1, regex=True).str.strip()
 
-    # X3 category rule: isolated ALL-CAPS short line (ref :286-297)
-    is_cat = L.str.fullmatch(r"[A-Z\s]+") & (L.str.len() < 60)
+    # X3 category rule: isolated ALL-CAPS short line (ref :286-297).
+    # Derive from the SAME compiled pattern the scalar path matches
+    # (P.CATEGORIA_LINE is ^...$-anchored; fullmatch needs the bare
+    # body) so a future pattern edit cannot desynchronize the twins.
+    is_cat = L.str.fullmatch(P.CATEGORIA_LINE.pattern.lstrip("^").rstrip("$")) & (
+        L.str.len() < 60
+    )
 
     labels = L.index.to_numpy()
     l_np = L.to_numpy(dtype=object)

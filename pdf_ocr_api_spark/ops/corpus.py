@@ -12,8 +12,9 @@ This is the composition the whole engine exists for at 10^12-turn scale:
 Every stage is individually oracled/tested elsewhere (extraction golden
 + node parity; textstats and jaccard/components DuckDB-oracled); this
 module only wires them and owns the turn-id convention: a deterministic
-``xxhash64(conv_id, turn_idx)`` surrogate id, so dedup keys are uniform
-64-bit hashes (shuffle-friendly) and independent of physical layout.
+collision-free delimited natural key (see ``turn_id`` — a 64-bit hash
+surrogate would expect ~27k birthday collisions at 10^12 turns, each
+able to delete an innocent turn), independent of physical layout.
 """
 
 from __future__ import annotations
@@ -26,8 +27,16 @@ from . import dedup, textstats
 
 
 def turn_id(conv_col="conv_id", turn_col="turn_idx"):
-    """Deterministic 64-bit surrogate id for a turn."""
-    return F.xxhash64(F.col(conv_col), F.col(turn_col))
+    """Deterministic COLLISION-FREE surrogate id for a turn.
+
+    Was xxhash64(conv, idx) — but every dedup join and the final
+    anti-join key on this id alone, and a 64-bit hash over 10^12 turns
+    expects ~27k birthday collisions: each one cross-products the
+    feature join-back and can delete an innocent turn as a near-dup
+    loser. The delimited natural key costs a few bytes more per shuffle
+    row and cannot collide; keeper-selection (min id) stays
+    deterministic and layout-independent under string ordering."""
+    return F.concat_ws(chr(0x1F), F.col(conv_col), F.col(turn_col).cast("string"))
 
 
 def clean_corpus(

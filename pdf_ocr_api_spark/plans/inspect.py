@@ -37,14 +37,25 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Shuffles in the plan (AQE reuse shows as Exchange once)."""
-    return executed_plan(df).count("Exchange hashpartitioning") + executed_plan(df).count(
-        "Exchange rangepartitioning"
+    """Shuffle exchanges in the plan (AQE reuse shows as Exchange once).
+
+    Counts EVERY shuffle flavor — hash, range, round-robin
+    (``repartition(n)``) and SinglePartition (global no-group
+    aggregates) — not just hash/range: an assertion that misses
+    RoundRobin would certify a repartitioning plan as shuffle-free.
+    BroadcastExchange is excluded (it is a broadcast, not a shuffle)."""
+    plan = executed_plan(df)
+    return len(
+        re.findall(
+            r"Exchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)",
+            plan,
+        )
     )
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in executed_plan(df) or "BroadcastNestedLoopJoin" in executed_plan(df)
+    plan = executed_plan(df)
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
@@ -58,15 +69,35 @@ def pushed_filters(df: DataFrame) -> list[str]:
 
 
 def read_schemas(df: DataFrame) -> list[str]:
-    """ReadSchema clauses — what each scan actually deserializes."""
-    return [m.group(1) for m in re.finditer(r"ReadSchema: (struct<[^>\n]*>?)", formatted_plan(df))]
+    """ReadSchema clauses — what each scan actually deserializes.
+
+    Captures to end-of-line: a nested type (``array<struct<...>>``)
+    contains '>' characters, and a first-'>' match would truncate the
+    schema and misreport the column set."""
+    return [m.group(1) for m in re.finditer(r"ReadSchema: (struct<[^\n]*)", formatted_plan(df))]
+
+
+def _top_level_fields(inner: str) -> list[str]:
+    """Split a struct body on TOP-LEVEL commas only (angle-bracket depth
+    aware) so nested struct/array fields stay one field."""
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(inner):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(inner[start:i])
+            start = i + 1
+    out.append(inner[start:])
+    return [f for f in (s.strip() for s in out) if f]
 
 
 def scan_columns(df: DataFrame) -> set[str]:
     cols: set[str] = set()
     for schema in read_schemas(df):
-        inner = schema[len("struct<"):]
-        for field in inner.split(","):
+        inner = schema[len("struct<"):].rstrip(">")
+        for field in _top_level_fields(inner):
             name = field.split(":")[0].strip()
             if name:
                 cols.add(name)
@@ -80,7 +111,11 @@ def codegen_stage_count(df: DataFrame) -> int:
 
 
 def plan_report(df: DataFrame) -> str:
-    """Human-readable summary for .explain-driven iteration."""
+    """Human-readable summary for .explain-driven iteration.
+
+    NOTE: each helper renders its own plan string (a JVM round-trip);
+    this report accepts ~6 renders for simplicity — fine interactively,
+    but hot code should render once and parse the string itself."""
     return "\n".join(
         [
             f"exchanges        : {exchange_count(df)}",

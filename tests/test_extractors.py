@@ -166,3 +166,22 @@ def test_fast_html_tree_equals_stdlib():
         assert got == want, payload[:200]
         checked += 1
     assert checked > 100  # the corpus actually contributed
+
+
+def test_html_rawtext_inside_skipped_subtree():
+    """A close-tag-looking string inside <script> within an already
+    skipped subtree (<svg>) must not terminate the skip — fast tree and
+    stdlib twin must agree."""
+    from pdf_ocr_api_spark.extract import html_extract as H
+
+    payload = (
+        '<html><body><svg><script>var s="</svg>";</script>'
+        "<p>menu inside svg</p></svg><p>real body text here</p></body></html>"
+    )
+    fast_text, _ = H.extract_html(payload)
+    assert "menu inside svg" not in fast_text
+    assert "real body text" in fast_text
+    # stdlib twin agreement on the extracted text
+    root_fast = H._fast_tree(payload)
+    root_std = H._stdlib_tree(payload)
+    assert H._extract_from_root(root_fast) == H._extract_from_root(root_std)
