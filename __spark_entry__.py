@@ -430,7 +430,7 @@ def q_x6_split_by_count(spark, sf_dir):
     """X6 — split-by-number-of-pages: chunk id per fixed turn count."""
     from pdf_ocr_api_spark.operators import turnops
 
-    return turnops.split_by_count(_pseudo_turns(spark, sf_dir), 4)
+    return turnops.split_by_count(_pseudo_turns(spark, sf_dir), 4, tie=["doc_id"])
 
 
 def q_x6_split_into_n(spark, sf_dir):
@@ -438,7 +438,7 @@ def q_x6_split_into_n(spark, sf_dir):
     (ref split-pdf-into-number-of-files.js:50-52)."""
     from pdf_ocr_api_spark.operators import turnops
 
-    return turnops.split_into_n(_pseudo_turns(spark, sf_dir), 3)
+    return turnops.split_into_n(_pseudo_turns(spark, sf_dir), 3, tie=["doc_id"])
 
 
 def q_x6_split_by_ranges(spark, sf_dir):
@@ -446,7 +446,9 @@ def q_x6_split_by_ranges(spark, sf_dir):
     (ref split-pdf-by-page-ranges.js:93-98)."""
     from pdf_ocr_api_spark.operators import turnops
 
-    return turnops.split_by_ranges(_pseudo_turns(spark, sf_dir), [(0, 2), (5, 8)])
+    return turnops.split_by_ranges(
+        _pseudo_turns(spark, sf_dir), [(0, 2), (5, 8)], tie=["doc_id"]
+    )
 
 
 def q_s7_header_rules(spark, sf_dir):
@@ -1039,7 +1041,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT conv_id,
                    CAST(row_number() OVER (PARTITION BY conv_id, CAST(turn_idx // 4 AS INT)
-                                           ORDER BY turn_idx) - 1 AS INT) AS turn_idx,
+                                           ORDER BY turn_idx, doc_id) - 1 AS INT) AS turn_idx,
                    doc_id, CAST(turn_idx // 4 AS INT) AS chunk
             FROM pt
         """,
@@ -1050,11 +1052,11 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT conv_id,
-                   CAST(row_number() OVER (PARTITION BY conv_id, chunk ORDER BY turn_idx) - 1 AS INT) AS turn_idx,
+                   CAST(row_number() OVER (PARTITION BY conv_id, chunk ORDER BY turn_idx, doc_id) - 1 AS INT) AS turn_idx,
                    doc_id, chunk
             FROM (
               SELECT conv_id, turn_idx, doc_id,
-                     ntile(3) OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS chunk
+                     ntile(3) OVER (PARTITION BY conv_id ORDER BY turn_idx, doc_id) - 1 AS chunk
               FROM pt
             )
         """,
@@ -1071,7 +1073,7 @@ def oracle_sql() -> dict[str, str]:
               FROM pt
             )
             SELECT conv_id,
-                   CAST(row_number() OVER (PARTITION BY conv_id, chunk ORDER BY turn_idx) - 1 AS INT) AS turn_idx,
+                   CAST(row_number() OVER (PARTITION BY conv_id, chunk ORDER BY turn_idx, doc_id) - 1 AS INT) AS turn_idx,
                    doc_id, chunk
             FROM tagged WHERE chunk IS NOT NULL
         """,

@@ -112,43 +112,58 @@ def combine_conversations(dfs: list[DataFrame], new_conv_id: str) -> DataFrame:
     return _renumber(out, [F.col("_src"), F.col("turn_idx")])
 
 
-def _renumber_within_chunk(df: DataFrame) -> DataFrame:
+def _renumber_within_chunk(df: DataFrame, tie: list[str] | None = None) -> DataFrame:
     """Dense 0..n-1 turn_idx within each (conv, chunk) — every split
     output is a standalone document whose pages start at 0, exactly the
-    reference's split semantics (each output file's pages renumbered)."""
-    w = Window.partitionBy("conv_id", "chunk").orderBy("turn_idx")
+    reference's split semantics (each output file's pages renumbered).
+
+    ``tie``: extra ORDER BY columns after turn_idx. When the caller's
+    frame can carry DUPLICATE turn_idx values per conversation (merged
+    or un-renumbered inputs), the window order — and therefore the
+    renumbering — is shuffle-order dependent without a unique tie-break;
+    pass a natural key (e.g. ``["doc_id"]``) to make it deterministic."""
+    order = [F.col("turn_idx")] + [F.col(c) for c in (tie or [])]
+    w = Window.partitionBy("conv_id", "chunk").orderBy(*order)
     return df.withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
 
 
-def split_by_count(df: DataFrame, turns_per_chunk: int) -> DataFrame:
+def split_by_count(
+    df: DataFrame, turns_per_chunk: int, tie: list[str] | None = None
+) -> DataFrame:
     """X6 — split-by-number-of-pages: assign a chunk id every
     ``turns_per_chunk`` turns, turns renumbered densely within each
     chunk (ref split-pdf-by-number-of-pages.js:51-52 — each output
-    document's pages start at 0, like split_by_ranges)."""
+    document's pages start at 0, like split_by_ranges). ``tie``: see
+    ``_renumber_within_chunk``."""
     out = df.withColumn("chunk", (F.col("turn_idx") / F.lit(turns_per_chunk)).cast("int"))
-    return _renumber_within_chunk(out)
+    return _renumber_within_chunk(out, tie)
 
 
-def split_by_ranges(df: DataFrame, ranges: list[tuple[int, int]]) -> DataFrame:
+def split_by_ranges(
+    df: DataFrame, ranges: list[tuple[int, int]], tie: list[str] | None = None
+) -> DataFrame:
     """X6 — split-by-page-ranges: each inclusive (start, end) range
     becomes one chunk, turns renumbered densely within (conv, chunk)
     (ref split-pdf-by-page-ranges.js:93-98 — each output document holds
     its range's pages, renumbered from 0). Turns outside every range are
     dropped; overlapping ranges assign the FIRST matching range (the
     reference API would emit the page into both files — pass
-    non-overlapping ranges for that semantics one range at a time)."""
+    non-overlapping ranges for that semantics one range at a time).
+    ``tie``: see ``_renumber_within_chunk``."""
     chunk = F.lit(None).cast("int")
     for i, (s, e) in reversed(list(enumerate(ranges))):
         chunk = F.when(F.col("turn_idx").between(s, e), F.lit(i)).otherwise(chunk)
     out = df.withColumn("chunk", chunk).filter(F.col("chunk").isNotNull())
-    w = Window.partitionBy("conv_id", "chunk").orderBy("turn_idx")
-    return out.withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
+    return _renumber_within_chunk(out, tie)
 
 
-def split_into_n(df: DataFrame, n_chunks: int) -> DataFrame:
+def split_into_n(df: DataFrame, n_chunks: int, tie: list[str] | None = None) -> DataFrame:
     """X6 — split-into-number-of-files: ntile over the turn order,
     turns renumbered densely within each chunk (ref
-    split-pdf-into-number-of-files.js:50-52)."""
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    split-pdf-into-number-of-files.js:50-52). ``tie``: see
+    ``_renumber_within_chunk`` — it orders BOTH the ntile assignment and
+    the renumbering, so chunk membership is deterministic too."""
+    order = [F.col("turn_idx")] + [F.col(c) for c in (tie or [])]
+    w = Window.partitionBy("conv_id").orderBy(*order)
     out = df.withColumn("chunk", F.ntile(n_chunks).over(w) - 1)
-    return _renumber_within_chunk(out)
+    return _renumber_within_chunk(out, tie)

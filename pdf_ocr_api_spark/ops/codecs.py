@@ -139,8 +139,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         # surface as the parse-failure type the routers degrade on
         raise ValueError(f"WAV fmt chunk too short ({len(fmt)} bytes)")
     tag, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", fmt, 0)
-    if tag != 1 or bits != 16:
-        raise ValueError(f"unsupported WAV flavor: tag={tag} bits={bits}")
+    if tag != 1 or bits != 16 or ch < 1:
+        # ch < 1 must be the ValueError the routers degrade on, not a
+        # ZeroDivisionError escaping the catch below
+        raise ValueError(f"unsupported WAV flavor: tag={tag} bits={bits} channels={ch}")
     n = len(data) // (2 * ch)
     samples = np.frombuffer(data, "<i2", count=n * ch).reshape(n, ch)
     return samples.copy(), rate

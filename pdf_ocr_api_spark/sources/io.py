@@ -27,7 +27,10 @@ def iceberg_available(spark: SparkSession) -> bool:
     try:
         confs = spark.conf.getAll  # pyspark >= 3.4 property
     except Exception:
-        confs = {}
+        # older pyspark: fall back to the SparkContext conf rather than
+        # silently reporting "no catalog" (catalogs set at launch via
+        # --conf DO appear there)
+        confs = dict(spark.sparkContext.getConf().getAll())
     has_catalog = any(k.startswith("spark.sql.catalog.") for k in confs)
     if not has_catalog:
         return False

@@ -60,6 +60,23 @@ def test_simhash_near_pairs(docs):
     assert (0, 4) not in got
 
 
+def test_simhash_vectorized_matches_explode(spark, docs):
+    """The vectorized (transform+xxhash64 → numpy bit-vote) build must be
+    BYTE-IDENTICAL to the r1-r3 explode/aggregate twin — same xxhash64
+    token values (seed 42 both paths), same strict-majority vote — and
+    both must drop null-text docs the same way."""
+    withnull = docs.union(
+        spark.createDataFrame([(99, None)], "doc_id LONG, text STRING")
+    )
+    fast = sorted((r.id, r.simhash) for r in dedup.simhash64(withnull).collect())
+    slow = sorted((r.id, r.simhash) for r in dedup.simhash64_explode(withnull).collect())
+    assert fast == slow
+    assert all(i != 99 for i, _ in fast)  # null text dropped, like explode
+    # empty text still gets a signature (split("") -> [""], one token)
+    empty = spark.createDataFrame([(7, "")], "doc_id LONG, text STRING")
+    assert dedup.simhash64(empty).count() == 1
+
+
 def test_simhash_banding_full_recall(spark):
     """Manku banding must have FULL recall at hamming ≤ k — including
     pairs whose differing bits all fall in the TOP bits (the pairs the
