@@ -39,6 +39,43 @@ def turn_id(conv_col="conv_id", turn_col="turn_idx"):
     return F.concat_ws(chr(0x1F), F.col(conv_col), F.col(turn_col).cast("string"))
 
 
+def _gated_turns(transcripts, min_quality, langs, min_tokens, depara, _cut):
+    """extract → quality/language features → gates; the shared front half
+    of ``clean_corpus`` and ``clean_corpus_incremental``. Returns the
+    gated per-turn frame with the ``_tid`` surrogate attached."""
+    ext = extract_transcripts(transcripts, depara=depara, with_services=False)
+    # materialize the extraction output ONCE (localCheckpoint — at real
+    # scale this is the stored extraction table, see lineage.run): the
+    # pipeline fans out into quality join, exact-dedup join, LSH build
+    # and the final anti-join, and WITHOUT materialization every branch
+    # re-executes the mapInPandas UDF (measured: 570 s vs ~230 s for the
+    # same 1M-turn run)
+    base = _cut(
+        ext.select(
+            "conv_id",
+            "turn_idx",
+            "clean_text",
+            turn_id().alias("_tid"),
+        )
+    )
+
+    # quality + language are computed on a NARROW projection (_tid +
+    # text only) and joined back: carrying the staged text copies
+    # (raw/normalized/folded bases) through a wide inline projection
+    # doubles per-row string traffic — measured 196 s inline vs 97 s for
+    # the narrow-join form on the 1M-turn corpus
+    feats = textstats.with_lang_id(
+        textstats.with_quality(base.select("_tid", "clean_text"), "clean_text"),
+        "clean_text",
+    ).select("_tid", "n_tokens", "quality_score", "lang")
+    turns = base.join(feats, "_tid")
+
+    keep = (F.col("quality_score") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    if langs:
+        keep = keep & F.col("lang").isin(list(langs))
+    return turns.filter(keep)
+
+
 def clean_corpus(
     transcripts: DataFrame,
     min_quality: float = 0.5,
@@ -79,38 +116,7 @@ def clean_corpus(
     def _cut(df: DataFrame) -> DataFrame:
         return dedup._materialize(df, reliable_checkpoint_dir)
 
-    ext = extract_transcripts(transcripts, depara=depara, with_services=False)
-    # materialize the extraction output ONCE (localCheckpoint — at real
-    # scale this is the stored extraction table, see lineage.run): the
-    # pipeline fans out into quality join, exact-dedup join, LSH build
-    # and the final anti-join, and WITHOUT materialization every branch
-    # re-executes the mapInPandas UDF (measured: 570 s vs ~230 s for the
-    # same 1M-turn run)
-    base = _cut(
-        ext.select(
-            "conv_id",
-            "turn_idx",
-            "clean_text",
-            turn_id().alias("_tid"),
-        )
-    )
-
-    # quality + language are computed on a NARROW projection (_tid +
-    # text only) and joined back: carrying the staged text copies
-    # (raw/normalized/folded bases) through a wide inline projection
-    # doubles per-row string traffic — measured 196 s inline vs 97 s for
-    # the narrow-join form on the 1M-turn corpus
-    feats = textstats.with_lang_id(
-        textstats.with_quality(base.select("_tid", "clean_text"), "clean_text"),
-        "clean_text",
-    ).select("_tid", "n_tokens", "quality_score", "lang")
-    turns = base.join(feats, "_tid")
-
-    keep = (F.col("quality_score") >= min_quality) & (F.col("n_tokens") >= min_tokens)
-    if langs:
-        keep = keep & F.col("lang").isin(list(langs))
-    gated = turns.filter(keep)
-
+    gated = _gated_turns(transcripts, min_quality, langs, min_tokens, depara, _cut)
     # stage 1: EXACT dedup (hash groupBy — one shuffle on uniform md5
     # keys). Template-heavy corpora have huge identical families; running
     # LSH over them would put a whole family into one band bucket and
@@ -135,4 +141,91 @@ def clean_corpus(
     )
     losers = groups.filter(F.col("id") != F.col("comp")).select(F.col("id").alias("_tid"))
     out = exact_kept.join(losers, "_tid", "left_anti")
+    out = out.select("conv_id", "turn_idx", "clean_text", "lang", "n_tokens", "quality_score")
+    # surface the LSH skew-cap recall-loss accounting on the RESULT: a
+    # 100 TB operator alerts on dedup_metrics(out)["dropped_buckets"]
+    # instead of grepping executor logs
+    out._dedup_metrics = dedup_metrics(groups)
+    return out
+
+
+def dedup_metrics(df: DataFrame) -> dict:
+    """Recall-loss accounting attached to a ``clean_corpus`` /
+    ``near_dup_groups`` result: ``{"dropped_buckets": n, "max_bucket":
+    m}`` — how many LSH band buckets the ``max_bucket_size`` skew cap
+    dropped (candidate pairs from those buckets were never verified) and
+    the largest bucket seen. Zeros when uncapped or nothing dropped."""
+    for attr in ("_dedup_metrics", "_lsh_metrics"):
+        m = getattr(df, attr, None)
+        if m is not None:
+            return m
+    return {"dropped_buckets": 0, "max_bucket": None}
+
+
+def clean_corpus_incremental(
+    kept: DataFrame,
+    transcripts: DataFrame,
+    min_quality: float = 0.5,
+    langs: list[str] | None = None,
+    min_tokens: int = 5,
+    dedup_threshold: float = 0.7,
+    depara: dict | None = None,
+    lsh_bands: int = 8,
+    num_hashes: int = 32,
+    parallelism: int | None = None,
+    reliable_checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Incremental ``clean_corpus`` — the operational shape for a corpus
+    that GROWS: process only the NEW batch of raw transcripts against the
+    previously-kept corpus, without re-extracting or re-shingling
+    history. Returns the new batch's SURVIVING rows (same schema as
+    ``clean_corpus``); the caller appends them to the stored corpus.
+
+    Stages: the same extract → quality/language gates on the batch; then
+    EXACT dedup both intra-batch (min-_tid representative per hash) and
+    against the kept corpus (md5 anti-join); then incremental near-dup
+    (``dedup.incremental_keep``): the batch is LSH-probed against the
+    kept corpus' signatures plus itself, verified with exact Jaccard,
+    and intra-batch components keep their smallest id unless linked to
+    history.
+
+    Equals the full recompute — ``clean_corpus(batch1 ∪ batch2) ==
+    clean_corpus(batch1) ∪ clean_corpus_incremental(kept1, batch2)``,
+    asserted byte-equal in tests — under the append contract: batch
+    ``_tid``s sort after every kept ``_tid`` (string order of
+    conv_id⟂turn_idx), thresholds unchanged, and no new turn chains two
+    history entries together (see ``incremental_keep``; bridges/chains
+    through dropped docs are the standard streaming-dedup divergence).
+
+    At 100 TB the kept signatures should be persisted and passed through
+    to avoid re-hashing history each batch; this wrapper recomputes them
+    from ``kept`` (one narrow scan of the stored corpus — still far
+    cheaper than re-extracting raw history)."""
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return dedup._materialize(df, reliable_checkpoint_dir)
+
+    gated = _gated_turns(transcripts, min_quality, langs, min_tokens, depara, _cut)
+    hashed = gated.withColumn("_h", F.md5(dedup.normalized_text(F.col("clean_text"))))
+    reps = hashed.groupBy("_h").agg(F.min("_tid").alias("_tid"))
+    batch_reps = hashed.join(reps, ["_h", "_tid"])
+    kept_t = kept.select(
+        turn_id().alias("_tid"),
+        F.col("clean_text"),
+        F.md5(dedup.normalized_text(F.col("clean_text"))).alias("_h"),
+    )
+    exact_new = _cut(
+        batch_reps.join(kept_t.select("_h"), "_h", "left_anti").drop("_h")
+    )
+
+    survivors = dedup.incremental_keep(
+        kept_t.select(F.col("_tid").alias("doc_id"), F.col("clean_text").alias("text")),
+        exact_new.select(F.col("_tid").alias("doc_id"), F.col("clean_text").alias("text")),
+        threshold=dedup_threshold,
+        num_hashes=num_hashes,
+        bands=lsh_bands,
+        parallelism=parallelism,
+        reliable_checkpoint_dir=reliable_checkpoint_dir,
+    ).select(F.col("doc_id").alias("_tid"))
+    out = exact_new.join(survivors, "_tid", "left_semi")
     return out.select("conv_id", "turn_idx", "clean_text", "lang", "n_tokens", "quality_score")

@@ -150,6 +150,29 @@ def minhash_signatures(
     )
 
 
+def band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, sig) signatures → (id, band_idx, band_hash) LSH band rows.
+
+    Deterministic function of the signature alone, so band rows computed
+    from a PERSISTED signature table (the incremental-dedup index) are
+    identical to band rows computed fresh — the property
+    ``incremental_keep`` relies on."""
+    if num_hashes % bands != 0:
+        raise ValueError(f"num_hashes={num_hashes} must be divisible by bands={bands}")
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.concat_ws(",", *[F.element_at("sig", b * rows_per_band + r + 1).cast("string") for r in range(rows_per_band)]))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -175,19 +198,8 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands != 0:
         raise ValueError(f"num_hashes={num_hashes} must be divisible by bands={bands}")
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, k, parallelism)
-    banded = sig.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(F.concat_ws(",", *[F.element_at("sig", b * rows_per_band + r + 1).cast("string") for r in range(rows_per_band)]))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    banded = band_rows(sig, num_hashes, bands)
     obs = None
     left = banded
     if max_bucket_size is not None:
@@ -241,13 +253,14 @@ def minhash_lsh_pairs(
     return pairs
 
 
-def warn_dropped_buckets(pairs: DataFrame) -> int:
+def bucket_cap_metrics(pairs: DataFrame) -> dict:
     """After an action has executed a capped ``minhash_lsh_pairs`` frame,
-    log (and return) the number of band buckets the cap dropped. 0 when
-    uncapped, nothing dropped, or no observation is attached."""
+    return ``{"dropped_buckets": int, "max_bucket": int | None}`` — the
+    recall-loss accounting for the skew cap. Zeros when uncapped or when
+    no observation is attached."""
     obs = getattr(pairs, "_bucket_cap_observation", None)
     if obs is None:
-        return 0
+        return {"dropped_buckets": 0, "max_bucket": None}
     try:
         metrics = obs.get
     except Exception:
@@ -266,7 +279,17 @@ def warn_dropped_buckets(pairs: DataFrame) -> int:
             F.max("_bsz").alias("max_bucket"),
         ).collect()[0]
         metrics = {"dropped_buckets": row.dropped_buckets, "max_bucket": row.max_bucket}
-    dropped = int(metrics.get("dropped_buckets") or 0)
+    return {
+        "dropped_buckets": int(metrics.get("dropped_buckets") or 0),
+        "max_bucket": metrics.get("max_bucket"),
+    }
+
+
+def warn_dropped_buckets(pairs: DataFrame) -> int:
+    """``bucket_cap_metrics`` + a WARNING log when anything was dropped;
+    returns the dropped-bucket count."""
+    metrics = bucket_cap_metrics(pairs)
+    dropped = metrics["dropped_buckets"]
     if dropped:
         _log.warning(
             "minhash_lsh_pairs: bucket cap dropped %d band bucket(s) "
@@ -441,11 +464,24 @@ def near_dup_groups(
         df, text_col, id_col, num_hashes, bands, k, parallelism, max_bucket_size
     )
     cand = _materialize(raw.select("id_a", "id_b"), reliable_checkpoint_dir)
-    warn_dropped_buckets(raw)  # materialization above ran the action
+    metrics = bucket_cap_metrics(raw)  # materialization above ran the action
+    if metrics["dropped_buckets"]:
+        _log.warning(
+            "minhash_lsh_pairs: bucket cap dropped %d band bucket(s) "
+            "(largest seen: %s members) — candidate pairs from those "
+            "buckets are lost; if exact dedup already ran these are "
+            "organic near-dup families and the cap is costing recall",
+            metrics["dropped_buckets"],
+            metrics.get("max_bucket"),
+        )
     verified = _materialize(
         jaccard_verify(df, cand, text_col, id_col, k, threshold), reliable_checkpoint_dir
     )
-    return connected_components(verified, reliable_checkpoint_dir=reliable_checkpoint_dir)
+    out = connected_components(verified, reliable_checkpoint_dir=reliable_checkpoint_dir)
+    # recall-loss accounting rides the result so composing operators
+    # (clean_corpus) can surface it without re-running anything
+    out._lsh_metrics = metrics
+    return out
 
 
 def _simhash_votes(col):
@@ -497,6 +533,112 @@ def _simhash_votes(col):
             out[start:end][nonempty] = packed.view(np.int64).ravel()
         start = end
     return pd.Series(out)
+
+
+def incremental_keep(
+    kept: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    parallelism: int | None = None,
+    kept_sigs: DataFrame | None = None,
+    reliable_checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Incremental near-dup dedup — the operational 100 TB shape: a
+    production corpus GROWS, and re-running the full pipeline over
+    kept ∪ batch re-shingles the entire corpus per batch. Here only the
+    NEW batch is shingled; the kept side is probed through its MinHash
+    signature table.
+
+    Returns the batch rows that survive (same schema as ``batch``):
+    a new doc is dropped when (a) it exactly/nearly duplicates the KEPT
+    corpus — its intra-batch component has a verified (≥ threshold)
+    Jaccard link to any kept doc — or (b) it is not the smallest-id
+    member of its intra-batch near-dup component.
+
+    ``kept_sigs``: the persisted ``minhash_signatures`` table of the
+    kept corpus (columns id, sig) — THE signature table IS the index;
+    pass it to skip re-hashing the kept side (at scale it is stored
+    next to the corpus and appended with each batch's survivors'
+    signatures). When omitted it is computed from ``kept``. Band rows
+    derived from a stored table are identical to fresh ones
+    (``band_rows`` is a pure function of the signature).
+
+    Equals the full recompute (``near_dup_groups`` keep-set over
+    kept ∪ batch, asserted byte-equal in tests) under the append
+    contract: batch ids sort AFTER every kept id (keeper = min id), the
+    kept set is already near-dup-free at this threshold, and no new doc
+    BRIDGES two kept docs (a bridge makes the full recompute retract one
+    of the two previously-kept docs — an incremental pass cannot un-keep
+    history; it keeps both and drops the bridge, the standard streaming-
+    dedup divergence, exercised and documented in tests)."""
+    sig_new = minhash_signatures(batch, text_col, id_col, num_hashes, k, parallelism)
+    if kept_sigs is None:
+        kept_sigs = minhash_signatures(kept, text_col, id_col, num_hashes, k, parallelism)
+    bn = _materialize(band_rows(sig_new, num_hashes, bands), reliable_checkpoint_dir)
+    bk = band_rows(kept_sigs, num_hashes, bands)
+
+    # intra-batch candidates (id_a < id_b, both new)
+    cand_intra = (
+        bn.alias("a")
+        .join(
+            bn.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # cross candidates: new (id_a) vs kept (id_b) — band join against the
+    # stored index, no ordering constraint (disjoint id spaces)
+    cand_cross = (
+        bn.alias("a")
+        .join(
+            bk.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    texts = kept.select(F.col(id_col), F.col(text_col)).unionByName(
+        batch.select(F.col(id_col), F.col(text_col))
+    )
+    ver_intra = _materialize(
+        jaccard_verify(texts, _materialize(cand_intra, reliable_checkpoint_dir),
+                       text_col, id_col, k, threshold),
+        reliable_checkpoint_dir,
+    )
+    ver_cross = jaccard_verify(
+        texts, _materialize(cand_cross, reliable_checkpoint_dir), text_col, id_col, k, threshold
+    )
+
+    comps = connected_components(ver_intra, reliable_checkpoint_dir=reliable_checkpoint_dir)
+    labels = (
+        batch.select(F.col(id_col).alias("id"))
+        .join(comps, "id", "left")
+        .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+    )
+    # components touching the kept corpus (via ANY member) are dropped whole
+    linked = (
+        labels.join(ver_cross.select(F.col("id_a").alias("id")).distinct(), "id")
+        .select("comp")
+        .distinct()
+    )
+    keepers = labels.groupBy("comp").agg(F.min("id").alias("_keep_id"))
+    kept_new = (
+        labels.join(keepers, "comp")
+        .filter(F.col("id") == F.col("_keep_id"))
+        .join(linked, "comp", "left_anti")
+        .select("id")
+    )
+    return batch.join(kept_new, batch[id_col] == kept_new["id"], "left_semi")
 
 
 def simhash64(

@@ -682,6 +682,168 @@ def ivfpq_topk(
     return brute_force_topk(cand, q, k, id_col=id_col, vec_col=vec_col)
 
 
+def _collect_queries(queries: DataFrame, qid_col: str, qvec_col: str) -> list:
+    """Collect the (small) query table driver-side — queries are index
+    METADATA scale (seed/blocklist vectors, thousands at most), the same
+    bounded-collect class as centroids/codebooks."""
+    return [(r[0], [float(v) for v in r[1]]) for r in queries.select(qid_col, qvec_col).collect()]
+
+
+def _per_query_topk(scored: DataFrame, k: int, order_cols) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(*order_cols)
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def ivf_topk_batch(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+) -> DataFrame:
+    """Batched IVF ANN: ONE pruned scan answers every query.
+
+    Driver computes each query's ``nprobe`` probe lists (same selection
+    code as ``ivf_topk`` — per-query equality asserted in tests), the
+    (query_id, ivf_list) probe pairs broadcast-join the index (so a
+    vector row is scored ONLY against queries probing its list — on the
+    persisted ivf_list-partitioned layout the union filter prunes whole
+    partitions), and a per-query window keeps the top k by
+    (round(cosine, 6) desc, id asc) — the single-query rank order.
+    Returns (query_id, id, cosine)."""
+    qs = _collect_queries(queries, qid_col, qvec_col)
+    probe_rows = []
+    for qid, q in qs:
+        d2 = [sum((float(a) - float(b)) ** 2 for a, b in zip(q, c)) for c in centroids]
+        for li in sorted(range(len(centroids)), key=lambda i: d2[i])[:nprobe]:
+            probe_rows.append((qid, int(li)))
+    spark = indexed.sparkSession
+    qid_type = queries.schema[qid_col].dataType.simpleString()
+    probes = spark.createDataFrame(probe_rows, f"query_id {qid_type}, ivf_list INT")
+    all_lists = sorted({li for _, li in probe_rows})
+    qv = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("_qv"))
+    scored = (
+        indexed.filter(F.col("ivf_list").isin(all_lists))
+        .join(F.broadcast(probes), "ivf_list")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("id"),
+            F.round(cosine_pair_expr(F.col(vec_col), F.col("_qv")), 6).alias("cosine"),
+        )
+    )
+    return _per_query_topk(scored, k, [F.desc("cosine"), F.asc("id")])
+
+
+def ivfpq_topk_batch(
+    codes: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    normalize: bool = True,
+    emb: DataFrame | None = None,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+    residual: bool = False,
+) -> DataFrame:
+    """Batched IVF×PQ ANN — the training-pipeline shape (dedupe/score a
+    corpus against THOUSANDS of seed or blocklist vectors) in ONE pruned
+    scan of the code table.
+
+    Single-query ``ivfpq_topk`` folds the query's LUTs into the plan as
+    literal arrays — perfect for one query, but N queries would need N
+    plans (N scans) or an N·m·256-literal plan. Here the LUTs live in a
+    broadcast TABLE instead: one row per (query, probed list) carrying
+    that pair's m×n_centroids LUT (for residual/IVFADC indexes the LUT
+    is built from ``q − centroid[list]``, per list; raw indexes reuse
+    the query's single LUT across its probed lists), the broadcast join
+    attaches them to the pruned code rows, and the score is m
+    column-to-column array lookups — no literals, plan size O(m), any
+    query count. Per-query window top-k by (pq_dist asc, id asc), then
+    the optional exact cosine rerank of each query's top ``k·refine``
+    (round 6, id tie-break — the single-query rank order exactly;
+    per-query equality with ``ivfpq_topk`` asserted in tests).
+
+    Probe selection mirrors each mode of ``ivfpq_topk`` verbatim (raw
+    probes measure in RAW space; residual probes in normalized space)."""
+    import numpy as np
+
+    qs = _collect_queries(queries, qid_col, qvec_col)
+    cents = np.asarray(centroids, dtype=np.float64)
+    m = len(codebooks)
+    dsub = cents.shape[1] // m
+    cbs = [np.ascontiguousarray(cb, dtype=np.float64) for cb in codebooks]
+
+    def _luts_for(rq):
+        return [
+            ((cbs[i] - rq[i * dsub : (i + 1) * dsub][None, :]) ** 2).sum(axis=1).tolist()
+            for i in range(m)
+        ]
+
+    lut_rows = []
+    for qid, q in qs:
+        qn = np.asarray(q, dtype=np.float64)
+        if normalize:
+            qn = qn / max(float(np.linalg.norm(qn)), 1e-12)
+        if residual:
+            d2 = ((cents - qn[None, :]) ** 2).sum(axis=1)
+            for li in (int(i) for i in np.argsort(d2)[:nprobe]):
+                lut_rows.append((qid, li, _luts_for(qn - cents[li])))
+        else:
+            d2r = [sum((float(a) - float(b)) ** 2 for a, b in zip(q, c)) for c in centroids]
+            probes = sorted(range(len(centroids)), key=lambda i: d2r[i])[:nprobe]
+            lut = _luts_for(qn)
+            for li in probes:
+                lut_rows.append((qid, int(li), lut))
+
+    spark = codes.sparkSession
+    qid_type = queries.schema[qid_col].dataType.simpleString()
+    luts = spark.createDataFrame(
+        lut_rows, f"query_id {qid_type}, ivf_list INT, lut ARRAY<ARRAY<DOUBLE>>"
+    )
+    all_lists = sorted({li for _, li, _ in lut_rows})
+
+    dist = None
+    for i in range(m):
+        t = F.element_at(F.element_at("lut", i + 1), F.element_at("codes", i + 1) + 1)
+        dist = t if dist is None else dist + t
+    scored = (
+        codes.filter(F.col("ivf_list").isin(all_lists))
+        .join(F.broadcast(luts), "ivf_list")
+        .select("query_id", "id", dist.alias("pq_dist"))
+    )
+    top = _per_query_topk(
+        scored, k * refine if emb is not None else k, [F.asc("pq_dist"), F.asc("id")]
+    )
+    if emb is None:
+        return top
+    qv = queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("_qv"))
+    cand = top.select("query_id", "id").join(
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v")), "id"
+    )
+    rer = cand.join(F.broadcast(qv), "query_id").select(
+        "query_id",
+        "id",
+        F.round(cosine_pair_expr(F.col("_v"), F.col("_qv")), 6).alias("cosine"),
+    )
+    return _per_query_topk(rer, k, [F.desc("cosine"), F.asc("id")])
+
+
 def cosine_pair_expr(a, b):
     """Cosine similarity between two array<float> columns (double math)."""
     ad = a.cast("array<double>")

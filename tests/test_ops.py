@@ -474,6 +474,129 @@ def test_clean_corpus_end_to_end(spark, depara):
     assert all(r.quality_score >= 0.5 and r.n_tokens >= 5 for r in out)
 
 
+def _inc_corpus(spark):
+    a = "the quick brown fox jumps over the lazy dog near the river bank in the north"
+    b = "spark processes distributed data with resilient datasets and the catalyst optimizer engine"
+    c = "cooking pasta with fresh tomato sauce and basil is a simple joy of summer evenings"
+    d = "mountains rise steeply above the quiet valley where the cold streams run all year"
+    f = "libraries hold thousands of old books about science history art and forgotten trades"
+    batch1 = [
+        (0, a),
+        (1, a.replace("north", "south")),  # near-dup of 0 → intra-batch1 loser
+        (2, b),
+        (3, c),
+        (4, d),
+    ]
+    batch2 = [
+        (10, a.replace("quick", "swift")),  # cross-batch near-dup of 0 → dropped
+        (11, b),                            # exact copy of kept 2 → dropped
+        (12, f),
+        (13, f.replace("forgotten", "ancient")),  # intra-batch2 near-dup → keep 12
+        (14, "entirely new unique content about deep sea creatures and their glowing light organs"),
+    ]
+    schema = "doc_id LONG, text STRING"
+    return (
+        spark.createDataFrame(batch1, schema),
+        spark.createDataFrame(batch2, schema),
+    )
+
+
+def test_incremental_keep_equals_full_recompute(spark):
+    """incremental(batch1) + incremental(batch2 | kept1) must keep
+    EXACTLY the ids the full near_dup_groups recompute over the union
+    keeps — cross-batch near-dups planted in both directions (vs a kept
+    doc, vs an exact copy of a kept doc, and intra-batch-2)."""
+    b1, b2 = _inc_corpus(spark)
+    kw = dict(threshold=0.5, num_hashes=32, bands=16)
+
+    empty = b1.limit(0)
+    kept1 = dedup.incremental_keep(empty, b1, **kw)
+    got1 = {r.doc_id for r in kept1.collect()}
+    assert got1 == {0, 2, 3, 4}
+
+    kept2 = dedup.incremental_keep(kept1, b2, **kw)
+    got2 = {r.doc_id for r in kept2.collect()}
+    assert got2 == {12, 14}
+
+    union = b1.unionByName(b2)
+    groups = dedup.near_dup_groups(union, **kw)
+    losers = {r.id for r in groups.collect() if r.id != r.comp}
+    full_kept = {r.doc_id for r in union.collect()} - losers
+    assert got1 | got2 == full_kept
+
+    # the signature table IS the index: passing persisted kept signatures
+    # must change nothing
+    sigs1 = dedup.minhash_signatures(kept1, num_hashes=32)
+    kept2b = dedup.incremental_keep(kept1, b2, kept_sigs=sigs1, **kw)
+    assert {r.doc_id for r in kept2b.collect()} == got2
+
+
+def test_clean_corpus_incremental_equals_full(spark, depara):
+    """clean_corpus(b1 ∪ b2) == clean_corpus(b1) ∪
+    clean_corpus_incremental(kept1, b2), byte-equal — with cross-batch
+    near-dup AND cross-batch exact-dup turns planted. Batch-2 conv ids
+    sort after batch-1's (the append contract)."""
+    from pdf_ocr_api_spark.ops import corpus
+
+    base = ("the quick brown fox jumps over the lazy dog and runs across the river "
+            "bank to find the other animals in the quiet green forest of the north")
+    uniq = ("the cat and the dog of the house are in the garden near the "
+            "old stone wall where the birds sing in the morning light")
+    b1_rows = [
+        ("a0", 0, "user", base, None),
+        ("a0", 1, "user", base.replace("green", "dark"), None),  # intra-b1 near-dup
+        ("a1", 0, "user", uniq, None),
+    ]
+    b2_rows = [
+        ("b0", 0, "user", base.replace("quick", "swift"), None),  # cross-batch near-dup
+        ("b0", 1, "user", uniq, None),                            # cross-batch exact dup
+        ("b1", 0, "user", "entirely new unique content about deep sea creatures and "
+                           "their glowing light organs in the dark water", None),
+    ]
+    schema = "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING"
+    b1 = spark.createDataFrame(b1_rows, schema)
+    b2 = spark.createDataFrame(b2_rows, schema)
+    kw = dict(min_quality=0.3, min_tokens=5, dedup_threshold=0.6, depara=depara,
+              parallelism=4)
+
+    full = corpus.clean_corpus(b1.unionByName(b2), **kw).collect()
+    kept1 = corpus.clean_corpus(b1, **kw)
+    inc2 = corpus.clean_corpus_incremental(kept1, b2, **kw).collect()
+
+    def key(rows):
+        return sorted((r.conv_id, r.turn_idx, r.clean_text, r.lang, r.n_tokens,
+                       r.quality_score) for r in rows)
+
+    assert key(full) == key(list(kept1.collect()) + list(inc2))
+    # the planted drops actually happened
+    got = {(r.conv_id, r.turn_idx) for r in inc2}
+    assert ("b0", 0) not in got and ("b0", 1) not in got
+    assert ("b1", 0) in got
+
+
+def test_clean_corpus_metrics_observable(spark, depara):
+    """The LSH bucket-cap recall-loss accounting must be readable off the
+    clean_corpus RESULT (dedup_metrics), not just executor logs."""
+    from pdf_ocr_api_spark.ops import corpus
+
+    fam = "the same exact sentence repeated for the template family test again and again"
+    # distinct near-identical texts (exact dedup must NOT collapse them)
+    rows = [("c%d" % i, 0, "user", fam + " variant %d" % i, None) for i in range(12)]
+    sdf = spark.createDataFrame(
+        rows, "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING"
+    )
+    out = corpus.clean_corpus(sdf, min_quality=0.0, min_tokens=3, dedup_threshold=0.5,
+                              depara=depara, max_bucket_size=4)
+    out.collect()
+    m = corpus.dedup_metrics(out)
+    assert m["dropped_buckets"] > 0 and m["max_bucket"] >= 12
+    # uncapped run reports zeros
+    out2 = corpus.clean_corpus(sdf, min_quality=0.0, min_tokens=3, dedup_threshold=0.5,
+                               depara=depara, max_bucket_size=None)
+    out2.collect()
+    assert corpus.dedup_metrics(out2)["dropped_buckets"] == 0
+
+
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """The reliable-checkpoint path (storage-backed checkpoint() instead
     of executor-local blocks) must produce identical components and must
@@ -561,6 +684,54 @@ def test_ivfpq_recall_and_roundtrip(near_dup_corpus, spark, tmp_path):
     b = [r.id for r in similarity.ivfpq_topk(
         codes2.filter(F.col("id") != 0), cents2, cbs2, q, k=5, nprobe=4).collect()]
     assert a == b
+
+
+def test_ivfpq_topk_batch_equals_single_query(near_dup_corpus, spark):
+    """Batched index-backed ANN must reproduce the single-query path
+    EXACTLY, per query: raw LUT-only, raw + rerank, and residual
+    (IVFADC) + rerank — broadcast LUT-table scoring vs literal-LUT
+    plans, probe selection mirrored per mode."""
+    df = near_dup_corpus
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    qvecs = {
+        r.query_id: [float(x) for x in r.query_vec] for r in queries.collect()
+    }
+
+    for residual in (False, True):
+        codes, cents, cbs = similarity.ivfpq_index(df, n_lists=8, m=4, residual=residual)
+        for emb in (None, df):
+            batch = similarity.ivfpq_topk_batch(
+                codes, cents, cbs, queries, k=5, nprobe=3, emb=emb, residual=residual
+            ).collect()
+            for qid, q in qvecs.items():
+                single = similarity.ivfpq_topk(
+                    codes, cents, cbs, q, k=5, nprobe=3, emb=emb, residual=residual
+                ).collect()
+                got = [r for r in batch if r.query_id == qid]
+                if emb is None:
+                    assert [(r.id, r.pq_dist) for r in got] == [
+                        (r.id, r.pq_dist) for r in single
+                    ], (residual, qid)
+                else:
+                    assert [(r.id, r.cosine) for r in got] == [
+                        (r.id, r.cosine) for r in single
+                    ], (residual, qid)
+
+
+def test_ivf_topk_batch_equals_single_query(near_dup_corpus, spark):
+    df = near_dup_corpus
+    indexed, cents = similarity.ivf_index(df, n_lists=8)
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    batch = similarity.ivf_topk_batch(indexed, cents, queries, k=5, nprobe=3).collect()
+    for r in queries.collect():
+        q = [float(x) for x in r.query_vec]
+        single = similarity.ivf_topk(indexed, cents, q, k=5, nprobe=3).collect()
+        got = [(x.id, x.cosine) for x in batch if x.query_id == r.query_id]
+        assert got == [(x.id, x.cosine) for x in single], r.query_id
 
 
 def test_lang_id_widened_bank_and_confusion(spark):

@@ -79,6 +79,39 @@ def main() -> int:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = 0
+
+    # DRIVER-GATE PARITY GUARDS (r4, after the r3 lesson: the driver
+    # evaluates at most 50 entries and silently drops the rest — three
+    # registered mm_* entries had no CORRECTNESS_r03 row and nobody
+    # noticed). (1) the registry must FIT the driver's cap; (2) every
+    # registered entry must appear in the latest driver artifact —
+    # expected to differ right after a registry change, but a LOUD
+    # failure any other time.
+    DRIVER_ENTRY_CAP = 50
+    if len(qs) > DRIVER_ENTRY_CAP:
+        print(
+            f"FAIL  registry has {len(qs)} entries > driver cap "
+            f"{DRIVER_ENTRY_CAP} — the driver will silently drop "
+            f"{len(qs) - DRIVER_ENTRY_CAP} trailing entr(ies): "
+            f"{list(qs)[DRIVER_ENTRY_CAP:]}"
+        )
+        failures += 1
+    import glob
+    import json
+    import os
+
+    arts = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json")))
+    if arts:
+        with open(arts[-1]) as fh:
+            driver_rows = set(json.load(fh))
+        missing = [n for n in qs if n not in driver_rows]
+        if missing:
+            print(
+                f"WARN  {len(missing)} registered entr(ies) have NO row in "
+                f"{os.path.basename(arts[-1])}: {missing}\n"
+                "      (expected only immediately after a registry change; "
+                "otherwise the driver gate is silently skipping them)"
+            )
     for name, fn in qs.items():
         t0 = time.monotonic()
         try:
