@@ -125,9 +125,14 @@ def headline_queries(spark, transcripts):
 
     def q_simhash():
         # Manku-banded full-recall variant (round 2); k=3 is the standard
-        # near-dup operating point — 4 blocks of 16 bits
+        # near-dup operating point — 4 blocks of 16 bits.
+        # parallelism=CPUS (one wave), NOT 4×: the r4 signature build is
+        # an Arrow-batched pandas UDF, and per-partition Arrow/worker
+        # overhead dominates small partitions — 128 partitions measured
+        # 4.2 s steady vs 2.8 s at 32 for the same job (the pure-JVM
+        # minhash build above keeps 4× for straggler amortization)
         d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        return _count(dedup.simhash_near_pairs(dedup.simhash64(d, parallelism=4 * CPUS), max_hamming=3))
+        return _count(dedup.simhash_near_pairs(dedup.simhash64(d, parallelism=CPUS), max_hamming=3))
 
     def q_quality():
         d = spark.read.parquet(f"{SF_DIR}/documents.parquet")

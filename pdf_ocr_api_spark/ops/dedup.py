@@ -61,17 +61,45 @@ def _materialize(df: DataFrame, reliable_dir: str | None = None) -> DataFrame:
             sc.setCheckpointDir(prev)
 
 
-def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_members: int | None = 1000,
+) -> DataFrame:
     """Exact-duplicate groups: md5 over normalized text; returns one row
-    per duplicated hash with the member ids and the canonical keeper
-    (min id)."""
+    per duplicated hash with ``dup_count``, the canonical keeper (min
+    id), and the first ``max_members`` member ids (sorted).
+
+    ``max_members`` bounds the per-row array: a 10⁸-member template
+    family at corpus scale would otherwise put the whole family's ids
+    into ONE row (the r3 verdict's reporting-operator hazard) —
+    ``dup_count`` always carries the TRUE group size, the array holds
+    the ``max_members`` smallest ids. The bound is enforced BEFORE the
+    collect (per-hash row_number window, nulls skipped by collect_list),
+    not by slicing a fully-collected array — the giant array must never
+    exist, even transiently inside the aggregate; the window rides the
+    same hash partitioning as the groupBy, so no extra exchange.
+    ``None`` = unbounded (small corpora / tests). Dedup semantics never
+    need the full array: keepers come from ``keep_id``, and
+    ``clean_corpus`` uses groupBy-min representatives only."""
     h = df.select(F.col(id_col).alias("id"), F.md5(normalized_text(F.col(text_col))).alias("h"))
+    if max_members is None:
+        members = F.sort_array(F.collect_list("id"))
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("h").orderBy("id")
+        h = h.withColumn("_rn", F.row_number().over(w))
+        members = F.sort_array(
+            F.collect_list(F.when(F.col("_rn") <= max_members, F.col("id")))
+        )
     return (
         h.groupBy("h")
         .agg(
             F.count("*").alias("dup_count"),
             F.min("id").alias("keep_id"),
-            F.sort_array(F.collect_list("id")).alias("member_ids"),
+            members.alias("member_ids"),
         )
         .filter(F.col("dup_count") > 1)
     )

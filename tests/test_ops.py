@@ -30,6 +30,25 @@ def test_exact_duplicates(docs):
     assert list(g.member_ids) == [0, 1, 6]
 
 
+def test_exact_duplicates_member_cap(spark):
+    """max_members bounds member_ids BEFORE the collect (a 10^8-member
+    template family must never materialize one giant array row);
+    dup_count still carries the true size and keep_id the true min."""
+    rows = [(i, "the very same template text repeated") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    g = dedup.exact_duplicates(df, max_members=5).collect()
+    assert len(g) == 1
+    assert g[0].dup_count == 20 and g[0].keep_id == 0
+    assert list(g[0].member_ids) == [0, 1, 2, 3, 4]
+    # the bounding window must ride the groupBy's hash partitioning —
+    # exactly one exchange in the plan, same as the uncapped form
+    from pdf_ocr_api_spark.plans import inspect as PI
+
+    capped = PI.exchange_count(dedup.exact_duplicates(df, max_members=5))
+    uncapped = PI.exchange_count(dedup.exact_duplicates(df, max_members=None))
+    assert capped == uncapped
+
+
 def test_minhash_lsh_finds_near_dups(docs):
     # bands=16 (r=2): P(collide) = 1-(1-j^2)^16 ≈ 0.9998 at j=0.65 — the
     # recall-tuned banding for near-dup candidates
