@@ -149,17 +149,26 @@ def clean_corpus(
     return out
 
 
-def dedup_metrics(df: DataFrame) -> dict:
+def dedup_metrics(df: DataFrame) -> dict | None:
     """Recall-loss accounting attached to a ``clean_corpus`` /
-    ``near_dup_groups`` result: ``{"dropped_buckets": n, "max_bucket":
+    ``clean_corpus_incremental`` / ``near_dup_groups`` /
+    ``incremental_keep`` result: ``{"dropped_buckets": n, "max_bucket":
     m}`` — how many LSH band buckets the ``max_bucket_size`` skew cap
     dropped (candidate pairs from those buckets were never verified) and
-    the largest bucket seen. Zeros when uncapped or nothing dropped."""
+    the largest bucket seen; zeros when uncapped or nothing dropped.
+
+    Returns ``None`` when the frame carries NO metrics — i.e. it is not
+    the DIRECT result of one of those operators (any ``.filter()`` /
+    ``.repartition()`` / reload produces a fresh DataFrame object and
+    the Python-side attribute does not follow). ``None`` must be treated
+    as "metrics lost, read them off the original result", never as
+    "no recall loss" — returning zeros here would be exactly the silent
+    recall loss this accounting exists to prevent."""
     for attr in ("_dedup_metrics", "_lsh_metrics"):
         m = getattr(df, attr, None)
         if m is not None:
             return m
-    return {"dropped_buckets": 0, "max_bucket": None}
+    return None
 
 
 def clean_corpus_incremental(
@@ -173,6 +182,7 @@ def clean_corpus_incremental(
     lsh_bands: int = 8,
     num_hashes: int = 32,
     parallelism: int | None = None,
+    max_bucket_size: int | None = 256,
     reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Incremental ``clean_corpus`` — the operational shape for a corpus
@@ -218,14 +228,18 @@ def clean_corpus_incremental(
         batch_reps.join(kept_t.select("_h"), "_h", "left_anti").drop("_h")
     )
 
-    survivors = dedup.incremental_keep(
+    kept_rows = dedup.incremental_keep(
         kept_t.select(F.col("_tid").alias("doc_id"), F.col("clean_text").alias("text")),
         exact_new.select(F.col("_tid").alias("doc_id"), F.col("clean_text").alias("text")),
         threshold=dedup_threshold,
         num_hashes=num_hashes,
         bands=lsh_bands,
         parallelism=parallelism,
+        max_bucket_size=max_bucket_size,
         reliable_checkpoint_dir=reliable_checkpoint_dir,
-    ).select(F.col("doc_id").alias("_tid"))
+    )
+    survivors = kept_rows.select(F.col("doc_id").alias("_tid"))
     out = exact_new.join(survivors, "_tid", "left_semi")
-    return out.select("conv_id", "turn_idx", "clean_text", "lang", "n_tokens", "quality_score")
+    out = out.select("conv_id", "turn_idx", "clean_text", "lang", "n_tokens", "quality_score")
+    out._dedup_metrics = dedup_metrics(kept_rows)
+    return out

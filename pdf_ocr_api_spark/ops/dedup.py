@@ -80,9 +80,14 @@ def exact_duplicates(
     not by slicing a fully-collected array — the giant array must never
     exist, even transiently inside the aggregate; the window rides the
     same hash partitioning as the groupBy, so no extra exchange.
-    ``None`` = unbounded (small corpora / tests). Dedup semantics never
-    need the full array: keepers come from ``keep_id``, and
-    ``clean_corpus`` uses groupBy-min representatives only."""
+    ``None`` = unbounded (small corpora / tests). Truncation is
+    row-detectable: ``size(member_ids) < dup_count`` ⟺ the family was
+    capped — callers that act on the FULL membership (bulk deletes)
+    must check that, or drive deletes off the hash join
+    (``df.join(groups, md5(norm(text)) == h)``) instead of the id list.
+    Dedup semantics never need the full array: keepers come from
+    ``keep_id``, and ``clean_corpus`` uses groupBy-min representatives
+    only."""
     h = df.select(F.col(id_col).alias("id"), F.md5(normalized_text(F.col(text_col))).alias("h"))
     if max_members is None:
         members = F.sort_array(F.collect_list("id"))
@@ -313,14 +318,11 @@ def bucket_cap_metrics(pairs: DataFrame) -> dict:
     }
 
 
-def warn_dropped_buckets(pairs: DataFrame) -> int:
-    """``bucket_cap_metrics`` + a WARNING log when anything was dropped;
-    returns the dropped-bucket count."""
-    metrics = bucket_cap_metrics(pairs)
+def _warn_bucket_metrics(metrics: dict) -> int:
     dropped = metrics["dropped_buckets"]
     if dropped:
         _log.warning(
-            "minhash_lsh_pairs: bucket cap dropped %d band bucket(s) "
+            "bucket cap dropped %d band bucket(s) "
             "(largest seen: %s members) — candidate pairs from those "
             "buckets are lost; if exact dedup already ran these are "
             "organic near-dup families and the cap is costing recall",
@@ -328,6 +330,12 @@ def warn_dropped_buckets(pairs: DataFrame) -> int:
             metrics.get("max_bucket"),
         )
     return dropped
+
+
+def warn_dropped_buckets(pairs: DataFrame) -> int:
+    """``bucket_cap_metrics`` + a WARNING log when anything was dropped;
+    returns the dropped-bucket count."""
+    return _warn_bucket_metrics(bucket_cap_metrics(pairs))
 
 
 def jaccard_verify(
@@ -493,15 +501,7 @@ def near_dup_groups(
     )
     cand = _materialize(raw.select("id_a", "id_b"), reliable_checkpoint_dir)
     metrics = bucket_cap_metrics(raw)  # materialization above ran the action
-    if metrics["dropped_buckets"]:
-        _log.warning(
-            "minhash_lsh_pairs: bucket cap dropped %d band bucket(s) "
-            "(largest seen: %s members) — candidate pairs from those "
-            "buckets are lost; if exact dedup already ran these are "
-            "organic near-dup families and the cap is costing recall",
-            metrics["dropped_buckets"],
-            metrics.get("max_bucket"),
-        )
+    _warn_bucket_metrics(metrics)
     verified = _materialize(
         jaccard_verify(df, cand, text_col, id_col, k, threshold), reliable_checkpoint_dir
     )
@@ -545,9 +545,15 @@ def _simhash_votes(col):
             else np.empty(0, dtype=np.int64)
         )
         n = lens[start:end]
+        # byte layout pinned to LITTLE-endian explicitly (astype is a
+        # no-op copy-wise on LE hosts): a native .view(uint8) on a
+        # big-endian host would reverse the byte order and column b
+        # would no longer be bit b — silently breaking byte-identity
+        # with the JVM twin and cross-platform signature tables
+        flat_le = flat.astype("<i8", copy=False)
         # (T, 64) uint8: bit b of token hash t at [t, b]
         bits = np.unpackbits(
-            flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            flat_le.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
         )
         offsets = np.zeros(len(n), dtype=np.int64)
         np.cumsum(n[:-1], out=offsets[1:])
@@ -558,7 +564,9 @@ def _simhash_votes(col):
             )
             win = 2 * counts > n[nonempty, None]
             packed = np.packbits(win, axis=1, bitorder="little")
-            out[start:end][nonempty] = packed.view(np.int64).ravel()
+            # '<i8' view: interpret the 8 packed bytes as a LE int64 on
+            # any host (see the flat_le note above)
+            out[start:end][nonempty] = packed.view("<i8").ravel()
         start = end
     return pd.Series(out)
 
@@ -574,6 +582,7 @@ def incremental_keep(
     k: int = 3,
     parallelism: int | None = None,
     kept_sigs: DataFrame | None = None,
+    max_bucket_size: int | None = None,
     reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Incremental near-dup dedup — the operational 100 TB shape: a
@@ -596,6 +605,17 @@ def incremental_keep(
     derived from a stored table are identical to fresh ones
     (``band_rows`` is a pure function of the signature).
 
+    ``max_bucket_size``: the same quadratic-skew backstop as
+    ``minhash_lsh_pairs`` — over-cap band buckets (measured on EACH side
+    independently: a template family inside the batch, or a mega-bucket
+    in the stored index) are dropped before the joins, with the
+    dropped-bucket count warned and attached to the result
+    (``_lsh_metrics``, readable via ``corpus.dedup_metrics``). When the
+    cap actually BINDS, results can diverge from a capped full recompute
+    (the cap is corpus-global there, per-side here) — like the bridge
+    caveat below, the equality contract assumes the backstop is sized to
+    not bind on organic data.
+
     Equals the full recompute (``near_dup_groups`` keep-set over
     kept ∪ batch, asserted byte-equal in tests) under the append
     contract: batch ids sort AFTER every kept id (keeper = min id), the
@@ -609,6 +629,32 @@ def incremental_keep(
         kept_sigs = minhash_signatures(kept, text_col, id_col, num_hashes, k, parallelism)
     bn = _materialize(band_rows(sig_new, num_hashes, bands), reliable_checkpoint_dir)
     bk = band_rows(kept_sigs, num_hashes, bands)
+
+    metrics = {"dropped_buckets": 0, "max_bucket": None}
+    if max_bucket_size is not None:
+        bk = _materialize(bk, reliable_checkpoint_dir)
+
+        def _cap(b: DataFrame) -> tuple[DataFrame, int, int | None]:
+            sizes = b.groupBy("band_idx", "band_hash").agg(F.count("*").alias("_bsz"))
+            row = sizes.agg(
+                F.sum((F.col("_bsz") > max_bucket_size).cast("long")).alias("d"),
+                F.max("_bsz").alias("m"),
+            ).collect()[0]
+            capped = b.join(
+                sizes.filter(F.col("_bsz") <= max_bucket_size).select("band_idx", "band_hash"),
+                ["band_idx", "band_hash"],
+                "left_semi",
+            )
+            return capped, int(row.d or 0), row.m
+
+        bn, d_new, m_new = _cap(bn)
+        bk, d_old, m_old = _cap(bk)
+        seen = [m for m in (m_new, m_old) if m is not None]
+        metrics = {
+            "dropped_buckets": d_new + d_old,
+            "max_bucket": max(seen) if seen else None,
+        }
+        _warn_bucket_metrics(metrics)
 
     # intra-batch candidates (id_a < id_b, both new)
     cand_intra = (
@@ -666,7 +712,9 @@ def incremental_keep(
         .join(linked, "comp", "left_anti")
         .select("id")
     )
-    return batch.join(kept_new, batch[id_col] == kept_new["id"], "left_semi")
+    out = batch.join(kept_new, batch[id_col] == kept_new["id"], "left_semi")
+    out._lsh_metrics = metrics
+    return out
 
 
 def simhash64(

@@ -85,7 +85,7 @@ def brute_force_topk_batch(
         F.col(qid_col).alias("query_id"),
         F.col(id_col).alias("id"),
         F.round(
-            cosine_pair_expr(F.col(vec_col), F.col(qvec_col)), 6
+            cosine_to_query_expr(F.col(vec_col), F.col(qvec_col)), 6
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
@@ -682,6 +682,19 @@ def ivfpq_topk(
     return brute_force_topk(cand, q, k, id_col=id_col, vec_col=vec_col)
 
 
+def cosine_to_query_expr(vec_col, qvec_col):
+    """cosine(vec, query) between two array columns WITH the zero-query-
+    norm guard ``cosine_to`` applies driver-side (``or 1.0``): an
+    all-zero query vector scores 0.0 against every row instead of
+    NULL-ing the whole column — without this, a batch path would rank
+    all-NULL ties by id while the single-query path returns 0.0 rows,
+    breaking the per-query equality contract."""
+    vd = vec_col.cast("array<double>")
+    qd = qvec_col.cast("array<double>")
+    qn = _norm(qd)
+    return _dot(vd, qd) / (_norm(vd) * F.when(qn == 0.0, F.lit(1.0)).otherwise(qn))
+
+
 def _collect_queries(queries: DataFrame, qid_col: str, qvec_col: str) -> list:
     """Collect the (small) query table driver-side — queries are index
     METADATA scale (seed/blocklist vectors, thousands at most), the same
@@ -739,7 +752,7 @@ def ivf_topk_batch(
         .select(
             "query_id",
             F.col(id_col).alias("id"),
-            F.round(cosine_pair_expr(F.col(vec_col), F.col("_qv")), 6).alias("cosine"),
+            F.round(cosine_to_query_expr(F.col(vec_col), F.col("_qv")), 6).alias("cosine"),
         )
     )
     return _per_query_topk(scored, k, [F.desc("cosine"), F.asc("id")])
@@ -839,7 +852,7 @@ def ivfpq_topk_batch(
     rer = cand.join(F.broadcast(qv), "query_id").select(
         "query_id",
         "id",
-        F.round(cosine_pair_expr(F.col("_v"), F.col("_qv")), 6).alias("cosine"),
+        F.round(cosine_to_query_expr(F.col("_v"), F.col("_qv")), 6).alias("cosine"),
     )
     return _per_query_topk(rer, k, [F.desc("cosine"), F.asc("id")])
 

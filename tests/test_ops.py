@@ -614,6 +614,30 @@ def test_clean_corpus_metrics_observable(spark, depara):
                                depara=depara, max_bucket_size=None)
     out2.collect()
     assert corpus.dedup_metrics(out2)["dropped_buckets"] == 0
+    # a DERIVED frame has no metrics — None ("metrics lost"), never zeros
+    assert corpus.dedup_metrics(out.limit(1)) is None
+
+
+def test_incremental_keep_bucket_cap_and_metrics(spark):
+    """incremental_keep must carry the same quadratic-skew backstop as
+    the full pipeline: a template family in the batch (or a mega-bucket
+    in the stored index) is dropped with OBSERVABLE accounting."""
+    from pdf_ocr_api_spark.ops import corpus
+
+    fam = [(i, "the same exact template sentence repeated again and again") for i in range(12)]
+    uniq = [(100, "completely different content about cooking pasta with fresh tomato sauce")]
+    batch = spark.createDataFrame(fam + uniq, "doc_id LONG, text STRING")
+    empty = batch.limit(0)
+    out = dedup.incremental_keep(empty, batch, threshold=0.5, bands=16, max_bucket_size=4)
+    kept = {r.doc_id for r in out.collect()}
+    # every family bucket over cap -> no intra candidates -> all kept
+    assert kept == {i for i, _ in fam} | {100}
+    m = corpus.dedup_metrics(out)
+    assert m is not None and m["dropped_buckets"] > 0 and m["max_bucket"] >= 12
+    # uncapped: family collapses to its min id
+    out2 = dedup.incremental_keep(empty, batch, threshold=0.5, bands=16)
+    assert {r.doc_id for r in out2.collect()} == {0, 100}
+    assert corpus.dedup_metrics(out2) == {"dropped_buckets": 0, "max_bucket": None}
 
 
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
@@ -737,6 +761,21 @@ def test_ivfpq_topk_batch_equals_single_query(near_dup_corpus, spark):
                     assert [(r.id, r.cosine) for r in got] == [
                         (r.id, r.cosine) for r in single
                     ], (residual, qid)
+
+
+def test_batch_cosine_zero_query_guard(near_dup_corpus, spark):
+    """An all-zero query must score 0.0 rows (the single-query path's
+    driver-side `or 1.0` guard), NOT NULL out the cosine column and rank
+    arbitrary ties — batch == single-query even on this edge."""
+    df = near_dup_corpus
+    indexed, cents = similarity.ivf_index(df, n_lists=8)
+    zq = spark.createDataFrame(
+        [(99, [0.0] * 16)], "query_id LONG, query_vec ARRAY<FLOAT>"
+    )
+    batch = similarity.ivf_topk_batch(indexed, cents, zq, k=5, nprobe=3).collect()
+    single = similarity.ivf_topk(indexed, cents, [0.0] * 16, k=5, nprobe=3).collect()
+    assert [(r.id, r.cosine) for r in batch] == [(r.id, r.cosine) for r in single]
+    assert all(r.cosine == 0.0 for r in batch)
 
 
 def test_ivf_topk_batch_equals_single_query(near_dup_corpus, spark):

@@ -129,6 +129,17 @@ def test_ivfpq_probe_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "ivf_list" in plan.split("PartitionFilters", 1)[1][:300], plan[:2000]
     assert "TakeOrderedAndProject" in PI.executed_plan(top)
 
+    # the BATCHED path must prune identically: the probe-union filter
+    # reaches the persisted scan as a partition filter, and the LUT
+    # table arrives via broadcast (no shuffle of the codes for the join)
+    queries = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    btop = similarity.ivfpq_topk_batch(loaded, cents2, cbs2, queries, k=5, nprobe=2)
+    bplan = PI.formatted_plan(btop)
+    assert "PartitionFilters" in bplan and "ivf_list" in bplan.split("PartitionFilters", 1)[1][:300], bplan[:2000]
+    assert "BroadcastHashJoin" in PI.executed_plan(btop)
+
 
 def test_fused_lang_id_single_regex_pass(stored, depara):
     """The sweep-form lang-ID must traverse the text ONCE: exactly one
