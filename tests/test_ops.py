@@ -592,6 +592,12 @@ def test_clean_corpus_incremental_equals_full(spark, depara):
     assert ("b0", 0) not in got and ("b0", 1) not in got
     assert ("b1", 0) in got
 
+    # the persisted-signature-table path (the production shape: never
+    # re-hash history) must change nothing
+    sigs1 = corpus.corpus_signatures(kept1)
+    inc2b = corpus.clean_corpus_incremental(kept1, b2, kept_sigs=sigs1, **kw).collect()
+    assert key(inc2b) == key(inc2)
+
 
 def test_clean_corpus_metrics_observable(spark, depara):
     """The LSH bucket-cap recall-loss accounting must be readable off the
