@@ -83,6 +83,19 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--driver-memory", default=None, help="local-mode driver JVM heap (default 8g)")
     ap.add_argument("--records", action="store_true", help="also write conversation-level records")
+    ap.add_argument("--clean-corpus", action="store_true",
+                    help="corpus-cleaning job: extract + quality/language gates + near-dup dedup; "
+                         "writes <output>/corpus plus the MinHash signature index <output>/signatures")
+    ap.add_argument("--clean-incremental", action="store_true",
+                    help="incremental corpus job: dedup ONLY the --input batch against an existing "
+                         "<output>/corpus via its <output>/signatures index, then APPEND the survivors "
+                         "(and their signatures) — history is never re-extracted or re-shingled")
+    ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--dedup-threshold", type=float, default=0.7)
+    ap.add_argument("--langs", default=None, help="comma-separated language allow-list (e.g. en,pt)")
+    ap.add_argument("--max-bucket-size", type=int, default=256,
+                    help="LSH band-bucket skew cap (dropped buckets are counted in the summary); 0 = uncapped")
     ap.add_argument("--selftest", action="store_true")
     args = ap.parse_args(argv)
 
@@ -91,6 +104,10 @@ def main(argv: list[str] | None = None) -> int:
 
     if not args.input or not args.output:
         ap.error("--input and --output are required (or --selftest)")
+    if args.clean_corpus and args.clean_incremental:
+        ap.error("--clean-corpus and --clean-incremental are mutually exclusive")
+    if args.clean_corpus or args.clean_incremental:
+        return _clean_corpus_job(args)
     if args.records_rows and not args.records:
         ap.error("--records-rows requires --records")
     if args.records and args.text_only:
@@ -129,6 +146,75 @@ def main(argv: list[str] | None = None) -> int:
         else:
             recs = conversation.conversation_records(ext, tipo_dim)
         write_table(recs, f"{args.output}/records" if "/" in args.output else f"{args.output}_records", mode="create")
+    return 0
+
+
+def _clean_corpus_job(args) -> int:
+    """The training-data-product job surface (ops/corpus as spark-submit).
+
+    Full mode writes the cleaned corpus AND its MinHash signature table
+    (the incremental-dedup index) under the output root; incremental
+    mode reads both back, dedups ONLY the new batch against them, and
+    APPENDS the surviving rows plus their signatures — the stored pair
+    stays self-consistent, so batches can be chained indefinitely
+    (equality contract and divergence classes: ops/corpus docstrings)."""
+    from .ops import corpus as corpus_ops
+    from .sources.io import read_table, table_exists, write_table
+
+    spark = build_session(
+        "pdf-ocr-api-spark-clean", args.master, args.shuffle_partitions, args.driver_memory
+    )
+    sep = "/" if "/" in args.output else "_"
+    corpus_target = f"{args.output}{sep}corpus"
+    sig_target = f"{args.output}{sep}signatures"
+    langs = [s for s in (args.langs or "").split(",") if s] or None
+    cap = args.max_bucket_size or None
+    kw = dict(
+        min_quality=args.min_quality,
+        langs=langs,
+        min_tokens=args.min_tokens,
+        dedup_threshold=args.dedup_threshold,
+        parallelism=args.buckets,
+        max_bucket_size=cap,
+    )
+    batch = read_table(spark, args.input)
+
+    if args.clean_corpus:
+        out = corpus_ops.clean_corpus(batch, **kw)
+        write_table(out, corpus_target, mode="create")
+        metrics = corpus_ops.dedup_metrics(out)
+        # signatures from the STORED table (the scale pattern: never keep
+        # the cleaning plan alive just to hash its output twice)
+        stored = read_table(spark, corpus_target)
+        write_table(
+            corpus_ops.corpus_signatures(stored, parallelism=args.buckets),
+            sig_target,
+            mode="create",
+        )
+        n = stored.count()
+        print(json.dumps({"mode": "clean_corpus", "rows": n, "dedup_metrics": metrics}))
+        return 0
+
+    if not table_exists(spark, corpus_target) or not table_exists(spark, sig_target):
+        print(json.dumps({"error": f"--clean-incremental needs an existing {corpus_target} + {sig_target} (run --clean-corpus first)"}))
+        return 1
+    kept = read_table(spark, corpus_target)
+    sigs = read_table(spark, sig_target)
+    new_rows = corpus_ops.clean_corpus_incremental(kept, batch, kept_sigs=sigs, **kw)
+    metrics = corpus_ops.dedup_metrics(new_rows)
+    # one computation, two appends: materialize the (batch-sized) result
+    new_rows = new_rows.localCheckpoint(eager=True)
+    write_table(new_rows, corpus_target, mode="append")
+    write_table(
+        corpus_ops.corpus_signatures(new_rows, parallelism=args.buckets),
+        sig_target,
+        mode="append",
+    )
+    print(json.dumps({
+        "mode": "clean_incremental",
+        "new_rows_kept": new_rows.count(),
+        "dedup_metrics": metrics,
+    }))
     return 0
 
 

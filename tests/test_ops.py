@@ -599,6 +599,50 @@ def test_clean_corpus_incremental_equals_full(spark, depara):
     assert key(inc2b) == key(inc2)
 
 
+def test_runner_clean_corpus_cycle(spark, tmp_path):
+    """The spark-submit corpus-job surface: --clean-corpus writes
+    corpus + signature index; --clean-incremental appends only the new
+    batch's survivors (deduped against the STORED pair) — the chained
+    store equals the full recompute, and the signature index stays
+    row-consistent with the corpus."""
+    from pdf_ocr_api_spark import runner
+    from pdf_ocr_api_spark.ops import corpus
+
+    base = ("the quick brown fox jumps over the lazy dog and runs across the river "
+            "bank to find the other animals in the quiet green forest of the north")
+    uniq = ("the cat and the dog of the house are in the garden near the "
+            "old stone wall where the birds sing in the morning light")
+    schema = "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING"
+    b1 = spark.createDataFrame(
+        [("a0", 0, "user", base, None), ("a1", 0, "user", uniq, None)], schema)
+    b2 = spark.createDataFrame(
+        [("b0", 0, "user", base.replace("quick", "swift"), None),  # near-dup of history
+         ("b1", 0, "user", "entirely new unique content about deep sea creatures and "
+                            "their glowing light organs in the dark water", None)], schema)
+    in1, in2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    b1.write.parquet(in1)
+    b2.write.parquet(in2)
+    root = str(tmp_path / "run")
+    knobs = ["--min-quality", "0.3", "--min-tokens", "5",
+             "--dedup-threshold", "0.6", "--buckets", "8"]
+
+    # incremental before any corpus exists must fail cleanly
+    assert runner.main(["--clean-incremental", "--input", in2, "--output", root] + knobs) == 1
+
+    assert runner.main(["--clean-corpus", "--input", in1, "--output", root] + knobs) == 0
+    assert runner.main(["--clean-incremental", "--input", in2, "--output", root] + knobs) == 0
+
+    stored = spark.read.parquet(f"{root}/corpus")
+    full = corpus.clean_corpus(
+        b1.unionByName(b2), min_quality=0.3, min_tokens=5, dedup_threshold=0.6, parallelism=8
+    )
+    key = lambda rows: sorted((r.conv_id, r.turn_idx, r.clean_text) for r in rows)
+    assert key(stored.collect()) == key(full.collect())
+    assert ("b0", 0) not in {(r.conv_id, r.turn_idx) for r in stored.collect()}
+    sigs = spark.read.parquet(f"{root}/signatures")
+    assert sigs.count() == stored.count()
+
+
 def test_clean_corpus_metrics_observable(spark, depara):
     """The LSH bucket-cap recall-loss accounting must be readable off the
     clean_corpus RESULT (dedup_metrics), not just executor logs."""
