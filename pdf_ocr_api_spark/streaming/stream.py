@@ -109,3 +109,65 @@ def gate_stream(
     if langs:
         keep = keep & F.col("lang").isin(list(langs))
     return gated.filter(keep)
+
+
+def start_incremental_corpus_stream(
+    spark: SparkSession,
+    source_dir: str,
+    corpus_root: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    **clean_kw,
+):
+    """Continuous corpus growth — the streaming form of the runner's
+    ``--clean-incremental`` job: each micro-batch of raw transcripts is
+    cleaned and near-dup-deduped against the STORED corpus + signature
+    pair (``ops.corpus.clean_corpus_incremental``, probing history
+    through its persisted MinHash signature index — history is never
+    re-extracted or re-shingled), and the survivors plus their
+    signatures are appended. The first micro-batch bootstraps the store
+    with a full ``clean_corpus``. ``clean_kw`` forwards the cleaning
+    knobs (min_quality, langs, dedup_threshold, …).
+
+    This closes the gap ``gate_stream`` documents ("near-dup removal
+    stays a batch/compaction stage"): with the incremental index the
+    dedup IS per-micro-batch, at batch-sized cost, under the documented
+    keep-first divergence classes (ops/dedup.incremental_keep).
+
+    Delivery: source offsets are exactly-once (checkpointed), but a
+    ``foreachBatch`` parquet append is not transactional with them — a
+    crash between the two appends can replay a batch (at-least-once).
+    With an Iceberg catalog the same ``write_table`` calls land as ACID
+    appends and a batch-id-keyed idempotent sink closes even that window
+    (sources/io.py); the parquet fallback documents the caveat instead
+    of hiding it."""
+    from ..ops import corpus as corpus_ops
+    from ..sources.io import read_table, table_exists, write_table
+
+    sep = "/" if "/" in corpus_root else "_"
+    corpus_t = f"{corpus_root}{sep}corpus"
+    sig_t = f"{corpus_root}{sep}signatures"
+
+    def _process(batch_df, batch_id):
+        if not table_exists(spark, corpus_t):
+            out = corpus_ops.clean_corpus(batch_df, **clean_kw)
+            write_table(out, corpus_t, mode="create")
+            stored = read_table(spark, corpus_t)
+            write_table(corpus_ops.corpus_signatures(stored), sig_t, mode="create")
+            return
+        kept = read_table(spark, corpus_t)
+        sigs = read_table(spark, sig_t)
+        new_rows = corpus_ops.clean_corpus_incremental(
+            kept, batch_df, kept_sigs=sigs, **clean_kw
+        ).localCheckpoint(eager=True)
+        write_table(new_rows, corpus_t, mode="append")
+        write_table(corpus_ops.corpus_signatures(new_rows), sig_t, mode="append")
+
+    writer = (
+        read_transcript_stream(spark, source_dir)
+        .writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -107,6 +107,22 @@ def test_simhash_banding_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
 
 
+def test_incremental_keep_no_cartesian(spark):
+    """Both incremental-dedup joins (intra-batch band self-join, batch-
+    vs-stored-index band join) must be hash joins on band keys — a
+    cartesian/nested-loop anywhere would be the corpus-sized stage the
+    incremental shape exists to avoid."""
+    from pdf_ocr_api_spark.ops import dedup
+
+    rows = [(i, f"text number {i} with some shared words {i % 7}") for i in range(30)]
+    kept = spark.createDataFrame(rows[:20], "doc_id LONG, text STRING")
+    batch = spark.createDataFrame(rows[20:], "doc_id LONG, text STRING")
+    out = dedup.incremental_keep(kept, batch, threshold=0.5, bands=16)
+    plan = PI.executed_plan(out)
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+
+
 def test_ivfpq_probe_prunes_partitions(spark, tmp_path):
     """A persisted IVF×PQ index is partitioned by ivf_list; the probe
     filter must reach the scan as a PARTITION filter (file pruning), not

@@ -301,3 +301,49 @@ def test_stateful_sessionize_null_ts(spark, tmp_path):
     # turn 0 opens session 1; NaT turns never split; 45-min gap at turn 3
     # opens session 2; turn 5 follows a NaT (null comparison -> no split)
     assert got == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 2}, got
+
+
+def test_incremental_corpus_stream_matches_full(spark, tmp_path):
+    """Two drained micro-batch rounds of the incremental-corpus stream
+    must leave the stored corpus equal to a full clean_corpus over all
+    input — cross-batch near-dup and exact-dup turns planted — and the
+    signature index row-consistent with the corpus."""
+    from pdf_ocr_api_spark.ops import corpus
+
+    base = ("the quick brown fox jumps over the lazy dog and runs across the river "
+            "bank to find the other animals in the quiet green forest of the north")
+    uniq = ("the cat and the dog of the house are in the garden near the "
+            "old stone wall where the birds sing in the morning light")
+    schema = ("conv_id STRING, turn_idx INT, role STRING, text STRING, "
+              "tool STRING, ts TIMESTAMP")
+    b1 = spark.createDataFrame(
+        [("a0", 0, "user", base, None, None),
+         ("a0", 1, "user", base.replace("green", "dark"), None, None),
+         ("a1", 0, "user", uniq, None, None)], schema)
+    b2 = spark.createDataFrame(
+        [("b0", 0, "user", base.replace("quick", "swift"), None, None),
+         ("b0", 1, "user", uniq, None, None),
+         ("b1", 0, "user", "entirely new unique content about deep sea creatures and "
+                            "their glowing light organs in the dark water", None, None)], schema)
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "corpus_root")
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(min_quality=0.3, min_tokens=5, dedup_threshold=0.6, parallelism=4)
+
+    b1.write.parquet(src)
+    q = S.start_incremental_corpus_stream(spark, src, root, ckpt, available_now=True, **kw)
+    q.awaitTermination(300)
+    b2.write.mode("append").parquet(src)
+    q = S.start_incremental_corpus_stream(spark, src, root, ckpt, available_now=True, **kw)
+    q.awaitTermination(300)
+
+    stored = spark.read.parquet(f"{root}/corpus")
+    full = corpus.clean_corpus(b1.unionByName(b2).drop("ts"), **kw)
+    key = lambda rows: sorted((r.conv_id, r.turn_idx, r.clean_text) for r in rows)
+    assert key(stored.collect()) == key(full.collect())
+    got = {(r.conv_id, r.turn_idx) for r in stored.collect()}
+    assert ("b0", 0) not in got and ("b0", 1) not in got  # cross-batch dups dropped
+    assert ("b1", 0) in got
+    sigs = spark.read.parquet(f"{root}/signatures")
+    assert sigs.count() == stored.count()
