@@ -266,3 +266,41 @@ def corpus_signatures(
     be built with the same ``num_hashes``/``k`` the dedup runs with."""
     d = kept.select(turn_id().alias("doc_id"), F.col("clean_text").alias("text"))
     return dedup.minhash_signatures(d, num_hashes=num_hashes, k=k, parallelism=parallelism)
+
+
+def sync_signatures(
+    spark,
+    corpus_target: str,
+    sig_target: str,
+    num_hashes: int = 32,
+    k: int = 3,
+    parallelism: int | None = None,
+) -> int:
+    """Reconcile the stored signature index with the stored corpus:
+    create it when missing, and backfill signatures for any corpus rows
+    the index lacks (ids-only anti-join, then hashing ONLY the missing
+    rows). Returns the number of rows backfilled (full count on create).
+
+    This makes the corpus-append → signature-append pair SELF-HEALING
+    rather than transactional: a crash between the two appends (or
+    between the bootstrap create of each table) leaves the index behind
+    the corpus, and a later near-dup of the unsignatured rows would be
+    silently kept — run this before each incremental batch and every
+    crash window closes at the cost of two narrow id scans. Must use the
+    same ``num_hashes``/``k`` the dedup runs with."""
+    from ..sources.io import read_table, table_exists, write_table
+
+    stored = read_table(spark, corpus_target)
+    if not table_exists(spark, sig_target):
+        write_table(
+            corpus_signatures(stored, num_hashes, k, parallelism), sig_target, mode="create"
+        )
+        return read_table(spark, sig_target).count()
+    sig_ids = read_table(spark, sig_target).select("id")
+    missing = stored.join(sig_ids, turn_id() == sig_ids["id"], "left_anti")
+    n = missing.count()
+    if n:
+        write_table(
+            corpus_signatures(missing, num_hashes, k, parallelism), sig_target, mode="append"
+        )
+    return n

@@ -627,12 +627,19 @@ def incremental_keep(
     sig_new = minhash_signatures(batch, text_col, id_col, num_hashes, k, parallelism)
     if kept_sigs is None:
         kept_sigs = minhash_signatures(kept, text_col, id_col, num_hashes, k, parallelism)
+        if max_bucket_size is not None:
+            # the cap path reads the kept band rows twice (sizes pass +
+            # join pass); when the signatures were computed HERE, cut the
+            # lineage so history isn't re-hashed per pass. A passed-in
+            # kept_sigs is a stored table — band_rows over it is a cheap
+            # narrow projection, and materializing the (index-sized) band
+            # rows per batch would cost more than recomputing them.
+            kept_sigs = _materialize(kept_sigs, reliable_checkpoint_dir)
     bn = _materialize(band_rows(sig_new, num_hashes, bands), reliable_checkpoint_dir)
     bk = band_rows(kept_sigs, num_hashes, bands)
 
     metrics = {"dropped_buckets": 0, "max_bucket": None}
     if max_bucket_size is not None:
-        bk = _materialize(bk, reliable_checkpoint_dir)
 
         def _cap(b: DataFrame) -> tuple[DataFrame, int, int | None]:
             sizes = b.groupBy("band_idx", "band_hash").agg(F.count("*").alias("_bsz"))

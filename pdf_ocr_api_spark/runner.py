@@ -145,7 +145,9 @@ def main(argv: list[str] | None = None) -> int:
             recs = conversation.conversation_service_rows(ext, tipo_dim)
         else:
             recs = conversation.conversation_records(ext, tipo_dim)
-        write_table(recs, f"{args.output}/records" if "/" in args.output else f"{args.output}_records", mode="create")
+        from .sources.io import sub_target
+
+        write_table(recs, sub_target(args.output, "records"), mode="create")
     return 0
 
 
@@ -159,15 +161,15 @@ def _clean_corpus_job(args) -> int:
     stays self-consistent, so batches can be chained indefinitely
     (equality contract and divergence classes: ops/corpus docstrings)."""
     from .ops import corpus as corpus_ops
-    from .sources.io import read_table, table_exists, write_table
+    from .sources.io import read_table, sub_target, table_exists, write_table
 
     spark = build_session(
         "pdf-ocr-api-spark-clean", args.master, args.shuffle_partitions, args.driver_memory
     )
-    sep = "/" if "/" in args.output else "_"
-    corpus_target = f"{args.output}{sep}corpus"
-    sig_target = f"{args.output}{sep}signatures"
-    langs = [s for s in (args.langs or "").split(",") if s] or None
+    corpus_target = sub_target(args.output, "corpus")
+    sig_target = sub_target(args.output, "signatures")
+    # strip: "--langs 'en, pt'" must not silently gate out ' pt'
+    langs = [s.strip() for s in (args.langs or "").split(",") if s.strip()] or None
     cap = args.max_bucket_size or None
     kw = dict(
         min_quality=args.min_quality,
@@ -184,20 +186,21 @@ def _clean_corpus_job(args) -> int:
         write_table(out, corpus_target, mode="create")
         metrics = corpus_ops.dedup_metrics(out)
         # signatures from the STORED table (the scale pattern: never keep
-        # the cleaning plan alive just to hash its output twice)
-        stored = read_table(spark, corpus_target)
-        write_table(
-            corpus_ops.corpus_signatures(stored, parallelism=args.buckets),
-            sig_target,
-            mode="create",
+        # the cleaning plan alive just to hash its output twice);
+        # sync_signatures also makes a crashed/half-finished bootstrap
+        # recoverable by re-running either mode
+        n = corpus_ops.sync_signatures(
+            spark, corpus_target, sig_target, parallelism=args.buckets
         )
-        n = stored.count()
         print(json.dumps({"mode": "clean_corpus", "rows": n, "dedup_metrics": metrics}))
         return 0
 
-    if not table_exists(spark, corpus_target) or not table_exists(spark, sig_target):
-        print(json.dumps({"error": f"--clean-incremental needs an existing {corpus_target} + {sig_target} (run --clean-corpus first)"}))
+    if not table_exists(spark, corpus_target):
+        print(json.dumps({"error": f"--clean-incremental needs an existing {corpus_target} (run --clean-corpus first)"}))
         return 1
+    # self-heal any prior crash window: (re)create the signature index /
+    # backfill rows the corpus has that the index lacks
+    corpus_ops.sync_signatures(spark, corpus_target, sig_target, parallelism=args.buckets)
     kept = read_table(spark, corpus_target)
     sigs = read_table(spark, sig_target)
     new_rows = corpus_ops.clean_corpus_incremental(kept, batch, kept_sigs=sigs, **kw)

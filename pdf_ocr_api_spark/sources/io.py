@@ -62,6 +62,14 @@ def is_table_ident(target: str) -> bool:
     return bool(_IDENT_RX.match(target))
 
 
+def sub_target(root: str, name: str) -> str:
+    """Derive a child table target under an output root: path roots get
+    ``root/name`` (bare single-segment names are paths, matching
+    ``is_table_ident``); catalog idents get ``root_name`` (suffixing the
+    table name keeps it a valid ident)."""
+    return f"{root}_{name}" if is_table_ident(root) else f"{root}/{name}"
+
+
 def read_table(spark: SparkSession, target: str) -> DataFrame:
     if is_table_ident(target):
         return spark.read.table(target)

@@ -136,32 +136,44 @@ def start_incremental_corpus_stream(
 
     Delivery: source offsets are exactly-once (checkpointed), but a
     ``foreachBatch`` parquet append is not transactional with them — a
-    crash between the two appends can replay a batch (at-least-once).
-    With an Iceberg catalog the same ``write_table`` calls land as ACID
-    appends and a batch-id-keyed idempotent sink closes even that window
-    (sources/io.py); the parquet fallback documents the caveat instead
-    of hiding it."""
+    crash can replay a batch or split the corpus/signature append pair.
+    Both windows are RECONCILED, not ignored: a replayed batch's rows
+    are exact duplicates of their own earlier append, so the md5
+    anti-join drops them (corpus append is idempotent), and every
+    incremental batch first runs ``corpus.sync_signatures`` — rebuild
+    the index when missing, backfill signatures for any corpus rows the
+    index lacks — so a crash between the two appends self-heals on the
+    next batch. With an Iceberg catalog the same ``write_table`` calls
+    additionally land as ACID appends (sources/io.py)."""
     from ..ops import corpus as corpus_ops
-    from ..sources.io import read_table, table_exists, write_table
+    from ..sources.io import read_table, sub_target, table_exists, write_table
 
-    sep = "/" if "/" in corpus_root else "_"
-    corpus_t = f"{corpus_root}{sep}corpus"
-    sig_t = f"{corpus_root}{sep}signatures"
+    corpus_t = sub_target(corpus_root, "corpus")
+    sig_t = sub_target(corpus_root, "signatures")
+    # the signature index MUST be built with the same num_hashes/k the
+    # dedup probes with — forward them from the cleaning knobs
+    nh = clean_kw.get("num_hashes", 32)
+    par = clean_kw.get("parallelism")
 
     def _process(batch_df, batch_id):
         if not table_exists(spark, corpus_t):
             out = corpus_ops.clean_corpus(batch_df, **clean_kw)
             write_table(out, corpus_t, mode="create")
-            stored = read_table(spark, corpus_t)
-            write_table(corpus_ops.corpus_signatures(stored), sig_t, mode="create")
+            corpus_ops.sync_signatures(spark, corpus_t, sig_t, num_hashes=nh, parallelism=par)
             return
+        # heal any prior crash window (missing/behind signature index)
+        corpus_ops.sync_signatures(spark, corpus_t, sig_t, num_hashes=nh, parallelism=par)
         kept = read_table(spark, corpus_t)
         sigs = read_table(spark, sig_t)
         new_rows = corpus_ops.clean_corpus_incremental(
             kept, batch_df, kept_sigs=sigs, **clean_kw
         ).localCheckpoint(eager=True)
         write_table(new_rows, corpus_t, mode="append")
-        write_table(corpus_ops.corpus_signatures(new_rows), sig_t, mode="append")
+        write_table(
+            corpus_ops.corpus_signatures(new_rows, num_hashes=nh, parallelism=par),
+            sig_t,
+            mode="append",
+        )
 
     writer = (
         read_transcript_stream(spark, source_dir)

@@ -643,6 +643,32 @@ def test_runner_clean_corpus_cycle(spark, tmp_path):
     assert sigs.count() == stored.count()
 
 
+def test_sync_signatures_self_heals(spark, tmp_path):
+    """The corpus/signature store reconciler: creates a missing index,
+    backfills rows the index lacks (the crash-between-appends window),
+    and is a no-op when consistent."""
+    from pdf_ocr_api_spark.ops import corpus
+
+    rows = [("c%d" % i, 0, "text number %d with several distinct words here" % i,
+             "en", 7, 0.9) for i in range(4)]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id STRING, turn_idx INT, clean_text STRING, lang STRING, "
+        "n_tokens INT, quality_score DOUBLE",
+    )
+    ct = str(tmp_path / "corpus")
+    st = str(tmp_path / "sigs")
+    df.write.parquet(ct)
+
+    assert corpus.sync_signatures(spark, ct, st) == 4  # create
+    assert corpus.sync_signatures(spark, ct, st) == 0  # consistent
+
+    st2 = str(tmp_path / "sigs_partial")
+    spark.read.parquet(st).limit(2).write.parquet(st2)  # simulated half-append
+    assert corpus.sync_signatures(spark, ct, st2) == 2  # backfill
+    assert spark.read.parquet(st2).count() == 4
+
+
 def test_clean_corpus_metrics_observable(spark, depara):
     """The LSH bucket-cap recall-loss accounting must be readable off the
     clean_corpus RESULT (dedup_metrics), not just executor logs."""
