@@ -1,6 +1,6 @@
 """Pure-numpy codecs for UNCOMPRESSED public media formats.
 
-The container has no codec libraries (PIL/libvips/ffmpeg), but three
+The container has no codec libraries (PIL/libvips/ffmpeg), but five
 classic formats need none — their layouts are fixed-offset headers over
 raw sample arrays, parseable with ``struct`` + ``numpy``:
 
@@ -11,6 +11,11 @@ raw sample arrays, parseable with ``struct`` + ``numpy``:
   format tag 1, ``data`` chunk of little-endian int16 samples.
 * **Y4M** (YUV4MPEG2): ASCII stream header (``YUV4MPEG2 W.. H.. F..``),
   then per-frame ``FRAME\\n`` markers + raw 4:2:0 planes.
+* **PPM** (Netpbm P6, r4): ASCII ``P6 <w> <h> <maxval>`` header with
+  whitespace/comment syntax + raw 8-bit RGB raster.
+* **AU** (Sun audio, r4): 24-byte big-endian header (magic ``.snd``,
+  data offset/size, encoding 3 = PCM-16, rate, channels) + big-endian
+  int16 samples.
 
 These are the real-decoder backends for ``ops.multimodal`` — compressed
 formats (JPEG/PNG/MP3/MP4) remain honestly stubbed behind
@@ -209,13 +214,100 @@ def decode_y4m(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
+# PPM (Netpbm P6, 8-bit binary RGB)
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → binary PPM (P6, maxval 255) bytes."""
+    a = np.asarray(rgb, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) uint8, got {a.shape}")
+    h, w, _ = a.shape
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + a.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) bytes → (H, W, 3) uint8 RGB. Handles Netpbm
+    whitespace/comment header syntax; 8-bit maxval only (the 16-bit
+    big-endian variant raises ValueError like any unsupported flavor)."""
+    if payload is None or payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PPM header")
+        c = payload[pos : pos + 1]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == b"#":
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("truncated PPM comment")
+            pos = nl + 1
+        elif c.isdigit():
+            end = pos
+            while end < len(payload) and payload[end : end + 1].isdigit():
+                end += 1
+            fields.append(int(payload[pos:end]))
+            pos = end
+        else:
+            raise ValueError(f"bad PPM header byte {c!r}")
+    w, h, maxval = fields
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported PPM maxval {maxval} (8-bit only)")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PPM dimensions {w}x{h}")
+    pos += 1  # exactly ONE whitespace byte separates maxval from raster
+    need = w * h * 3
+    if len(payload) - pos < need:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(payload, np.uint8, count=need, offset=pos).reshape(h, w, 3).copy()
+
+
+# ---------------------------------------------------------------------------
+# AU (Sun audio, 16-bit linear PCM — big-endian throughout)
+# ---------------------------------------------------------------------------
+
+_AU_PCM16 = 3  # encoding id: 16-bit linear PCM
+
+
+def encode_au(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """(n,) or (n, channels) int16 → Sun .au (encoding 3) bytes."""
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    data = a.astype(">i2").tobytes()
+    header = struct.pack(">4sIIIII", b".snd", 24, len(data), _AU_PCM16, sample_rate, ch)
+    return header + data
+
+
+def decode_au(payload: bytes) -> tuple[np.ndarray, int]:
+    """Sun .au 16-bit PCM bytes → ((n, channels) int16, sample_rate).
+    Honors the header's data offset; a 0xFFFFFFFF ("unknown") data size
+    means read to end-of-payload, per the format."""
+    if payload is None or len(payload) < 24 or payload[:4] != b".snd":
+        raise ValueError("not an AU payload")
+    _magic, offset, size, enc, rate, ch = struct.unpack_from(">4sIIIII", payload, 0)
+    if enc != _AU_PCM16 or ch < 1 or offset < 24:
+        raise ValueError(f"unsupported AU flavor: encoding={enc} channels={ch} offset={offset}")
+    body = payload[offset:] if size == 0xFFFFFFFF else payload[offset : offset + size]
+    n = len(body) // (2 * ch)
+    samples = np.frombuffer(body, ">i2", count=n * ch).reshape(n, ch)
+    return samples.astype(np.int16), rate
+
+
+# ---------------------------------------------------------------------------
 # magic-byte sniffing
 # ---------------------------------------------------------------------------
 
 
 def sniff_codec(payload: bytes | None) -> str | None:
-    """'bmp' | 'wav' | 'y4m' when the payload is one of the decodable
-    uncompressed formats, else None (codec-bound or unknown)."""
+    """'bmp' | 'wav' | 'y4m' | 'ppm' | 'au' when the payload is one of
+    the decodable uncompressed formats, else None (codec-bound or
+    unknown)."""
     if not payload:
         return None
     if payload[:2] == b"BM":
@@ -224,4 +316,8 @@ def sniff_codec(payload: bytes | None) -> str | None:
         return "wav"
     if payload[:9] == b"YUV4MPEG2":
         return "y4m"
+    if payload[:2] == b"P6" and payload[2:3] in b" \t\r\n#":
+        return "ppm"
+    if payload[:4] == b".snd":
+        return "au"
     return None

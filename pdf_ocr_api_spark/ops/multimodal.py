@@ -34,28 +34,35 @@ FEATURE_DIM = 16
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Image decode: REAL for 24-bit uncompressed BMP (pure numpy,
-    ``codecs.decode_bmp``); compressed formats (JPEG/PNG/…) raise
+    """Image decode: REAL for 24-bit uncompressed BMP and binary PPM
+    (pure numpy); compressed formats (JPEG/PNG/…) raise
     ``NotImplementedError`` until a codec library exists here."""
     from . import codecs
 
-    if codecs.sniff_codec(payload) == "bmp":
+    kind = codecs.sniff_codec(payload)
+    if kind == "bmp":
         return codecs.decode_bmp(payload)
+    if kind == "ppm":
+        return codecs.decode_ppm(payload)
     raise NotImplementedError(
         "compressed-image decode needs a codec library (PIL/libvips) — "
-        "absent in this container; BMP decodes for real"
+        "absent in this container; BMP/PPM decode for real"
     )
 
 
 def decode_audio(payload: bytes):
-    """Audio decode: REAL for PCM-16 WAV → ((n, ch) int16, rate);
-    compressed audio raises NotImplementedError (no codec library)."""
+    """Audio decode: REAL for PCM-16 WAV and Sun AU → ((n, ch) int16,
+    rate); compressed audio raises NotImplementedError (no codec
+    library)."""
     from . import codecs
 
-    if codecs.sniff_codec(payload) == "wav":
+    kind = codecs.sniff_codec(payload)
+    if kind == "wav":
         return codecs.decode_wav(payload)
+    if kind == "au":
+        return codecs.decode_au(payload)
     raise NotImplementedError(
-        "compressed-audio decode needs a codec library — absent here; PCM WAV decodes for real"
+        "compressed-audio decode needs a codec library — absent here; PCM WAV/AU decode for real"
     )
 
 
@@ -147,8 +154,12 @@ def media_feature_vector(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     try:
         if kind == "bmp":
             return image_features(codecs.decode_bmp(payload), dim)
+        if kind == "ppm":
+            return image_features(codecs.decode_ppm(payload), dim)
         if kind == "wav":
             return audio_features(*codecs.decode_wav(payload), dim=dim)
+        if kind == "au":
+            return audio_features(*codecs.decode_au(payload), dim=dim)
         if kind == "y4m":
             return video_features(*codecs.decode_y4m(payload), dim=dim)
     except ValueError:
@@ -256,13 +267,17 @@ def synthesize_real_media(spark, n: int = 30):
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Image resize: REAL for BMP payloads — decode → nearest-neighbor
-    kernel → re-encode BMP, all numpy; compressed formats raise
-    NotImplementedError (no codec library here)."""
+    """Image resize: REAL for BMP/PPM payloads — decode →
+    nearest-neighbor kernel → re-encode in the SOURCE format, all numpy;
+    compressed formats raise NotImplementedError (no codec library
+    here)."""
     from . import codecs
 
     rgb = decode_image(payload)  # raises NotImplementedError for codec-bound formats
-    return codecs.encode_bmp(codecs.resize_nearest(rgb, width, height))
+    resized = codecs.resize_nearest(rgb, width, height)
+    if codecs.sniff_codec(payload) == "ppm":
+        return codecs.encode_ppm(resized)
+    return codecs.encode_bmp(resized)
 
 
 def fake_resized_bytes(payload: bytes, width: int, height: int) -> bytes:
@@ -282,7 +297,7 @@ def resize_media(df, width: int = 64, height: int = 64):
     from . import codecs
 
     def one(p, w, h):
-        if codecs.sniff_codec(p) == "bmp":
+        if codecs.sniff_codec(p) in ("bmp", "ppm"):
             try:
                 return resize_image(p, w, h)
             except ValueError:  # sniffed-but-corrupt: degrade, never kill the job

@@ -31,7 +31,11 @@ _MAGIC = [
     # byte 14 must be a known BITMAPINFOHEADER size (40/108/124).
     ("riff", b"RIFF"),
     ("y4m", b"YUV4MPEG2"),
+    ("au", b".snd"),
 ]
+# P6 PPM: 2-byte magic must be followed by Netpbm whitespace/comment —
+# validated like bmp below rather than as a bare prefix
+_PPM_NEXT = ["20", "09", "0D", "0A", "23"]
 
 
 def _is_bmp(payload_col):
@@ -54,10 +58,18 @@ def read_binary_docs(spark: SparkSession, path_glob: str) -> DataFrame:
     )
 
 
+def _is_ppm(payload_col):
+    return (F.hex(payload_col.substr(1, 2)) == "5036") & F.hex(
+        payload_col.substr(3, 1)
+    ).isin(*_PPM_NEXT)
+
+
 def sniff_kind(payload_col):
     """Magic-byte payload classifier (expression — runs in codegen).
     Binary columns have no startswith; compare the hex of the prefix."""
-    expr = F.when(_is_bmp(payload_col), F.lit("bmp")).otherwise(F.lit("unknown"))
+    expr = F.when(_is_bmp(payload_col), F.lit("bmp")).otherwise(
+        F.when(_is_ppm(payload_col), F.lit("ppm")).otherwise(F.lit("unknown"))
+    )
     for kind, magic in reversed(_MAGIC):
         prefix_hex = F.hex(payload_col.substr(1, len(magic)))
         expr = F.when(prefix_hex == magic.hex().upper(), kind).otherwise(expr)

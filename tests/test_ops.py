@@ -932,10 +932,54 @@ def test_codecs_roundtrip():
     assert fps == 30 and (fy == frames).all()
 
 
+def test_codecs_roundtrip_ppm_au():
+    """r4 codecs: PPM (P6) and Sun AU encode→decode identity, header
+    comment/whitespace handling, unsupported-flavor rejection, and
+    format-preserving resize routing."""
+    from pdf_ocr_api_spark.ops import codecs
+
+    rng = np.random.default_rng(9)
+    rgb = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    assert (codecs.decode_ppm(codecs.encode_ppm(rgb)) == rgb).all()
+    # Netpbm comment + mixed whitespace in the header
+    commented = b"P6 # a comment\n# another\n 7\t5\n255\n" + rgb.tobytes()
+    assert (codecs.decode_ppm(commented) == rgb).all()
+    with pytest.raises(ValueError):  # 16-bit maxval flavor
+        codecs.decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 24)
+
+    mono = (rng.standard_normal(400) * 9000).astype(np.int16)
+    got, rate = codecs.decode_au(codecs.encode_au(mono, 22050))
+    assert rate == 22050 and (got[:, 0] == mono).all()
+    stereo = (rng.standard_normal((150, 2)) * 9000).astype(np.int16)
+    got2, _ = codecs.decode_au(codecs.encode_au(stereo, 8000))
+    assert (got2 == stereo).all()
+    # unknown-size (0xFFFFFFFF) reads to end-of-payload, per the format
+    enc = bytearray(codecs.encode_au(mono, 8000))
+    enc[8:12] = b"\xff\xff\xff\xff"
+    got3, _ = codecs.decode_au(bytes(enc))
+    assert (got3[:, 0] == mono).all()
+
+    assert codecs.sniff_codec(codecs.encode_ppm(rgb)) == "ppm"
+    assert codecs.sniff_codec(codecs.encode_au(mono)) == "au"
+    assert codecs.sniff_codec(b"P6x not ppm") is None  # magic needs whitespace next
+
+    # resize re-encodes in the SOURCE format
+    from pdf_ocr_api_spark.ops import multimodal
+
+    small = codecs.decode_ppm(multimodal.resize_image(codecs.encode_ppm(rgb), 3, 2))
+    assert small.shape == (2, 3, 3)
+    # feature router: real image/audio features, not the fake fallback
+    pv = multimodal.media_feature_vector(codecs.encode_ppm(rgb))
+    assert abs(pv[0] - rgb[:, :, 0].mean() / 255.0) < 0.01
+    av = multimodal.media_feature_vector(codecs.encode_au(mono, 8000))
+    assert abs(av[0] - float(np.sqrt((mono / 32768.0) ** 2).mean() ** 0.5)) < 0.5
+
+
 def test_codecs_reject_garbage():
     from pdf_ocr_api_spark.ops import codecs
 
-    for fn in (codecs.decode_bmp, codecs.decode_wav, codecs.decode_y4m):
+    for fn in (codecs.decode_bmp, codecs.decode_wav, codecs.decode_y4m,
+               codecs.decode_ppm, codecs.decode_au):
         with pytest.raises(ValueError):
             fn(b"garbage bytes that are no media at all")
     assert codecs.sniff_codec(b"garbage") is None

@@ -141,6 +141,34 @@ def test_y4m_roundtrip_property(nf, w, h, seed):
     assert fps == 25 and got.shape == frames.shape and (got == frames).all()
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ppm_roundtrip_property(w, h, seed):
+    from pdf_ocr_api_spark.ops import codecs
+
+    rgb = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (codecs.decode_ppm(codecs.encode_ppm(rgb)) == rgb).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 2000),
+    ch=st.integers(1, 2),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_au_roundtrip_property(n, ch, rate, seed):
+    from pdf_ocr_api_spark.ops import codecs
+
+    s = np.random.default_rng(seed).integers(-32768, 32768, (n, ch)).astype(np.int16)
+    got, r = codecs.decode_au(codecs.encode_au(s, rate))
+    assert r == rate and (got == s).all()
+
+
 @settings(max_examples=60, deadline=None)
 @given(data=st.binary(min_size=0, max_size=200))
 def test_decoders_never_crash_unexpectedly(data):
@@ -149,7 +177,8 @@ def test_decoders_never_crash_unexpectedly(data):
     media_feature_vector must ALWAYS return a 16-dim vector."""
     from pdf_ocr_api_spark.ops import codecs, multimodal
 
-    for fn in (codecs.decode_bmp, codecs.decode_wav, codecs.decode_y4m):
+    for fn in (codecs.decode_bmp, codecs.decode_wav, codecs.decode_y4m,
+               codecs.decode_ppm, codecs.decode_au):
         try:
             fn(data)
         except ValueError:
