@@ -168,6 +168,28 @@ def _clean_corpus_job(args) -> int:
     )
     corpus_target = sub_target(args.output, "corpus")
     sig_target = sub_target(args.output, "signatures")
+    runs_target = sub_target(args.output, "runs")
+
+    def _log_run(mode: str, rows_kept: int, metrics: dict | None) -> None:
+        # one run-summary row per job next to the store: the recall-loss
+        # accounting (VERDICT r3 #7) persists with the corpus instead of
+        # dying with the driver — an operator can alert off the table
+        m = metrics or {}
+        row = [(
+            mode,
+            spark.sparkContext.applicationId,
+            int(rows_kept),
+            int(m.get("dropped_buckets") or 0),
+            m.get("max_bucket"),
+        )]
+        write_table(
+            spark.createDataFrame(
+                row,
+                "mode STRING, app_id STRING, rows_kept LONG, dropped_buckets LONG, max_bucket LONG",
+            ),
+            runs_target,
+            mode="append",
+        )
     # strip: "--langs 'en, pt'" must not silently gate out ' pt'
     langs = [s.strip() for s in (args.langs or "").split(",") if s.strip()] or None
     cap = args.max_bucket_size or None
@@ -192,6 +214,7 @@ def _clean_corpus_job(args) -> int:
         n = corpus_ops.sync_signatures(
             spark, corpus_target, sig_target, parallelism=args.buckets
         )
+        _log_run("clean_corpus", n, metrics)
         print(json.dumps({"mode": "clean_corpus", "rows": n, "dedup_metrics": metrics}))
         return 0
 
@@ -213,9 +236,11 @@ def _clean_corpus_job(args) -> int:
         sig_target,
         mode="append",
     )
+    n_kept = new_rows.count()
+    _log_run("clean_incremental", n_kept, metrics)
     print(json.dumps({
         "mode": "clean_incremental",
-        "new_rows_kept": new_rows.count(),
+        "new_rows_kept": n_kept,
         "dedup_metrics": metrics,
     }))
     return 0

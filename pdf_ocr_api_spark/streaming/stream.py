@@ -150,6 +150,21 @@ def start_incremental_corpus_stream(
 
     corpus_t = sub_target(corpus_root, "corpus")
     sig_t = sub_target(corpus_root, "signatures")
+    runs_t = sub_target(corpus_root, "runs")
+
+    def _log_run(mode: str, batch_id: int, rows_kept: int, metrics: dict | None) -> None:
+        # per-micro-batch run summary persisted next to the store — the
+        # same operator-alerting surface as the batch runner's runs table
+        m = metrics or {}
+        write_table(
+            spark.createDataFrame(
+                [(mode, f"batch-{batch_id}", int(rows_kept),
+                  int(m.get("dropped_buckets") or 0), m.get("max_bucket"))],
+                "mode STRING, app_id STRING, rows_kept LONG, dropped_buckets LONG, max_bucket LONG",
+            ),
+            runs_t,
+            mode="append",
+        )
     # the signature index MUST be built with the same num_hashes/k the
     # dedup probes with — forward them from the cleaning knobs
     nh = clean_kw.get("num_hashes", 32)
@@ -159,7 +174,8 @@ def start_incremental_corpus_stream(
         if not table_exists(spark, corpus_t):
             out = corpus_ops.clean_corpus(batch_df, **clean_kw)
             write_table(out, corpus_t, mode="create")
-            corpus_ops.sync_signatures(spark, corpus_t, sig_t, num_hashes=nh, parallelism=par)
+            n = corpus_ops.sync_signatures(spark, corpus_t, sig_t, num_hashes=nh, parallelism=par)
+            _log_run("stream_bootstrap", batch_id, n, corpus_ops.dedup_metrics(out))
             return
         # heal any prior crash window (missing/behind signature index)
         corpus_ops.sync_signatures(spark, corpus_t, sig_t, num_hashes=nh, parallelism=par)
@@ -167,13 +183,18 @@ def start_incremental_corpus_stream(
         sigs = read_table(spark, sig_t)
         new_rows = corpus_ops.clean_corpus_incremental(
             kept, batch_df, kept_sigs=sigs, **clean_kw
-        ).localCheckpoint(eager=True)
+        )
+        # read metrics BEFORE the checkpoint: localCheckpoint returns a
+        # fresh DataFrame object and the accounting attribute stays behind
+        metrics = corpus_ops.dedup_metrics(new_rows)
+        new_rows = new_rows.localCheckpoint(eager=True)
         write_table(new_rows, corpus_t, mode="append")
         write_table(
             corpus_ops.corpus_signatures(new_rows, num_hashes=nh, parallelism=par),
             sig_t,
             mode="append",
         )
+        _log_run("stream_incremental", batch_id, new_rows.count(), metrics)
 
     writer = (
         read_transcript_stream(spark, source_dir)

@@ -641,6 +641,55 @@ def test_runner_clean_corpus_cycle(spark, tmp_path):
     assert ("b0", 0) not in {(r.conv_id, r.turn_idx) for r in stored.collect()}
     sigs = spark.read.parquet(f"{root}/signatures")
     assert sigs.count() == stored.count()
+    # the run log persists one summary row per job, with the recall-loss
+    # accounting, next to the store
+    runs = spark.read.parquet(f"{root}/runs").collect()
+    assert sorted(r.mode for r in runs) == ["clean_corpus", "clean_incremental"]
+    assert all(r.dropped_buckets == 0 for r in runs)
+
+
+def test_incremental_kept_set_is_independent(spark):
+    """Property over random corpora + planted near-dups: after
+    incremental(b1) + incremental(b2 | kept1), NO verified near-dup pair
+    exists WITHIN the final kept set (keepers are one per component, and
+    batch-2 keepers must have no verified link to history). This is the
+    semantic guarantee that survives even the documented divergence
+    cases (bridges / chains-through-dropped), where set equality with
+    the full recompute does not. Deterministic (seeded corpora + seeded
+    engine hashes), three corpus draws."""
+    import random
+
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+             "lima mike november oscar papa quebec romeo sierra tango uniform victor "
+             "whiskey xray yankee zulu amber birch cedar dune ember fjord grove "
+             "harbor inlet jetty knoll ledge mesa notch oxbow").split()
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        docs = []
+        base_texts = []
+        for i in range(14):
+            t = " ".join(rng.choice(words) for _ in range(12))
+            base_texts.append(t)
+            docs.append((i, t))
+        nid = 20
+        for _ in range(6):  # near-dups of random bases, split across batches
+            src = base_texts[rng.randrange(len(base_texts))].split()
+            src[rng.randrange(len(src))] = rng.choice(words)
+            docs.append((nid, " ".join(src)))
+            nid += 1
+        df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+        b1 = df.filter(F.col("doc_id") < 17)
+        b2 = df.filter(F.col("doc_id") >= 17)
+        kw = dict(threshold=0.6, num_hashes=32, bands=16)
+        kept1 = dedup.incremental_keep(b1.limit(0), b1, **kw)
+        kept2 = dedup.incremental_keep(kept1, b2, **kw)
+        final = kept1.unionByName(kept2)
+        fin = sorted(r.doc_id for r in final.select("doc_id").collect())
+        pairs = [(a, b) for i, a in enumerate(fin) for b in fin[i + 1 :]]
+        ver = dedup.jaccard_verify(
+            final, spark.createDataFrame(pairs, "id_a LONG, id_b LONG"), threshold=0.6
+        )
+        assert ver.count() == 0, (seed, ver.collect())
 
 
 def test_sync_signatures_self_heals(spark, tmp_path):

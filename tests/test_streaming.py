@@ -347,3 +347,5 @@ def test_incremental_corpus_stream_matches_full(spark, tmp_path):
     assert ("b1", 0) in got
     sigs = spark.read.parquet(f"{root}/signatures")
     assert sigs.count() == stored.count()
+    runs = spark.read.parquet(f"{root}/runs").collect()
+    assert sorted(r.mode for r in runs) == ["stream_bootstrap", "stream_incremental"]
