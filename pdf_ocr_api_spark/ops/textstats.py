@@ -27,6 +27,12 @@ LANG_WORDS: dict[str, list[str]] = {
     "it": ["il", "gli", "di", "che", "della", "sono", "anche"],
     "nl": ["het", "een", "van", "niet", "zijn", "maar"],
     "pl": ["jest", "nie", "przez", "oraz", "czy", "dla", "jak"],
+    # r4 widening: da/sv chosen mutually disjoint (the classic confusion
+    # pair) — da 'ikke/hvad/hvor/af/til' vs sv 'inte/vad/och/av/till';
+    # å/ø words are unusable (outside the fold table) and 'är'→'ar' /
+    # 'men'/'som' are avoided (cross-language token collisions)
+    "da": ["ikke", "og", "jeg", "hvad", "hvor", "af", "til"],
+    "sv": ["inte", "och", "jag", "vad", "att", "av", "till"],
 }
 LANG_MARKERS: dict[str, str] = {
     lang: r"\b(" + "|".join(words) + r")\b" for lang, words in LANG_WORDS.items()
@@ -114,8 +120,8 @@ def with_lang_id(df: DataFrame, text_col: str, out: str = "lang") -> DataFrame:
     accent-folded basis extracts every marker hit; per-language scores
     are membership counts over that (short) hit array — the text is
     traversed once regardless of how many language banks exist, where
-    the per-lang form pays one full regex pass per language (8 passes
-    after the r3 widening). Equivalence with ``lang_id``'s per-lang
+    the per-lang form pays one full regex pass per language (10 passes
+    after the r3/r4 widenings). Equivalence with ``lang_id``'s per-lang
     counts is structural (a \\b-bounded single-word alternative matches
     only whole tokens, so hits distribute exactly) and asserted in
     tests. Hit arrays and scores are STAGED as columns so each is

@@ -917,6 +917,29 @@ def test_ivf_topk_batch_equals_single_query(near_dup_corpus, spark):
         assert got == [(x.id, x.cosine) for x in single], r.query_id
 
 
+def test_lang_id_da_sv_banks(spark):
+    """r4 widening: Danish vs Swedish — the classic confusion pair —
+    resolve through mutually disjoint markers (ikke/hvad/af/til vs
+    inte/vad/av/till), including accented Swedish through the fold, and
+    the German/Dutch neighbors stay unaffected."""
+    from pdf_ocr_api_spark.ops import textstats
+
+    rows = [
+        (0, "jeg ved ikke hvad der sker og hvor vi skal hen til byen af den grund"),
+        (1, "jag vet inte vad som sker och vi ska resa till staden av samma skal att se"),
+        (2, "het huis van de buren is niet groot maar een tuin zijn er wel"),   # nl
+        (3, "der hund ist nicht im haus und die katze"),                        # de
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: r.lang for r in
+           textstats.with_lang_id(df, "text").select("doc_id", "lang").collect()}
+    assert got == {0: "da", 1: "sv", 2: "nl", 3: "de"}
+    # per-lang scalar form agrees with the fused sweep
+    got2 = {r.doc_id: r.l for r in
+            df.select("doc_id", textstats.lang_id(F.col("text")).alias("l")).collect()}
+    assert got2 == got
+
+
 def test_lang_id_widened_bank_and_confusion(spark):
     """r3 widened banks (it/nl/pl) classify correctly, and the CONFUSION
     cases that motivated careful word choices resolve right: Italian
