@@ -115,6 +115,63 @@ def lang_id(col):
     return _lang_id_from_scores(scores)
 
 
+SCRIPT_RANGES: dict[str, str] = {
+    # Unicode block character classes — counted, not \b-matched, so the
+    # expressions are engine-portable (Java and RE2 agree on explicit
+    # range classes; they do NOT agree on \b around non-ASCII, which is
+    # why the WORD-marker lang banks stay Latin-only and non-Latin
+    # corpora route through script_id first)
+    "latin": r"A-Za-zÀ-ɏ",
+    "cyrillic": r"Ѐ-ӿ",
+    "greek": r"Ͱ-Ͽ",
+    "arabic": r"؀-ۿ",
+    "devanagari": r"ऀ-ॿ",
+    "cjk": r"一-鿿぀-ヿ가-힯",
+}
+
+
+def script_counts(col):
+    """Per-script character counts (struct of ints, pure expressions)."""
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(f"[{rng}]"), 0)).alias(s)
+            for s, rng in SCRIPT_RANGES.items()
+        ]
+    )
+
+
+def script_id(col):
+    """Dominant writing system of a text ('und' when no scripted chars):
+    argmax of per-script character counts, SCRIPT_RANGES declaration
+    order as the tie-break — the routing stage a multilingual 100 TB
+    pipeline runs BEFORE word-marker language-ID (the Latin banks are
+    meaningless on Cyrillic/CJK text, and non-Latin word markers cannot
+    be \\b-matched portably across engines)."""
+    scores = [
+        (s, F.size(F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(f"[{rng}]"), 0)))
+        for s, rng in SCRIPT_RANGES.items()
+    ]
+    return _lang_id_from_scores(scores)
+
+
+def with_script_id(df: DataFrame, text_col: str, out: str = "script") -> DataFrame:
+    """Sweep form of ``script_id``: the per-script counts are staged as
+    columns (each computed once per row — the argmax references them
+    twice, and unstaged expressions would re-run every regex per
+    reference; the CSE trap documented on ``_lang_id_from_scores``)."""
+    staged = df.select(
+        "*",
+        *[
+            F.size(
+                F.regexp_extract_all(F.coalesce(F.col(text_col), F.lit("")), F.lit(f"[{rng}]"), 0)
+            ).alias(f"_sc_{s}")
+            for s, rng in SCRIPT_RANGES.items()
+        ],
+    )
+    pick = _lang_id_from_scores([(s, F.col(f"_sc_{s}")) for s in SCRIPT_RANGES])
+    return staged.withColumn(out, pick).drop(*[f"_sc_{s}" for s in SCRIPT_RANGES])
+
+
 def with_lang_id(df: DataFrame, text_col: str, out: str = "lang") -> DataFrame:
     """Corpus-sweep form of lang_id: ONE combined regex pass over the
     accent-folded basis extracts every marker hit; per-language scores

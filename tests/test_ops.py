@@ -917,6 +917,34 @@ def test_ivf_topk_batch_equals_single_query(near_dup_corpus, spark):
         assert got == [(x.id, x.cosine) for x in single], r.query_id
 
 
+def test_script_id_routing(spark):
+    """Script detection (r4): dominant-writing-system routing for
+    multilingual corpora — char-class counts (engine-portable, unlike \\b
+    on non-ASCII), 'und' for unscripted/null text, scalar == sweep."""
+    from pdf_ocr_api_spark.ops import textstats
+
+    rows = [
+        (0, "hello world this is clearly latin text"),
+        (1, "привет мир это текст на кириллице"),
+        (2, "γειά σου κόσμε ελληνικά"),
+        (3, "مرحبا بالعالم هذا نص عربي"),
+        (4, "नमस्ते दुनिया यह हिंदी है"),
+        (5, "你好世界 こんにちは 안녕하세요"),
+        (6, "1234 ... !!! 555"),
+        (7, None),
+        (8, "mixed привет but mostly русская кириллица здесь"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    want = {0: "latin", 1: "cyrillic", 2: "greek", 3: "arabic",
+            4: "devanagari", 5: "cjk", 6: "und", 7: "und", 8: "cyrillic"}
+    got = {r.doc_id: r.s for r in
+           df.select("doc_id", textstats.script_id(F.col("text")).alias("s")).collect()}
+    assert got == want
+    got2 = {r.doc_id: r.script for r in
+            textstats.with_script_id(df, "text").select("doc_id", "script").collect()}
+    assert got2 == want
+
+
 def test_lang_id_da_sv_banks(spark):
     """r4 widening: Danish vs Swedish — the classic confusion pair —
     resolve through mutually disjoint markers (ikke/hvad/af/til vs
