@@ -259,11 +259,23 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported PPM maxval {maxval} (8-bit only)")
     if w <= 0 or h <= 0:
         raise ValueError(f"bad PPM dimensions {w}x{h}")
-    pos += 1  # exactly ONE whitespace byte separates maxval from raster
+    # exactly ONE whitespace byte separates maxval from the raster — and
+    # it must BE whitespace, or a malformed header (e.g. CRLF counted as
+    # data) would silently shift every sample by a byte
+    if payload[pos : pos + 1] not in (b" ", b"\t", b"\r", b"\n"):
+        raise ValueError("PPM maxval not followed by a whitespace byte")
+    pos += 1
     need = w * h * 3
     if len(payload) - pos < need:
         raise ValueError("truncated PPM raster")
-    return np.frombuffer(payload, np.uint8, count=need, offset=pos).reshape(h, w, 3).copy()
+    a = np.frombuffer(payload, np.uint8, count=need, offset=pos).reshape(h, w, 3)
+    if maxval != 255:
+        # spec-valid sub-255 maxval: samples are 0..maxval — rescale to
+        # the 0..255 basis every consumer here assumes (features divide
+        # by 255), instead of returning systematically dark pixels
+        a = (a.astype(np.float32) * (255.0 / maxval)).round().clip(0, 255).astype(np.uint8)
+        return a
+    return a.copy()
 
 
 # ---------------------------------------------------------------------------
@@ -316,7 +328,9 @@ def sniff_codec(payload: bytes | None) -> str | None:
         return "wav"
     if payload[:9] == b"YUV4MPEG2":
         return "y4m"
-    if payload[:2] == b"P6" and payload[2:3] in b" \t\r\n#":
+    # tuple membership, not `in b"..."`: an empty slice (payload == b"P6")
+    # is a subsequence of every bytes object and would false-positive
+    if payload[:2] == b"P6" and payload[2:3] in (b" ", b"\t", b"\r", b"\n", b"#"):
         return "ppm"
     if payload[:4] == b".snd":
         return "au"

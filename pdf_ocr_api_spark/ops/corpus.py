@@ -268,6 +268,35 @@ def corpus_signatures(
     return dedup.minhash_signatures(d, num_hashes=num_hashes, k=k, parallelism=parallelism)
 
 
+def log_run(
+    spark,
+    runs_target: str,
+    mode: str,
+    run_id: str,
+    rows_kept: int,
+    metrics: dict | None,
+) -> None:
+    """Append one run-summary row (mode, run id, rows kept, the
+    dropped-bucket recall-loss accounting) to the store's runs table —
+    the single schema both the batch runner and the streaming job write,
+    so the two surfaces never drift apart. The log is telemetry with
+    AT-LEAST-ONCE semantics: a replayed streaming micro-batch appends a
+    second row under the same ``batch-N`` run id (the data tables
+    reconcile, see ``sync_signatures``); operators should de-duplicate
+    on run id when aggregating."""
+    from ..sources.io import write_table
+
+    m = metrics or {}
+    write_table(
+        spark.createDataFrame(
+            [(mode, run_id, int(rows_kept), int(m.get("dropped_buckets") or 0), m.get("max_bucket"))],
+            "mode STRING, run_id STRING, rows_kept LONG, dropped_buckets LONG, max_bucket LONG",
+        ),
+        runs_target,
+        mode="append",
+    )
+
+
 def sync_signatures(
     spark,
     corpus_target: str,

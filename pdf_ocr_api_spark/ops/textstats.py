@@ -120,8 +120,9 @@ SCRIPT_RANGES: dict[str, str] = {
     # expressions are engine-portable (Java and RE2 agree on explicit
     # range classes; they do NOT agree on \b around non-ASCII, which is
     # why the WORD-marker lang banks stay Latin-only and non-Latin
-    # corpora route through script_id first)
-    "latin": r"A-Za-zÀ-ɏ",
+    # corpora route through script_id first). The latin range skips
+    # U+00D7/U+00F7 (×/÷ — math signs inside Latin-1, not letters).
+    "latin": r"A-Za-zÀ-ÖØ-öø-ɏ",
     "cyrillic": r"Ѐ-ӿ",
     "greek": r"Ͱ-Ͽ",
     "arabic": r"؀-ۿ",
@@ -130,14 +131,21 @@ SCRIPT_RANGES: dict[str, str] = {
 }
 
 
+def _script_count_exprs(col) -> list:
+    """(name, count) per script — counted by LENGTH DELTA (strip the
+    class, subtract), not regexp_extract_all: extracting materializes a
+    per-character array of 1-char strings per row per script (×6), pure
+    waste on a corpus sweep when only the count is needed."""
+    base = F.coalesce(col, F.lit(""))
+    return [
+        (s, F.length(base) - F.length(F.regexp_replace(base, f"[{rng}]", "")))
+        for s, rng in SCRIPT_RANGES.items()
+    ]
+
+
 def script_counts(col):
     """Per-script character counts (struct of ints, pure expressions)."""
-    return F.struct(
-        *[
-            F.size(F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(f"[{rng}]"), 0)).alias(s)
-            for s, rng in SCRIPT_RANGES.items()
-        ]
-    )
+    return F.struct(*[c.alias(s) for s, c in _script_count_exprs(col)])
 
 
 def script_id(col):
@@ -147,11 +155,7 @@ def script_id(col):
     pipeline runs BEFORE word-marker language-ID (the Latin banks are
     meaningless on Cyrillic/CJK text, and non-Latin word markers cannot
     be \\b-matched portably across engines)."""
-    scores = [
-        (s, F.size(F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(f"[{rng}]"), 0)))
-        for s, rng in SCRIPT_RANGES.items()
-    ]
-    return _lang_id_from_scores(scores)
+    return _lang_id_from_scores(_script_count_exprs(col))
 
 
 def with_script_id(df: DataFrame, text_col: str, out: str = "script") -> DataFrame:
@@ -161,12 +165,7 @@ def with_script_id(df: DataFrame, text_col: str, out: str = "script") -> DataFra
     reference; the CSE trap documented on ``_lang_id_from_scores``)."""
     staged = df.select(
         "*",
-        *[
-            F.size(
-                F.regexp_extract_all(F.coalesce(F.col(text_col), F.lit("")), F.lit(f"[{rng}]"), 0)
-            ).alias(f"_sc_{s}")
-            for s, rng in SCRIPT_RANGES.items()
-        ],
+        *[c.alias(f"_sc_{s}") for s, c in _script_count_exprs(F.col(text_col))],
     )
     pick = _lang_id_from_scores([(s, F.col(f"_sc_{s}")) for s in SCRIPT_RANGES])
     return staged.withColumn(out, pick).drop(*[f"_sc_{s}" for s in SCRIPT_RANGES])

@@ -174,21 +174,8 @@ def _clean_corpus_job(args) -> int:
         # one run-summary row per job next to the store: the recall-loss
         # accounting (VERDICT r3 #7) persists with the corpus instead of
         # dying with the driver — an operator can alert off the table
-        m = metrics or {}
-        row = [(
-            mode,
-            spark.sparkContext.applicationId,
-            int(rows_kept),
-            int(m.get("dropped_buckets") or 0),
-            m.get("max_bucket"),
-        )]
-        write_table(
-            spark.createDataFrame(
-                row,
-                "mode STRING, app_id STRING, rows_kept LONG, dropped_buckets LONG, max_bucket LONG",
-            ),
-            runs_target,
-            mode="append",
+        corpus_ops.log_run(
+            spark, runs_target, mode, spark.sparkContext.applicationId, rows_kept, metrics
         )
     # strip: "--langs 'en, pt'" must not silently gate out ' pt'
     langs = [s.strip() for s in (args.langs or "").split(",") if s.strip()] or None
@@ -211,9 +198,12 @@ def _clean_corpus_job(args) -> int:
         # the cleaning plan alive just to hash its output twice);
         # sync_signatures also makes a crashed/half-finished bootstrap
         # recoverable by re-running either mode
-        n = corpus_ops.sync_signatures(
+        corpus_ops.sync_signatures(
             spark, corpus_target, sig_target, parallelism=args.buckets
         )
+        # report the STORED corpus size, not sync_signatures' backfill
+        # count (0 on the supported re-run/recovery path)
+        n = read_table(spark, corpus_target).count()
         _log_run("clean_corpus", n, metrics)
         print(json.dumps({"mode": "clean_corpus", "rows": n, "dedup_metrics": metrics}))
         return 0

@@ -154,17 +154,10 @@ def start_incremental_corpus_stream(
 
     def _log_run(mode: str, batch_id: int, rows_kept: int, metrics: dict | None) -> None:
         # per-micro-batch run summary persisted next to the store — the
-        # same operator-alerting surface as the batch runner's runs table
-        m = metrics or {}
-        write_table(
-            spark.createDataFrame(
-                [(mode, f"batch-{batch_id}", int(rows_kept),
-                  int(m.get("dropped_buckets") or 0), m.get("max_bucket"))],
-                "mode STRING, app_id STRING, rows_kept LONG, dropped_buckets LONG, max_bucket LONG",
-            ),
-            runs_t,
-            mode="append",
-        )
+        # shared corpus.log_run schema, so batch and streaming jobs write
+        # one compatible runs table (at-least-once telemetry: a replayed
+        # micro-batch logs a second batch-N row; see log_run's docstring)
+        corpus_ops.log_run(spark, runs_t, mode, f"batch-{batch_id}", rows_kept, metrics)
     # the signature index MUST be built with the same num_hashes/k the
     # dedup probes with — forward them from the cleaning knobs
     nh = clean_kw.get("num_hashes", 32)

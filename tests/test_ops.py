@@ -943,6 +943,11 @@ def test_script_id_routing(spark):
     got2 = {r.doc_id: r.script for r in
             textstats.with_script_id(df, "text").select("doc_id", "script").collect()}
     assert got2 == want
+    # the count struct agrees with the argmax inputs; ×/÷ are NOT latin
+    counts = df.filter(F.col("doc_id") == 6).select(
+        textstats.script_counts(F.lit("5 × 4 ÷ 2")).alias("c")
+    ).collect()[0].c
+    assert counts.latin == 0
 
 
 def test_lang_id_da_sv_banks(spark):
@@ -1062,6 +1067,12 @@ def test_codecs_roundtrip_ppm_au():
     assert codecs.sniff_codec(codecs.encode_ppm(rgb)) == "ppm"
     assert codecs.sniff_codec(codecs.encode_au(mono)) == "au"
     assert codecs.sniff_codec(b"P6x not ppm") is None  # magic needs whitespace next
+    assert codecs.sniff_codec(b"P6") is None  # bare magic (empty-slice trap)
+    with pytest.raises(ValueError):  # maxval not followed by whitespace
+        codecs.decode_ppm(b"P6\n2 2\n255x" + b"\x00" * 12)
+    # spec-valid sub-255 maxval rescales to the 0..255 basis
+    scaled = codecs.decode_ppm(b"P6\n1 1\n100\n" + bytes([100, 50, 0]))
+    assert scaled.tolist() == [[[255, 128, 0]]]
 
     # resize re-encodes in the SOURCE format
     from pdf_ocr_api_spark.ops import multimodal
@@ -1072,7 +1083,8 @@ def test_codecs_roundtrip_ppm_au():
     pv = multimodal.media_feature_vector(codecs.encode_ppm(rgb))
     assert abs(pv[0] - rgb[:, :, 0].mean() / 255.0) < 0.01
     av = multimodal.media_feature_vector(codecs.encode_au(mono, 8000))
-    assert abs(av[0] - float(np.sqrt((mono / 32768.0) ** 2).mean() ** 0.5)) < 0.5
+    rms = float(np.sqrt(np.mean((mono / 32768.0) ** 2)))
+    assert abs(av[0] - rms) < 0.02  # feature[0] IS the RMS, tightly
 
 
 def test_codecs_reject_garbage():
