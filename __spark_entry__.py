@@ -761,7 +761,16 @@ def q_mm_media(spark, sf_dir):
     genuine 24-bit BMP payload INSIDE the executors, and media_features
     routes it through magic-byte sniffing, the actual numpy BMP decoder,
     and the image-feature extractor — byte metadata (n_bytes) and the
-    per-channel/luma feature vector both come back."""
+    per-channel/luma feature vector both come back.
+
+    The gate entry serializes the ARRAY<FLOAT> feature to a CSV string
+    (r5): the driver canonicalizes EVERY entry with a pandas multi-column
+    sort, whose lexsort factorizes (hashes) each column — Python lists
+    are unhashable, so a raw array column is a guaranteed RED row
+    (CORRECTNESS_r04 mm_media). Only scalar columns may leave a gate
+    entry."""
+    from pyspark.sql import functions as F
+
     from pdf_ocr_api_spark.ops import multimodal
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -785,7 +794,15 @@ def q_mm_media(spark, sf_dir):
             )
 
     media = d.mapInPandas(build, "media_id BIGINT, kind STRING, payload BINARY")
-    return multimodal.media_features(media)
+    feats = multimodal.media_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.expr(
+            "concat_ws(',', transform(feature, x -> printf('%.5f', x)))"
+        ).alias("feature_csv"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

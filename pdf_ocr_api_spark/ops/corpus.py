@@ -315,16 +315,59 @@ def sync_signatures(
     between the bootstrap create of each table) leaves the index behind
     the corpus, and a later near-dup of the unsignatured rows would be
     silently kept — run this before each incremental batch and every
-    crash window closes at the cost of two narrow id scans. Must use the
-    same ``num_hashes``/``k`` the dedup runs with."""
+    crash window closes at the cost of two narrow id scans.
+
+    ``num_hashes``/``k`` are PERSISTED next to the index (a
+    ``{sig_target}_props`` one-row table, the ``save_ivfpq_index``
+    pattern) and VERIFIED on every later sync: a mismatched index makes
+    ``element_at`` return NULLs that ``concat_ws`` silently drops, so
+    band hashes collapse — that must be a loud ValueError, not a recall
+    loss (r5 advice). Pre-props indexes (r4 stores) get their props
+    backfilled from the observed signature length."""
     from ..sources.io import read_table, table_exists, write_table
+
+    def _write_props() -> None:
+        write_table(
+            spark.createDataFrame(
+                [("num_hashes", str(num_hashes)), ("k", str(k))],
+                "key STRING, value STRING",
+            ),
+            f"{sig_target}_props",
+            mode="create",
+        )
 
     stored = read_table(spark, corpus_target)
     if not table_exists(spark, sig_target):
         write_table(
             corpus_signatures(stored, num_hashes, k, parallelism), sig_target, mode="create"
         )
+        _write_props()
         return read_table(spark, sig_target).count()
+    if table_exists(spark, f"{sig_target}_props"):
+        props = {r.key: r.value for r in read_table(spark, f"{sig_target}_props").collect()}
+        mismatch = [
+            f"{name}: stored={props[name]} requested={val}"
+            for name, val in (("num_hashes", num_hashes), ("k", k))
+            if name in props and props[name] != str(val)
+        ]
+        if mismatch:
+            raise ValueError(
+                f"signature index {sig_target} parameter mismatch "
+                f"({'; '.join(mismatch)}) — probing it would silently "
+                "collapse band hashes; rebuild the index or pass the "
+                "stored parameters"
+            )
+    else:
+        # pre-props index (r4 store): num_hashes is observable from any
+        # stored row; trust it over the argument, then stamp props
+        probe = read_table(spark, sig_target).select(F.size("sig").alias("n")).first()
+        if probe is not None and probe.n != num_hashes:
+            raise ValueError(
+                f"signature index {sig_target} has {probe.n}-hash signatures "
+                f"but num_hashes={num_hashes} was requested — rebuild or "
+                "pass the matching num_hashes"
+            )
+        _write_props()
     sig_ids = read_table(spark, sig_target).select("id")
     missing = stored.join(sig_ids, turn_id() == sig_ids["id"], "left_anti")
     n = missing.count()

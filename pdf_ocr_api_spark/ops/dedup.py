@@ -81,10 +81,11 @@ def exact_duplicates(
     exist, even transiently inside the aggregate; the window rides the
     same hash partitioning as the groupBy, so no extra exchange.
     ``None`` = unbounded (small corpora / tests). Truncation is
-    row-detectable: ``size(member_ids) < dup_count`` ⟺ the family was
-    capped — callers that act on the FULL membership (bulk deletes)
-    must check that, or drive deletes off the hash join
-    (``df.join(groups, md5(norm(text)) == h)``) instead of the id list.
+    IN-SCHEMA (r5 advice): the ``truncated`` boolean column marks rows
+    whose ``member_ids`` is incomplete — callers that act on the FULL
+    membership (bulk deletes) must filter on it, or drive deletes off
+    the hash join (``df.join(groups, md5(norm(text)) == h)``) instead of
+    the id list (``size(member_ids) < dup_count`` remains equivalent).
     Dedup semantics never need the full array: keepers come from
     ``keep_id``, and ``clean_corpus`` uses groupBy-min representatives
     only."""
@@ -107,6 +108,7 @@ def exact_duplicates(
             members.alias("member_ids"),
         )
         .filter(F.col("dup_count") > 1)
+        .withColumn("truncated", F.size("member_ids") < F.col("dup_count"))
     )
 
 
@@ -523,8 +525,12 @@ def _simhash_votes(col):
     bit b), segment-sum the bit columns per doc with ``np.add.reduceat``
     and set bit b when set-votes strictly outnumber clear-votes
     (2·count_b > n — exactly the explode twin's ``sum(±1) > 0``).
-    Processed in bounded-token chunks so the bit matrix stays ~100 MB
-    regardless of Arrow batch sizing."""
+    Processed in bounded-token chunks: at the 2^20-token cap the (T, 64)
+    uint8 bit matrix is 64 MB and ``reduceat`` accumulates DIRECTLY on
+    it with ``dtype=int64`` (no int32 copy — a materialized upcast would
+    be 4× the matrix again, the r4 advice finding), so per-chunk peak
+    stays ~72 MB (matrix + 8 MB flat hashes) regardless of Arrow batch
+    sizing."""
     import numpy as np
     import pandas as pd
 
@@ -560,7 +566,7 @@ def _simhash_votes(col):
         nonempty = n > 0
         if nonempty.any():
             counts = np.add.reduceat(
-                bits.astype(np.int32), offsets[nonempty], axis=0
+                bits, offsets[nonempty], axis=0, dtype=np.int64
             )
             win = 2 * counts > n[nonempty, None]
             packed = np.packbits(win, axis=1, bitorder="little")
@@ -625,6 +631,23 @@ def incremental_keep(
     history; it keeps both and drops the bridge, the standard streaming-
     dedup divergence, exercised and documented in tests)."""
     sig_new = minhash_signatures(batch, text_col, id_col, num_hashes, k, parallelism)
+    if kept_sigs is not None:
+        # COMPATIBILITY GATE (r5 advice): a stored signature table built
+        # with a different num_hashes is not an error Spark can see —
+        # element_at past the stored length returns NULL, concat_ws DROPS
+        # nulls, and band hashes silently collapse into constant
+        # mega-buckets (recall loss / bucket blowup in the flagship
+        # incremental path). One-row probe; k mismatches change hash
+        # VALUES not lengths and are unverifiable here — persist k next
+        # to the index (corpus.sync_signatures props) for that.
+        probe = kept_sigs.select(F.size("sig").alias("n")).first()
+        if probe is not None and probe.n != num_hashes:
+            raise ValueError(
+                f"kept_sigs was built with num_hashes={probe.n} but this run "
+                f"uses num_hashes={num_hashes} — band hashes over the stored "
+                "index would silently collapse (NULL-dropping concat_ws); "
+                "rebuild the signature index or pass the matching num_hashes"
+            )
     if kept_sigs is None:
         kept_sigs = minhash_signatures(kept, text_col, id_col, num_hashes, k, parallelism)
         if max_bucket_size is not None:

@@ -115,7 +115,32 @@ def main() -> int:
     for name, fn in qs.items():
         t0 = time.monotonic()
         try:
-            sdf = fn(spark, SF_DIR).toPandas()
+            sdf_spark = fn(spark, SF_DIR)
+            # DRIVER-CANON GUARD (r5, after the r4 mm_media RED row): the
+            # driver canonicalizes EVERY entry (rows-only included) with a
+            # pandas multi-column sort whose lexsort FACTORIZES (hashes)
+            # each column — array/map/struct cells are unhashable and
+            # crash it. Reject complex output columns up front so the
+            # class fails locally, not in the driver artifact.
+            complex_cols = [
+                f.name
+                for f in sdf_spark.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if complex_cols:
+                raise TypeError(
+                    f"entry emits non-scalar column(s) {complex_cols} — the "
+                    "driver's canonicalizer (pandas multi-col sort → "
+                    "factorize) cannot hash them; serialize or explode"
+                )
+            sdf = sdf_spark.toPandas()
+            # Reproduce the driver's canonicalization path byte-for-byte
+            # on every entry — sort_values over ALL columns (the exact
+            # call that died on mm_media) plus our frame_hash. The hash
+            # is discarded for rows-only entries; the crash is the point.
+            if len(sdf.columns) > 1:
+                sdf.sort_values(sorted(sdf.columns))
+            frame_hash(sdf)
         except Exception as e:
             print(f"FAIL  {name}: spark error {type(e).__name__}: {str(e)[:200]}")
             failures += 1
