@@ -16,10 +16,16 @@ raw sample arrays, parseable with ``struct`` + ``numpy``:
 * **AU** (Sun audio, r4): 24-byte big-endian header (magic ``.snd``,
   data offset/size, encoding 3 = PCM-16, rate, channels) + big-endian
   int16 samples.
+* **PNG** (r5 — the one COMPRESSED format that needs no codec library):
+  its only compression is DEFLATE, which is stdlib ``zlib`` — critical
+  chunks (IHDR/IDAT/IEND, CRC-checked) + per-scanline unfiltering
+  (types 0-4) over numpy, 8-bit truecolor RGB/RGBA, non-interlaced.
+  Palette/gray/16-bit/Adam7 raise ValueError like any unsupported
+  flavor.
 
-These are the real-decoder backends for ``ops.multimodal`` — compressed
-formats (JPEG/PNG/MP3/MP4) remain honestly stubbed behind
-``NotImplementedError`` until a codec library exists here.
+These are the real-decoder backends for ``ops.multimodal`` — the
+remaining compressed formats (JPEG/MP3/MP4) stay honestly stubbed
+behind ``NotImplementedError`` until a codec library exists here.
 """
 
 from __future__ import annotations
@@ -312,18 +318,167 @@ def decode_au(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
+# PNG (8-bit truecolor RGB/RGBA, non-interlaced — stdlib zlib, r5)
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """(H, W, 3|4) uint8 → PNG bytes (8-bit truecolor, filter 0 on
+    every scanline, one zlib-deflated IDAT). PNG's only compression is
+    DEFLATE — stdlib ``zlib``, no codec library needed."""
+    import zlib
+
+    a = np.asarray(rgb, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] not in (3, 4):
+        raise ValueError(f"expected (H, W, 3|4) uint8, got {a.shape}")
+    h, w, ch = a.shape
+    color_type = 2 if ch == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    # each scanline prefixed with filter byte 0 (None)
+    raw = np.concatenate([np.zeros((h, 1), np.uint8), a.reshape(h, w * ch)], axis=1)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(filt: np.ndarray, ftypes: np.ndarray, bpp: int) -> np.ndarray:
+    """Reverse per-scanline PNG filtering (types 0-4) in place-ish:
+    (H, stride) filtered bytes + per-row filter types → recon bytes.
+
+    Row-sequential by construction (Up/Average/Paeth reference the
+    reconstructed row above); within a row, None/Up are fully
+    vectorized, Sub is a per-byte-lane cumsum mod 256, and only
+    Average/Paeth walk pixels (vectorized across the bpp lanes)."""
+    h, stride = filt.shape
+    recon = np.zeros_like(filt)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        row = filt[y].astype(np.int32)
+        t = int(ftypes[y])
+        if t == 0:
+            out = row
+        elif t == 1:  # Sub: recon[i] = row[i] + recon[i-bpp] → lane cumsum
+            out = row.reshape(-1, bpp).cumsum(axis=0).reshape(-1) & 0xFF
+        elif t == 2:  # Up
+            out = (row + prev) & 0xFF
+        elif t == 3:  # Average
+            out = np.empty(stride, np.int32)
+            out[:bpp] = (row[:bpp] + (prev[:bpp] >> 1)) & 0xFF
+            for i in range(bpp, stride, bpp):
+                out[i : i + bpp] = (
+                    row[i : i + bpp] + ((out[i - bpp : i] + prev[i : i + bpp]) >> 1)
+                ) & 0xFF
+        elif t == 4:  # Paeth
+            out = np.empty(stride, np.int32)
+            out[:bpp] = (row[:bpp] + prev[:bpp]) & 0xFF  # left=0 ⇒ predictor=up
+            for i in range(bpp, stride, bpp):
+                a = out[i - bpp : i]
+                b = prev[i : i + bpp]
+                c = prev[i - bpp : i]
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+                out[i : i + bpp] = (row[i : i + bpp] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {t} on row {y}")
+        recon[y] = out.astype(np.uint8)
+        prev = out
+    return recon
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (H, W, 3|4) uint8. Critical chunks only; 8-bit
+    truecolor (color types 2/6), non-interlaced — the PIL-free subset a
+    stdlib-``zlib`` + numpy decoder can do exactly. Palette/gray/16-bit/
+    Adam7 raise ValueError (→ ``fake_features`` fallback upstream, same
+    as any unsupported flavor)."""
+    import zlib
+
+    if payload is None or len(payload) < 45 or payload[: len(_PNG_MAGIC)] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_MAGIC)
+    ihdr = None
+    idat = bytearray()
+    saw_iend = False
+    while pos + 8 <= len(payload):
+        (length,), tag = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        crc_end = pos + 8 + length + 4
+        if crc_end > len(payload):
+            raise ValueError("truncated PNG chunk CRC")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc != (zlib.crc32(tag + body) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            saw_iend = True
+            break
+        # ancillary chunks (tEXt, pHYs, …) are skipped; PLTE only
+        # matters for color type 3, which is rejected below
+        pos = crc_end
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    if not saw_iend:
+        raise ValueError("PNG missing IEND (truncated stream)")
+    w, h, depth, color_type, comp, filt_method, interlace = ihdr
+    if depth != 8 or color_type not in (2, 6):
+        raise ValueError(
+            f"unsupported PNG flavor: depth={depth} color_type={color_type} "
+            "(8-bit truecolor RGB/RGBA only)"
+        )
+    if comp != 0 or filt_method != 0:
+        raise ValueError(f"bad PNG compression/filter method {comp}/{filt_method}")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG unsupported")
+    if w <= 0 or h <= 0 or not idat:
+        raise ValueError("empty PNG image")
+    ch = 3 if color_type == 2 else 4
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG raster size mismatch: got {len(raw)}, want {h * (stride + 1)}"
+        )
+    rows = raw.reshape(h, stride + 1)
+    recon = _png_unfilter(rows[:, 1:], rows[:, 0], ch)
+    return recon.reshape(h, w, ch)
+
+
+# ---------------------------------------------------------------------------
 # magic-byte sniffing
 # ---------------------------------------------------------------------------
 
 
 def sniff_codec(payload: bytes | None) -> str | None:
-    """'bmp' | 'wav' | 'y4m' | 'ppm' | 'au' when the payload is one of
-    the decodable uncompressed formats, else None (codec-bound or
-    unknown)."""
+    """'bmp' | 'wav' | 'y4m' | 'ppm' | 'au' | 'png' when the payload is
+    one of the decodable formats, else None (codec-bound or unknown)."""
     if not payload:
         return None
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:8] == _PNG_MAGIC:
+        return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:9] == b"YUV4MPEG2":

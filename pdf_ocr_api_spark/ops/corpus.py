@@ -64,9 +64,16 @@ def _gated_turns(transcripts, min_quality, langs, min_tokens, depara, _cut):
     # (raw/normalized/folded bases) through a wide inline projection
     # doubles per-row string traffic — measured 196 s inline vs 97 s for
     # the narrow-join form on the 1M-turn corpus
+    # script_route: non-Latin-dominant turns are tagged 'und-<script>'
+    # instead of being scored by the (meaningless there) Latin word
+    # banks — so a langs allow-list gates a Cyrillic/CJK corpus sanely
+    # ('pt' never matches them by accident) and an operator can KEEP
+    # them by listing the script tags ('und-cjk', …). Identical output
+    # on Latin-script corpora.
     feats = textstats.with_lang_id(
         textstats.with_quality(base.select("_tid", "clean_text"), "clean_text"),
         "clean_text",
+        script_route=True,
     ).select("_tid", "n_tokens", "quality_score", "lang")
     turns = base.join(feats, "_tid")
 

@@ -2,9 +2,10 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct. Decode/feature/resize/frame-sample are REAL for the
-uncompressed public formats a pure-numpy codec can parse (``codecs.py``:
-24-bit BMP images, PCM-16 WAV audio, YUV4MPEG2 video); compressed
-formats (JPEG/PNG/MP3/MP4) remain honestly stubbed behind
+formats a stdlib + numpy codec can parse (``codecs.py``: 24-bit BMP,
+binary PPM and 8-bit truecolor PNG images — PNG's DEFLATE is stdlib
+``zlib`` —, PCM-16 WAV + Sun AU audio, YUV4MPEG2 video); codec-bound
+formats (JPEG/MP3/MP4) remain honestly stubbed behind
 ``NotImplementedError`` — no codec library ships in this container —
 with ``fake_features`` as the deterministic stand-in that keeps the
 distributed plumbing byte-verifiable for ANY payload.
@@ -34,9 +35,12 @@ FEATURE_DIM = 16
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Image decode: REAL for 24-bit uncompressed BMP and binary PPM
-    (pure numpy); compressed formats (JPEG/PNG/…) raise
-    ``NotImplementedError`` until a codec library exists here."""
+    """Image decode: REAL for 24-bit uncompressed BMP, binary PPM and
+    (r5) 8-bit truecolor PNG — PNG's DEFLATE is stdlib zlib, so it needs
+    no codec library either; JPEG (and other codec-bound formats) raise
+    ``NotImplementedError`` until a codec library exists here. Returns
+    (H, W, 3) uint8 — PNG alpha is dropped (RGBA → RGB) so every image
+    kind feeds the same feature contract."""
     from . import codecs
 
     kind = codecs.sniff_codec(payload)
@@ -44,9 +48,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         return codecs.decode_bmp(payload)
     if kind == "ppm":
         return codecs.decode_ppm(payload)
+    if kind == "png":
+        return codecs.decode_png(payload)[:, :, :3]
     raise NotImplementedError(
-        "compressed-image decode needs a codec library (PIL/libvips) — "
-        "absent in this container; BMP/PPM decode for real"
+        "codec-bound image decode (JPEG/…) needs a codec library "
+        "(PIL/libvips) — absent in this container; BMP/PPM/PNG decode for real"
     )
 
 
@@ -140,9 +146,9 @@ def video_features(frames_y: np.ndarray, fps: int, dim: int = FEATURE_DIM) -> np
 
 
 def media_feature_vector(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
-    """Feature router: REAL features for decodable payloads (BMP / WAV /
-    Y4M via magic bytes), deterministic fake stand-in for codec-bound or
-    unknown bytes — so one UDF serves mixed corpora.
+    """Feature router: REAL features for decodable payloads (BMP / PPM /
+    PNG / WAV / AU / Y4M via magic bytes), deterministic fake stand-in
+    for codec-bound or unknown bytes — so one UDF serves mixed corpora.
 
     A sniff hit is only a 2-9-byte prefix match: payloads that LOOK like
     a decodable format but fail to parse (corrupt file, text starting
@@ -156,6 +162,8 @@ def media_feature_vector(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
             return image_features(codecs.decode_bmp(payload), dim)
         if kind == "ppm":
             return image_features(codecs.decode_ppm(payload), dim)
+        if kind == "png":
+            return image_features(codecs.decode_png(payload)[:, :, :3], dim)
         if kind == "wav":
             return audio_features(*codecs.decode_wav(payload), dim=dim)
         if kind == "au":

@@ -530,37 +530,86 @@ def ivfpq_index(
         np.ascontiguousarray(_lloyd(res[:, i * dsub : (i + 1) * dsub], n_centroids, seed + i))
         for i in range(m)
     ]
-    cb = codebooks_np
-    cents = np.ascontiguousarray(centers)
+    # the ENCODE pass is the shared fixed-quantizer encoder — the same
+    # function ivfpq_append runs, so appended codes are byte-identical
+    # to build-time codes by construction
+    codebooks_l = [c.tolist() for c in codebooks_np]
+    codes_df = _ivfpq_encode(emb, centroids, codebooks_l, normalize, True, id_col, vec_col)
+    return codes_df, centroids, codebooks_l
 
-    @F.pandas_udf("struct<ivf_list: integer, codes: array<integer>>")
+
+def _ivfpq_encode(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list,
+    normalize: bool,
+    residual: bool,
+    id_col: str,
+    vec_col: str,
+    with_dist: bool = False,
+) -> DataFrame:
+    """One-scan IVF×PQ encoder against FIXED quantizers — the shared
+    backend of the residual index build AND the incremental append path
+    (append-encoded codes must be byte-identical to build-encoded ones,
+    so there is exactly one encoder). Returns (id, ivf_list, codes[,
+    cdist]); ``cdist`` is the vector's distance to its assigned coarse
+    centroid — the drift signal ``ivfpq_append`` accounts with.
+
+    Space contract (must mirror the build paths exactly): residual
+    indexes assign AND encode in L2-normalized space (IVFADC); raw
+    indexes assign in RAW space (``ivf_index`` fits/assigns on raw
+    vectors) and PQ-encode the normalized full vector (``pq_index``)."""
+    import numpy as np
+
+    cents = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    cb = [np.ascontiguousarray(np.asarray(c, dtype=np.float64)) for c in codebooks]
+    m = len(cb)
+    dsub = cents.shape[1] // m
+
+    @F.pandas_udf("struct<ivf_list: integer, codes: array<integer>, cdist: double>")
     def encode(col):
         import pandas as pd
 
         vecs = np.array(col.tolist(), dtype=np.float64)
-        if normalize:
-            vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1)[:, None], 1e-12)
+        vn = (
+            vecs / np.maximum(np.linalg.norm(vecs, axis=1)[:, None], 1e-12)
+            if normalize
+            else vecs
+        )
+        basis = vn if residual else vecs
         dd = (
-            (vecs * vecs).sum(axis=1)[:, None]
+            (basis * basis).sum(axis=1)[:, None]
             + (cents * cents).sum(axis=1)[None, :]
-            - 2.0 * (vecs @ cents.T)
+            - 2.0 * (basis @ cents.T)
         )
         lists = dd.argmin(axis=1)
-        r = vecs - cents[lists]
-        codes = np.empty((len(vecs), m), dtype=np.int32)
+        cdist = np.sqrt(np.maximum(dd[np.arange(len(vecs)), lists], 0.0))
+        base = (vn - cents[lists]) if residual else vn
+        codes_ = np.empty((len(vecs), m), dtype=np.int32)
         for i in range(m):
-            sub = r[:, i * dsub : (i + 1) * dsub]
+            sub = base[:, i * dsub : (i + 1) * dsub]
             sd = (
                 (sub * sub).sum(axis=1)[:, None]
                 + (cb[i] * cb[i]).sum(axis=1)[None, :]
                 - 2.0 * (sub @ cb[i].T)
             )
-            codes[:, i] = sd.argmin(axis=1)
-        return pd.DataFrame({"ivf_list": lists.astype(np.int32), "codes": list(codes)})
+            codes_[:, i] = sd.argmin(axis=1)
+        return pd.DataFrame(
+            {"ivf_list": lists.astype(np.int32), "codes": list(codes_), "cdist": cdist}
+        )
 
     enc = emb.select(F.col(id_col).alias("id"), encode(F.col(vec_col)).alias("_e"))
-    codes_df = enc.select("id", F.col("_e.ivf_list").alias("ivf_list"), F.col("_e.codes").alias("codes"))
-    return codes_df, centroids, [c.tolist() for c in codebooks_np]
+    cols = [
+        "id",
+        F.col("_e.ivf_list").alias("ivf_list"),
+        F.col("_e.codes").alias("codes"),
+    ]
+    if with_dist:
+        cols.append(F.col("_e.cdist").alias("cdist"))
+    return enc.select(*cols)
+
+
+_DRIFT_SCHEMA = "batch STRING, n_vectors LONG, mean_dist DOUBLE"
 
 
 def save_ivfpq_index(
@@ -570,11 +619,21 @@ def save_ivfpq_index(
     codebooks: list,
     target: str,
     residual: bool = False,
+    emb: DataFrame | None = None,
+    normalize: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> None:
     """Persist an IVF×PQ index: codes partitioned by ivf_list (probe =
     partition pruning) + both quantizers as metadata (reload must never
     refit) + an index-properties table so a loaded index knows which
-    scoring scheme (raw vs residual/IVFADC) its codes were built for."""
+    scoring scheme (raw vs residual/IVFADC) its codes were built for.
+
+    Pass ``emb`` (the vectors the codes were built from) to also record
+    the BUILD-TIME assignment-drift baseline (mean distance to assigned
+    centroid) in a ``{target}_drift`` table — ``ivfpq_append`` compares
+    each appended batch against it so an operator knows when the frozen
+    quantizers have drifted off the data and a rebuild is due."""
     from ..sources.io import write_table
 
     write_table(codes, f"{target}_codes", mode="create", partition_by=["ivf_list"])
@@ -582,6 +641,78 @@ def save_ivfpq_index(
     _write_codebooks(spark, codebooks, f"{target}_codebooks")
     props = spark.createDataFrame([("residual", str(bool(residual)))], "key STRING, value STRING")
     write_table(props, f"{target}_props", mode="create")
+    if emb is not None:
+        stats = (
+            _ivfpq_encode(
+                emb, centroids, codebooks, normalize, residual, id_col, vec_col,
+                with_dist=True,
+            )
+            .agg(F.count("*").alias("n"), F.avg("cdist").alias("d"))
+            .collect()[0]
+        )
+        write_table(
+            spark.createDataFrame(
+                [("build", int(stats.n), float(stats.d or 0.0))], _DRIFT_SCHEMA
+            ),
+            f"{target}_drift",
+            mode="create",
+        )
+
+
+def ivfpq_append(
+    spark,
+    target: str,
+    new_emb: DataFrame,
+    normalize: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch: str = "append",
+) -> dict:
+    """Incremental IVF×PQ maintenance — the index-side mirror of the
+    corpus' grow-only story (``corpus.clean_corpus_incremental``): new
+    vectors are assigned to the EXISTING coarse centroids, encoded with
+    the EXISTING codebooks (one shared encoder — append codes are
+    byte-identical to what a build with these quantizers would emit),
+    and appended to the persisted ``ivf_list``-partitioned layout; no
+    rebuild, no refit, probes prune exactly as before.
+
+    Frozen quantizers drift off a shifting corpus silently — recall
+    decays with no error anywhere. So every append records the batch's
+    mean assigned-centroid distance next to the build-time baseline
+    (``{target}_drift``) and returns ``drift_ratio`` (batch mean /
+    build mean): an operator alerts on it (≳1.2-1.5 is the usual
+    rebuild trigger) instead of discovering recall loss downstream.
+    ``drift_ratio`` is None for pre-r5 indexes saved without a
+    baseline."""
+    from ..sources.io import read_table, table_exists, write_table
+
+    _, centroids, codebooks, props = load_ivfpq_index(spark, target)
+    enc = _ivfpq_encode(
+        new_emb, centroids, codebooks, normalize, props["residual"], id_col, vec_col,
+        with_dist=True,
+    ).localCheckpoint(eager=True)  # one encode pass feeds stats AND the write
+    stats = enc.agg(F.count("*").alias("n"), F.avg("cdist").alias("d")).collect()[0]
+    write_table(
+        enc.drop("cdist"), f"{target}_codes", mode="append", partition_by=["ivf_list"]
+    )
+    row = (batch, int(stats.n), float(stats.d or 0.0))
+    drift_target = f"{target}_drift"
+    if table_exists(spark, drift_target):
+        write_table(spark.createDataFrame([row], _DRIFT_SCHEMA), drift_target, mode="append")
+        base = [
+            r.mean_dist
+            for r in read_table(spark, drift_target).filter(F.col("batch") == "build").collect()
+        ]
+        build_mean = base[0] if base else None
+    else:
+        write_table(spark.createDataFrame([row], _DRIFT_SCHEMA), drift_target, mode="create")
+        build_mean = None
+    return {
+        "appended": int(stats.n),
+        "mean_dist": float(stats.d or 0.0),
+        "build_mean_dist": build_mean,
+        "drift_ratio": (float(stats.d) / build_mean) if build_mean else None,
+    }
 
 
 def load_ivfpq_index(

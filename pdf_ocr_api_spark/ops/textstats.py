@@ -171,7 +171,9 @@ def with_script_id(df: DataFrame, text_col: str, out: str = "script") -> DataFra
     return staged.withColumn(out, pick).drop(*[f"_sc_{s}" for s in SCRIPT_RANGES])
 
 
-def with_lang_id(df: DataFrame, text_col: str, out: str = "lang") -> DataFrame:
+def with_lang_id(
+    df: DataFrame, text_col: str, out: str = "lang", script_route: bool = False
+) -> DataFrame:
     """Corpus-sweep form of lang_id: ONE combined regex pass over the
     accent-folded basis extracts every marker hit; per-language scores
     are membership counts over that (short) hit array — the text is
@@ -181,7 +183,26 @@ def with_lang_id(df: DataFrame, text_col: str, out: str = "lang") -> DataFrame:
     counts is structural (a \\b-bounded single-word alternative matches
     only whole tokens, so hits distribute exactly) and asserted in
     tests. Hit arrays and scores are STAGED as columns so each is
-    computed once per row regardless of how the argmax references them."""
+    computed once per row regardless of how the argmax references them.
+
+    ``script_route`` (r5 — the wiring the routing stage was built for):
+    compute the dominant script alongside the banks; rows whose script
+    is latin (or 'und' — no scripted chars at all) keep the word-bank
+    pick exactly as before, rows dominated by a non-Latin script get
+    the tag ``und-<script>`` ('und-cjk', 'und-cyrillic', …) — a
+    Cyrillic/CJK corpus is gated sanely instead of scored by
+    meaningless Latin markers (non-Latin word markers cannot be
+    \\b-matched portably, see SCRIPT_RANGES). The script and bank picks
+    are computed as INDEPENDENT column pipelines and combined by a
+    shallow final ``when`` — gating the marker regex per-row behind the
+    script pick looks cheaper but nests the whole script expression
+    inside ``_lh``, which CollapseProject then inlines into every one
+    of the 10 score columns: measured as a Java-heap OOM in
+    ``freshCopyIfContainsStatefulExpression`` (the repo's standing
+    expression-CSE pitfall). Identical to the unrouted form on any
+    latin/'und'-script row."""
+    if script_route:
+        df = with_script_id(df, text_col, out="_script")
     staged = df.withColumn(
         "_lh",
         F.regexp_extract_all(_marker_basis(F.col(text_col)), F.lit(COMBINED_MARKER_RX), 0),
@@ -192,7 +213,13 @@ def with_lang_id(df: DataFrame, text_col: str, out: str = "lang") -> DataFrame:
     ]
     staged = staged.select("*", *score_cols)
     pick = _lang_id_from_scores([(lang, F.col(f"_s_{lang}")) for lang in LANG_MARKERS])
-    return staged.withColumn(out, pick).drop("_lh", *[f"_s_{lang}" for lang in LANG_MARKERS])
+    drop = ["_lh", *[f"_s_{lang}" for lang in LANG_MARKERS]]
+    if script_route:
+        pick = F.when(F.col("_script").isin("latin", "und"), pick).otherwise(
+            F.concat_ws("-", F.lit("und"), F.col("_script"))
+        )
+        drop.append("_script")
+    return staged.withColumn(out, pick).drop(*drop)
 
 
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -1251,3 +1251,354 @@ def test_ivfpq_residual_encoding(near_dup_corpus, spark, tmp_path):
     similarity.save_ivfpq_index(spark, codes_r, cents_r, cbs_r, target, residual=True)
     codes3, cents3, cbs3, props = similarity.load_ivfpq_index(spark, target)
     assert props["residual"] is True and cents3 == cents_r and cbs3 == cbs_r
+
+
+def test_with_lang_id_script_route(spark):
+    """r5 wiring: script_route=True tags non-Latin-dominant rows
+    'und-<script>' and leaves latin/'und'-script rows EXACTLY as the
+    unrouted sweep (same banks, same argmax)."""
+    rows = [
+        (0, "the cat and the dog of the house are in the garden near the wall"),
+        (1, "der hund ist nicht im haus und die katze"),
+        (2, "привет мир это текст на кириллице и он довольно длинный"),
+        (3, "你好世界这是一段中文文本没有空格"),
+        (4, "مرحبا بالعالم هذا نص عربي طويل"),
+        (5, "1234 ... !!! 555"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    routed = {r.doc_id: r.lang for r in
+              textstats.with_lang_id(df, "text", script_route=True).collect()}
+    plain = {r.doc_id: r.lang for r in
+             textstats.with_lang_id(df, "text").collect()}
+    assert routed[2] == "und-cyrillic"
+    assert routed[3] == "und-cjk"
+    assert routed[4] == "und-arabic"
+    for i in (0, 1, 5, 6):  # latin / unscripted rows: byte-identical
+        assert routed[i] == plain[i], i
+    assert routed[0] == "en" and routed[1] == "de"
+
+
+def test_clean_corpus_script_routing(spark, depara):
+    """clean_corpus gates a multilingual corpus through script routing:
+    a langs allow-list can KEEP a CJK corpus by its script tag while the
+    Latin banks still gate Latin text — Cyrillic (not listed) drops."""
+    from pdf_ocr_api_spark.ops import corpus
+
+    en = ("the quick brown fox jumps over the lazy dog and runs across the "
+          "river bank to find the other animals in the quiet forest")
+    cjk = "你好 世界 这是 一段 中文 文本 关于 大海 和 山脉 的 故事"
+    cyr = "привет мир это длинный текст на кириллице о горах и море"
+    rows = [
+        ("c0", 0, "user", en, None),
+        ("c0", 1, "user", cjk, None),
+        ("c0", 2, "user", cyr, None),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING"
+    )
+    out = corpus.clean_corpus(
+        sdf, min_quality=0.0, langs=["en", "und-cjk"], min_tokens=3,
+        depara=depara, parallelism=4,
+    ).collect()
+    kept = {(r.conv_id, r.turn_idx): r.lang for r in out}
+    assert kept.get(("c0", 0)) == "en"
+    assert kept.get(("c0", 1)) == "und-cjk"
+    assert ("c0", 2) not in kept
+
+
+def test_incremental_keep_sig_width_guard(spark):
+    """r5 advice: a stored signature table built with a different
+    num_hashes silently collapses band hashes (NULL-dropping concat_ws)
+    — incremental_keep must refuse it loudly."""
+    b1, b2 = _inc_corpus(spark)
+    sigs_16 = dedup.minhash_signatures(b1, num_hashes=16)
+    with pytest.raises(ValueError, match="num_hashes=16"):
+        dedup.incremental_keep(b1, b2, num_hashes=32, bands=16, kept_sigs=sigs_16)
+
+
+def test_sync_signatures_props_guard(spark, tmp_path):
+    """r5 advice: sync_signatures persists num_hashes/k next to the
+    index and refuses a mismatched re-sync; pre-props indexes (r4
+    stores) are validated by observed signature width and stamped."""
+    from pdf_ocr_api_spark.ops import corpus
+    from pdf_ocr_api_spark.sources.io import read_table, table_exists
+
+    rows = [("c0", i, f"some stored corpus turn number {i} with plenty of words", "en", 8, 0.9)
+            for i in range(4)]
+    ct = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "conv_id STRING, turn_idx INT, clean_text STRING, lang STRING, n_tokens INT, quality_score DOUBLE"
+    ).write.parquet(ct)
+    st = str(tmp_path / "sigs")
+    assert corpus.sync_signatures(spark, ct, st, num_hashes=32, k=3) == 4
+    assert table_exists(spark, f"{st}_props")
+    props = {r.key: r.value for r in read_table(spark, f"{st}_props").collect()}
+    assert props == {"num_hashes": "32", "k": "3"}
+    with pytest.raises(ValueError, match="num_hashes"):
+        corpus.sync_signatures(spark, ct, st, num_hashes=16, k=3)
+    with pytest.raises(ValueError, match="k: stored=3"):
+        corpus.sync_signatures(spark, ct, st, num_hashes=32, k=5)
+    # pre-props store (props dir removed): width probe still guards, and
+    # a matching sync backfills the props stamp
+    import shutil
+
+    shutil.rmtree(f"{st}_props")
+    with pytest.raises(ValueError, match="32-hash"):
+        corpus.sync_signatures(spark, ct, st, num_hashes=16, k=3)
+    assert corpus.sync_signatures(spark, ct, st, num_hashes=32, k=3) == 0
+    assert table_exists(spark, f"{st}_props")
+
+
+def test_exact_duplicates_truncated_column(spark):
+    """r5 advice: truncation is visible IN-SCHEMA via the boolean
+    'truncated' column, not only by size-vs-count convention."""
+    rows = [(i, "same text for everyone") for i in range(10)] + [
+        (100, "a different pair of text"), (101, "a different pair of text")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    g = {r.dup_count: r for r in dedup.exact_duplicates(df, max_members=5).collect()}
+    assert g[10].truncated and len(g[10].member_ids) == 5
+    assert not g[2].truncated and len(g[2].member_ids) == 2
+    unc = dedup.exact_duplicates(df, max_members=None).collect()
+    assert all(not r.truncated for r in unc)
+
+
+def _ref_png_filter(img, ftypes):
+    """Reference PNG filterer for decoder tests: apply the SPEC's
+    per-row filters (types 0-4) forward, independently of the codec
+    under test, and assemble a full PNG stream around the result."""
+    import struct
+    import zlib
+
+    h, w, ch = img.shape
+    stride = w * ch
+    raw = img.reshape(h, stride).astype(np.int32)
+    prev = np.zeros(stride, np.int32)
+    lines = []
+    for y, t in zip(range(h), ftypes):
+        row = raw[y]
+        f = row.copy()
+        if t == 1:
+            f[ch:] = (row[ch:] - row[:-ch]) % 256
+        elif t == 2:
+            f = (row - prev) % 256
+        elif t == 3:
+            f[:ch] = (row[:ch] - (prev[:ch] >> 1)) % 256
+            f[ch:] = (row[ch:] - ((row[:-ch] + prev[ch:]) >> 1)) % 256
+        elif t == 4:
+            f[:ch] = (row[:ch] - prev[:ch]) % 256
+            for i in range(ch, stride):
+                a, b, c = int(row[i - ch]), int(prev[i]), int(prev[i - ch])
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                f[i] = (row[i] - pred) % 256
+        lines.append(bytes([t]) + bytes(f.astype(np.uint8)))
+        prev = row
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    color_type = 2 if ch == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"tEXt", b"k\x00v")  # ancillary chunk must be skipped
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_and_filters():
+    """r5 codec: PNG encode→decode round-trips RGB and RGBA exactly,
+    and the decoder reverses every spec filter type (0-4) against an
+    independent reference filterer."""
+    from pdf_ocr_api_spark.ops import codecs
+
+    rng = np.random.default_rng(7)
+    for shape in [(12, 16, 3), (5, 3, 4), (1, 1, 3), (33, 7, 4)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        b = codecs.encode_png(img)
+        assert codecs.sniff_codec(b) == "png"
+        back = codecs.decode_png(b)
+        assert back.shape == shape and (back == img).all()
+
+    for ch in (3, 4):
+        img = rng.integers(0, 256, (6, 8, ch), dtype=np.uint8)
+        png = _ref_png_filter(img, [0, 1, 2, 3, 4, 4])
+        assert (codecs.decode_png(png) == img).all()
+    # gradient image: smooth data exercises nontrivial filter payoffs
+    grad = np.arange(24 * 24 * 3, dtype=np.int64).reshape(24, 24, 3) % 256
+    png = _ref_png_filter(grad.astype(np.uint8), [1, 2, 3, 4] * 6)
+    assert (codecs.decode_png(png) == grad).all()
+
+
+def test_png_reject_corrupt():
+    """r5 codec: bad magic, truncated stream, CRC corruption, chunk-tag
+    corruption and unsupported flavors all raise ValueError — and the
+    feature router degrades to fake_features instead of raising."""
+    from pdf_ocr_api_spark.ops import codecs
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+    png = codecs.encode_png(img)
+    bads = [
+        b"\x89PNG\r\n\x1a\x00" + png[8:],   # wrong magic byte
+        png[: len(png) - 12],               # IEND cut off
+        png[:40],                           # mid-chunk truncation
+        png.replace(b"IDAT", b"IDAt", 1),   # tag corruption → CRC fail
+    ]
+    crc = bytearray(png)
+    crc[-5] ^= 0xFF                          # IEND CRC corruption
+    bads.append(bytes(crc))
+    for bad in bads:
+        with pytest.raises(ValueError):
+            codecs.decode_png(bad)
+    # interlaced / paletted flavors refused loudly
+    import struct as _s
+    import zlib as _z
+
+    def chunk(tag, body):
+        return _s.pack(">I", len(body)) + tag + body + _s.pack(
+            ">I", _z.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    for ihdr in (
+        _s.pack(">IIBBBBB", 8, 6, 8, 2, 0, 0, 1),   # Adam7
+        _s.pack(">IIBBBBB", 8, 6, 8, 3, 0, 0, 0),   # palette
+        _s.pack(">IIBBBBB", 8, 6, 16, 2, 0, 0, 0),  # 16-bit
+    ):
+        bad = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(
+            b"IDAT", _z.compress(b"\x00" * 10)
+        ) + chunk(b"IEND", b"")
+        with pytest.raises(ValueError):
+            codecs.decode_png(bad)
+    # router: corrupt PNG bytes degrade to the deterministic stand-in
+    f = multimodal.media_feature_vector(png[:40])
+    assert np.allclose(f, multimodal.fake_features(png[:40]))
+
+
+def test_png_real_feature_path(spark):
+    """r5: PNG payloads flow through the REAL decode path end-to-end —
+    decode_image drops alpha to the (H, W, 3) feature contract, and the
+    distributed media_features output equals local image_features."""
+    from pdf_ocr_api_spark.ops import codecs
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (9, 12, 3), dtype=np.uint8)
+    rgba = rng.integers(0, 256, (9, 12, 4), dtype=np.uint8)
+    assert multimodal.decode_image(codecs.encode_png(rgb)).shape == (9, 12, 3)
+    assert (multimodal.decode_image(codecs.encode_png(rgba)) == rgba[:, :, :3]).all()
+
+    rows = [(0, "image", bytearray(codecs.encode_png(rgb))),
+            (1, "image", bytearray(codecs.encode_png(rgba)))]
+    df = spark.createDataFrame(rows, "media_id LONG, kind STRING, payload BINARY")
+    got = {r.media_id: np.array(r.feature, np.float32)
+           for r in multimodal.media_features(df).collect()}
+    assert np.allclose(got[0], multimodal.image_features(rgb), atol=1e-6)
+    assert np.allclose(got[1], multimodal.image_features(rgba[:, :, :3]), atol=1e-6)
+
+
+@pytest.mark.parametrize("residual", [True, False])
+def test_ivfpq_append_matches_build(near_dup_corpus, spark, tmp_path, residual):
+    """r5 incremental index maintenance: vectors appended to a persisted
+    IVF×PQ index (existing centroids/codebooks, no refit) must carry
+    EXACTLY the codes a build with those quantizers would have given
+    them, land in the partitioned layout, and probe identically."""
+    df = near_dup_corpus
+    old = df.filter(F.col("vec_id") < 200)
+    new = df.filter(F.col("vec_id") >= 200)
+
+    # full-corpus build = ground truth codes for the new rows UNDER THE
+    # OLD QUANTIZERS: fit both quantizers on the old rows only, then
+    # encode everything with them (the shared fixed-quantizer encoder)
+    codes_old, cents, cbs = similarity.ivfpq_index(old, n_lists=8, m=4, residual=residual)
+    want_new = similarity._ivfpq_encode(
+        new, cents, cbs, True, residual, "vec_id", "embedding"
+    ).orderBy("id").collect()
+
+    target = str(tmp_path / f"ivfpq_app_{int(residual)}")
+    similarity.save_ivfpq_index(
+        spark, codes_old, cents, cbs, target, residual=residual, emb=old
+    )
+    out = similarity.ivfpq_append(spark, target, new, batch="b1")
+    assert out["appended"] == new.count()
+    assert out["build_mean_dist"] is not None and out["drift_ratio"] is not None
+    # same-distribution batch: assignment drift stays near the baseline
+    assert 0.5 < out["drift_ratio"] < 1.5, out
+
+    codes2, cents2, cbs2, props = similarity.load_ivfpq_index(spark, target)
+    assert cents2 == cents and cbs2 == cbs and props["residual"] is residual
+    got_new = codes2.filter(F.col("id") >= 200).orderBy("id").collect()
+    assert [(r.id, r.ivf_list, list(r.codes)) for r in got_new] == [
+        (r.id, r.ivf_list, list(r.codes)) for r in want_new
+    ]
+    # probing the appended index == probing a frame built with the same
+    # quantizers over the union
+    q = [float(x) for x in df.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    union_codes = codes_old.unionByName(
+        similarity._ivfpq_encode(new, cents, cbs, True, residual, "vec_id", "embedding")
+    )
+    a = [r.id for r in similarity.ivfpq_topk(
+        codes2.filter(F.col("id") != 0), cents2, cbs2, q, k=10, nprobe=4,
+        residual=residual).collect()]
+    b = [r.id for r in similarity.ivfpq_topk(
+        union_codes.filter(F.col("id") != 0), cents, cbs, q, k=10, nprobe=4,
+        residual=residual).collect()]
+    assert a == b
+
+    # drift table accumulates one row per batch next to the build row
+    from pdf_ocr_api_spark.sources.io import read_table
+
+    drift = {r.batch: r for r in read_table(spark, f"{target}_drift").collect()}
+    assert set(drift) == {"build", "b1"}
+    assert drift["b1"].n_vectors == out["appended"]
+
+
+def test_ivfpq_append_without_baseline(near_dup_corpus, spark, tmp_path):
+    """Pre-r5 indexes saved without vectors have no drift baseline: the
+    append still lands and records ITS row, but drift_ratio is None
+    (unknown ≠ 1.0 — the operator must know the baseline is missing)."""
+    df = near_dup_corpus
+    old = df.filter(F.col("vec_id") < 200)
+    codes_old, cents, cbs = similarity.ivfpq_index(old, n_lists=8, m=4)
+    target = str(tmp_path / "ivfpq_nobase")
+    similarity.save_ivfpq_index(spark, codes_old, cents, cbs, target)
+    out = similarity.ivfpq_append(
+        spark, target, df.filter(F.col("vec_id") >= 200), batch="b1"
+    )
+    assert out["appended"] > 0 and out["mean_dist"] > 0
+    assert out["build_mean_dist"] is None and out["drift_ratio"] is None
+
+
+def test_runner_show_runs(spark, tmp_path, capsys):
+    """r5: --show-runs is the operator's one-call alert surface — JSON
+    per-mode summary of the persisted runs table, with the
+    dropped-bucket recall-loss totals and the alert bit."""
+    import json as _json
+
+    from pdf_ocr_api_spark import runner
+
+    text = ("the quick brown fox jumps over the lazy dog and runs across the "
+            "river bank to find the other animals in the quiet forest")
+    schema = "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING"
+    b1 = spark.createDataFrame([("a0", 0, "user", text, None)], schema)
+    in1 = str(tmp_path / "b1")
+    b1.write.parquet(in1)
+    root = str(tmp_path / "run")
+    knobs = ["--min-quality", "0.3", "--min-tokens", "5", "--buckets", "4"]
+
+    # no store yet → clean error, nonzero exit
+    assert runner.main(["--show-runs", "--output", root]) == 1
+    capsys.readouterr()
+
+    assert runner.main(["--clean-corpus", "--input", in1, "--output", root] + knobs) == 0
+    capsys.readouterr()
+    assert runner.main(["--show-runs", "--output", root]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["modes"] and out["modes"][0]["mode"] == "clean_corpus"
+    assert out["modes"][0]["runs"] == 1 and out["modes"][0]["rows_kept"] == 1
+    assert out["dropped_buckets_total"] == 0 and out["recall_loss_alert"] is False
