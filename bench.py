@@ -126,13 +126,15 @@ def headline_queries(spark, transcripts):
     def q_simhash():
         # Manku-banded full-recall variant (round 2); k=3 is the standard
         # near-dup operating point — 4 blocks of 16 bits.
-        # parallelism=CPUS (one wave), NOT 4×: the r4 signature build is
-        # an Arrow-batched pandas UDF, and per-partition Arrow/worker
-        # overhead dominates small partitions — 128 partitions measured
-        # 4.2 s steady vs 2.8 s at 32 for the same job (the pure-JVM
-        # minhash build above keeps 4× for straggler amortization)
+        # No parallelism knob (r5): simhash64's default derives ONE wave
+        # from the session's defaultParallelism — the r4 finding (CPUS,
+        # not 4×: per-partition Arrow/worker overhead dominates pandas-
+        # UDF stages, 128 partitions measured 4.2 s vs 2.8 s at 32) is
+        # now the operator's own scale-portable default instead of a
+        # per-box bench tweak (the pure-JVM minhash build above keeps 4×
+        # for straggler amortization)
         d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        return _count(dedup.simhash_near_pairs(dedup.simhash64(d, parallelism=CPUS), max_hamming=3))
+        return _count(dedup.simhash_near_pairs(dedup.simhash64(d), max_hamming=3))
 
     def q_quality():
         d = spark.read.parquet(f"{SF_DIR}/documents.parquet")

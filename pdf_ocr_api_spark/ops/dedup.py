@@ -765,9 +765,21 @@ def simhash64(
     signatures are byte-identical to the explode twin
     (``simhash64_explode``, kept for the equivalence test) — asserted in
     tests. Docs whose text is NULL are dropped, matching the explode
-    twin (explode of a null array emits nothing)."""
+    twin (explode of a null array emits nothing).
+
+    ``parallelism=None`` (default) repartitions to the session's
+    ``defaultParallelism`` — ONE wave of cores at any scale. The r4
+    bench hand-tuned this knob per box (CPUS, not 4×CPUS: extra
+    partitions cost +1.4 s of Arrow/worker spin-up on pandas-UDF
+    stages); deriving it from the session makes the right value
+    automatic on a 1000-executor cluster too (defaultParallelism =
+    total cluster cores), which is what a JVM-op's 4×-cores heuristic
+    gets wrong for Python-worker stages. Pass an int to override, or
+    ``0`` to keep the input partitioning untouched."""
     if parallelism:
         df = df.repartition(parallelism)
+    elif parallelism is None:
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     th = df.select(
         F.col(id_col).alias("id"),
         F.transform(

@@ -93,7 +93,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--min-quality", type=float, default=0.5)
     ap.add_argument("--min-tokens", type=int, default=5)
     ap.add_argument("--dedup-threshold", type=float, default=0.7)
-    ap.add_argument("--langs", default=None, help="comma-separated language allow-list (e.g. en,pt)")
+    ap.add_argument("--langs", default=None,
+                    help="comma-separated language allow-list (e.g. en,pt); non-Latin corpora "
+                         "are script-routed — list script tags (und-cjk, und-cyrillic, …) to keep them")
     ap.add_argument("--max-bucket-size", type=int, default=256,
                     help="LSH band-bucket skew cap (dropped buckets are counted in the summary); 0 = uncapped")
     ap.add_argument("--show-runs", action="store_true",

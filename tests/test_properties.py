@@ -213,3 +213,83 @@ def test_wav_short_fmt_chunk_is_valueerror():
     with pytest.raises(ValueError):
         codecs.decode_wav(bad)
     assert multimodal.media_feature_vector(bad).shape == (16,)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    ch=st.sampled_from([3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+    data=st.data(),
+)
+def test_png_roundtrip_any_filters(h, w, ch, seed, data):
+    """r5 PNG property: ANY per-row filter assignment (types 0-4, drawn
+    per scanline) decodes back to the original raster — the decoder's
+    unfilter must invert the spec's filter for every type at every
+    shape, including 1-pixel rows where the 'left' context is empty."""
+    import struct
+    import zlib
+
+    from pdf_ocr_api_spark.ops import codecs
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    ftypes = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+
+    stride = w * ch
+    raw = img.reshape(h, stride).astype(np.int32)
+    prev = np.zeros(stride, np.int32)
+    lines = []
+    for y, t in zip(range(h), ftypes):
+        row = raw[y]
+        f = row.copy()
+        if t == 1:
+            f[ch:] = (row[ch:] - row[:-ch]) % 256
+        elif t == 2:
+            f = (row - prev) % 256
+        elif t == 3:
+            f[:ch] = (row[:ch] - (prev[:ch] >> 1)) % 256
+            f[ch:] = (row[ch:] - ((row[:-ch] + prev[ch:]) >> 1)) % 256
+        elif t == 4:
+            f[:ch] = (row[:ch] - prev[:ch]) % 256
+            for i in range(ch, stride):
+                a, b, c = int(row[i - ch]), int(prev[i]), int(prev[i - ch])
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                f[i] = (row[i] - pred) % 256
+        lines.append(bytes([t]) + bytes(f.astype(np.uint8)))
+        prev = row
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 6, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    assert (codecs.decode_png(png) == img).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(min_size=0, max_size=200), seed=st.integers(0, 2**31 - 1))
+def test_png_corrupt_never_crashes_router(data, seed):
+    """Mutated/truncated PNG-prefixed bytes must either decode or raise
+    ValueError — the multimodal router always yields a 16-dim vector."""
+    from pdf_ocr_api_spark.ops import codecs, multimodal
+
+    rng = np.random.default_rng(seed)
+    real = codecs.encode_png(rng.integers(0, 256, (5, 7, 3), dtype=np.uint8))
+    cut = int(rng.integers(0, len(real)))
+    mutated = real[:cut] + data
+    try:
+        codecs.decode_png(mutated)
+    except ValueError:
+        pass
+    assert multimodal.media_feature_vector(mutated).shape == (16,)
