@@ -16,16 +16,20 @@ raw sample arrays, parseable with ``struct`` + ``numpy``:
 * **AU** (Sun audio, r4): 24-byte big-endian header (magic ``.snd``,
   data offset/size, encoding 3 = PCM-16, rate, channels) + big-endian
   int16 samples.
-* **PNG** (r5 — the one COMPRESSED format that needs no codec library):
-  its only compression is DEFLATE, which is stdlib ``zlib`` — critical
-  chunks (IHDR/IDAT/IEND, CRC-checked) + per-scanline unfiltering
-  (types 0-4) over numpy, 8-bit truecolor RGB/RGBA, non-interlaced.
-  Palette/gray/16-bit/Adam7 raise ValueError like any unsupported
-  flavor.
+* **PNG** (r5 — compressed, but needs no codec library): its only
+  compression is DEFLATE, which is stdlib ``zlib`` — critical chunks
+  (IHDR/IDAT/IEND, CRC-checked) + per-scanline unfiltering (types 0-4)
+  over numpy, 8-bit truecolor RGB/RGBA, non-interlaced. Palette/gray/
+  16-bit/Adam7 raise ValueError like any unsupported flavor.
+* **JPEG** (r5 — baseline SOF0, ``ops/jpeg.py``): Huffman + 8×8 DCT
+  are plain arithmetic over the public T.81 Annex-K tables — encoder
+  (4:4:4/4:2:0, DRI/RSTn) + decoder (arbitrary sampling factors,
+  restart markers, grayscale); progressive/arithmetic-coded raise
+  ValueError.
 
 These are the real-decoder backends for ``ops.multimodal`` — the
-remaining compressed formats (JPEG/MP3/MP4) stay honestly stubbed
-behind ``NotImplementedError`` until a codec library exists here.
+remaining codec-bound formats (MP3/MP4) stay honestly stubbed behind
+``NotImplementedError`` until a codec library exists here.
 """
 
 from __future__ import annotations
@@ -455,7 +459,13 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("empty PNG image")
     ch = 3 if color_type == 2 else 4
     stride = w * ch
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # only reachable with CRC-valid-but-corrupt DEFLATE (crafted
+        # input) — still must be ValueError so the router degrades
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    raw = np.frombuffer(inflated, np.uint8)
     if len(raw) != h * (stride + 1):
         raise ValueError(
             f"PNG raster size mismatch: got {len(raw)}, want {h * (stride + 1)}"
@@ -470,15 +480,34 @@ def decode_png(payload: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def encode_jpeg(rgb, quality: int = 90, subsample: str = "444", restart_interval: int = 0) -> bytes:
+    """Baseline JFIF JPEG encode (delegates to ``ops.jpeg`` — the r5
+    pure-numpy baseline codec; see that module for scope)."""
+    from . import jpeg
+
+    return jpeg.encode_jpeg(rgb, quality, subsample, restart_interval)
+
+
+def decode_jpeg(payload: bytes):
+    """Baseline JFIF JPEG decode → (H, W, 3) uint8 (``ops.jpeg``);
+    progressive/arithmetic/12-bit raise ValueError."""
+    from . import jpeg
+
+    return jpeg.decode_jpeg(payload)
+
+
 def sniff_codec(payload: bytes | None) -> str | None:
-    """'bmp' | 'wav' | 'y4m' | 'ppm' | 'au' | 'png' when the payload is
-    one of the decodable formats, else None (codec-bound or unknown)."""
+    """'bmp' | 'wav' | 'y4m' | 'ppm' | 'au' | 'png' | 'jpeg' when the
+    payload is one of the decodable formats, else None (codec-bound or
+    unknown)."""
     if not payload:
         return None
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:8] == _PNG_MAGIC:
         return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:9] == b"YUV4MPEG2":

@@ -3,9 +3,10 @@
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct. Decode/feature/resize/frame-sample are REAL for the
 formats a stdlib + numpy codec can parse (``codecs.py``: 24-bit BMP,
-binary PPM and 8-bit truecolor PNG images — PNG's DEFLATE is stdlib
-``zlib`` —, PCM-16 WAV + Sun AU audio, YUV4MPEG2 video); codec-bound
-formats (JPEG/MP3/MP4) remain honestly stubbed behind
+binary PPM, 8-bit truecolor PNG — DEFLATE is stdlib ``zlib`` — and
+baseline JPEG images — Huffman + DCT are plain arithmetic, ``jpeg.py``;
+PCM-16 WAV + Sun AU audio, YUV4MPEG2 video); codec-bound
+formats (MP3/MP4) remain honestly stubbed behind
 ``NotImplementedError`` — no codec library ships in this container —
 with ``fake_features`` as the deterministic stand-in that keeps the
 distributed plumbing byte-verifiable for ANY payload.
@@ -50,9 +51,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         return codecs.decode_ppm(payload)
     if kind == "png":
         return codecs.decode_png(payload)[:, :, :3]
+    if kind == "jpeg":
+        return codecs.decode_jpeg(payload)
     raise NotImplementedError(
-        "codec-bound image decode (JPEG/…) needs a codec library "
-        "(PIL/libvips) — absent in this container; BMP/PPM/PNG decode for real"
+        "codec-bound image decode (WebP/AVIF/…) needs a codec library "
+        "(PIL/libvips) — absent in this container; BMP/PPM/PNG/JPEG decode for real"
     )
 
 
@@ -147,8 +150,9 @@ def video_features(frames_y: np.ndarray, fps: int, dim: int = FEATURE_DIM) -> np
 
 def media_feature_vector(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Feature router: REAL features for decodable payloads (BMP / PPM /
-    PNG / WAV / AU / Y4M via magic bytes), deterministic fake stand-in
-    for codec-bound or unknown bytes — so one UDF serves mixed corpora.
+    PNG / JPEG / WAV / AU / Y4M via magic bytes), deterministic fake
+    stand-in for codec-bound or unknown bytes — so one UDF serves mixed
+    corpora.
 
     A sniff hit is only a 2-9-byte prefix match: payloads that LOOK like
     a decodable format but fail to parse (corrupt file, text starting
@@ -164,6 +168,8 @@ def media_feature_vector(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
             return image_features(codecs.decode_ppm(payload), dim)
         if kind == "png":
             return image_features(codecs.decode_png(payload)[:, :, :3], dim)
+        if kind == "jpeg":
+            return image_features(codecs.decode_jpeg(payload), dim)
         if kind == "wav":
             return audio_features(*codecs.decode_wav(payload), dim=dim)
         if kind == "au":

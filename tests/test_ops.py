@@ -1602,3 +1602,109 @@ def test_runner_show_runs(spark, tmp_path, capsys):
     assert out["modes"] and out["modes"][0]["mode"] == "clean_corpus"
     assert out["modes"][0]["runs"] == 1 and out["modes"][0]["rows_kept"] == 1
     assert out["dropped_buckets_total"] == 0 and out["recall_loss_alert"] is False
+
+
+def test_jpeg_roundtrip_psnr():
+    """r5 JPEG codec: encode→decode is faithful (PSNR-bounded — JPEG is
+    lossy by design) across 4:4:4 / 4:2:0, restart intervals, grayscale
+    and odd shapes; deterministic byte-for-byte."""
+    from pdf_ocr_api_spark.ops import codecs
+
+    def psnr(a, b):
+        mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean()
+        return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+    x = np.linspace(0, 255, 64)[None, :] * np.ones((48, 1))
+    img = np.stack([x, x[::-1] * 0.7 + 30, np.full((48, 64), 128.0)], axis=2).astype(np.uint8)
+
+    for sub in ("444", "420"):
+        for ri in (0, 3):
+            b = codecs.encode_jpeg(img, quality=90, subsample=sub, restart_interval=ri)
+            assert codecs.sniff_codec(b) == "jpeg"
+            back = codecs.decode_jpeg(b)
+            assert back.shape == img.shape
+            assert psnr(img, back) > 40, (sub, ri)
+    # determinism
+    assert codecs.encode_jpeg(img, 90) == codecs.encode_jpeg(img, 90)
+
+    # grayscale replicates to 3 channels
+    g = x.astype(np.uint8)
+    backg = codecs.decode_jpeg(codecs.encode_jpeg(g, quality=90))
+    assert backg.shape == (48, 64, 3)
+    assert psnr(np.repeat(g[:, :, None], 3, 2), backg) > 40
+
+    # odd shapes, noisy content, both layouts with restarts. 4:2:0 on
+    # NOISE loses chroma by design (2×2 decimation), so its fidelity is
+    # judged against the chroma-decimated reference, not the original.
+    def decimated_ref(im):
+        f = im.astype(np.float64)
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        h, w = y.shape
+        out = []
+        for p in (cb, cr):
+            pp = np.pad(p, ((0, (-h) % 2), (0, (-w) % 2)), mode="edge")
+            d = pp.reshape(pp.shape[0] // 2, 2, pp.shape[1] // 2, 2).mean(axis=(1, 3))
+            out.append(np.repeat(np.repeat(d, 2, 0), 2, 1)[:h, :w])
+        cb, cr = out
+        return np.clip(np.stack(
+            [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=2
+        ), 0, 255)
+
+    rng = np.random.default_rng(5)
+    for shape in [(1, 1, 3), (7, 9, 3), (17, 23, 3), (16, 16, 3)]:
+        im = rng.integers(0, 256, shape, dtype=np.uint8)
+        for sub in ("444", "420"):
+            back = codecs.decode_jpeg(codecs.encode_jpeg(im, 95, sub, 2))
+            assert back.shape == shape
+            ref = im if sub == "444" else decimated_ref(im)
+            assert psnr(ref, back) > 25, (shape, sub)
+
+
+def test_jpeg_reject_corrupt_and_unsupported():
+    """r5 JPEG codec: progressive streams, truncation anywhere, and
+    garbage all raise ValueError; the feature router degrades."""
+    from pdf_ocr_api_spark.ops import codecs, multimodal
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    good = codecs.encode_jpeg(img, 90)
+
+    # progressive: flip SOF0 (FFC0) to SOF2 (FFC2)
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(prog)
+    # truncations at several depths: header, mid-segment, mid-scan
+    for cut in (2, 10, len(good) // 2, len(good) - 3):
+        with pytest.raises(ValueError):
+            codecs.decode_jpeg(good[:cut])
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(b"\x00\x01\x02")
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(b"\xff\xd8\xff\xd9")  # EOI, no image
+    # router: corrupt JPEG-prefixed bytes → deterministic stand-in
+    bad = good[: len(good) // 2]
+    assert np.allclose(multimodal.media_feature_vector(bad), multimodal.fake_features(bad))
+
+
+def test_jpeg_real_feature_path(spark):
+    """r5: JPEG payloads flow through the REAL decode path in the
+    distributed feature UDF, and the features approximate the source
+    image's (JPEG is lossy: compare against the decoded image exactly,
+    the original loosely)."""
+    from pdf_ocr_api_spark.ops import codecs, multimodal
+
+    x = np.linspace(0, 255, 32)[None, :] * np.ones((24, 1))
+    img = np.stack([x, x * 0.5, x[::-1]], axis=2).astype(np.uint8)
+    payload = codecs.encode_jpeg(img, quality=95)
+    decoded = codecs.decode_jpeg(payload)
+
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(payload))], "media_id LONG, kind STRING, payload BINARY"
+    )
+    got = np.array(multimodal.media_features(df).collect()[0].feature, np.float32)
+    assert np.allclose(got, multimodal.image_features(decoded), atol=1e-6)
+    assert np.allclose(got[:6], multimodal.image_features(img)[:6], atol=0.02)
+    assert multimodal.decode_image(payload).shape == img.shape
