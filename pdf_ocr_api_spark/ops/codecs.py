@@ -432,6 +432,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         if crc != (zlib.crc32(tag + body) & 0xFFFFFFFF):
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
+            if len(body) != 13:
+                # CRC-valid but wrong-sized IHDR: struct.error is not
+                # ValueError and would escape the router's degrade path
+                raise ValueError(f"bad IHDR length {len(body)}")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif tag == b"IDAT":
             idat.extend(body)
@@ -459,12 +463,22 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("empty PNG image")
     ch = 3 if color_type == 2 else 4
     stride = w * ch
+    want = h * (stride + 1)
+    if want > (1 << 28):
+        # hostile IHDR dims → bounded refusal before any allocation
+        raise ValueError(f"implausible PNG dimensions {w}x{h}")
     try:
-        inflated = zlib.decompress(bytes(idat))
+        # bounded inflate: the raster size is KNOWN from IHDR, so a
+        # DEFLATE bomb (1 MB payload → ~1 GB inflated) is cut off at
+        # want+1 bytes instead of materialized then length-rejected
+        dec = zlib.decompressobj()
+        inflated = dec.decompress(bytes(idat), want + 1)
     except zlib.error as e:
         # only reachable with CRC-valid-but-corrupt DEFLATE (crafted
         # input) — still must be ValueError so the router degrades
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    if len(inflated) > want or dec.unconsumed_tail:
+        raise ValueError("PNG raster larger than IHDR declares")
     raw = np.frombuffer(inflated, np.uint8)
     if len(raw) != h * (stride + 1):
         raise ValueError(

@@ -503,10 +503,21 @@ def _decode_scan(d, pos, sof, scan, qtabs, htabs, restart_interval):
     nc = len(comps)
     if nc not in (1, 3) or len(scan) != nc:
         raise ValueError(f"unsupported component count {nc}")
+    # a hostile SOF can claim 65535×65535 and the planes are allocated
+    # BEFORE any entropy data is read — MemoryError is not ValueError, so
+    # cap pixels explicitly (64 MPix is far beyond any feature payload)
+    if h * w > (1 << 26):
+        raise ValueError(f"implausible JPEG dimensions {w}x{h}")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
-        raise ValueError("bad sampling factors")
+    # EVERY factor must be 1..4 (a 0 would ZeroDivisionError the
+    # upsample — not ValueError, so the router could not degrade) and
+    # divide the max (nearest upsample assumes integer ratios)
+    for c in comps:
+        if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
+            raise ValueError(f"bad sampling factors {c['h']}x{c['v']}")
+        if hmax % c["h"] or vmax % c["v"]:
+            raise ValueError("non-integer sampling ratio unsupported")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
 

@@ -36,12 +36,13 @@ FEATURE_DIM = 16
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Image decode: REAL for 24-bit uncompressed BMP, binary PPM and
-    (r5) 8-bit truecolor PNG — PNG's DEFLATE is stdlib zlib, so it needs
-    no codec library either; JPEG (and other codec-bound formats) raise
-    ``NotImplementedError`` until a codec library exists here. Returns
-    (H, W, 3) uint8 — PNG alpha is dropped (RGBA → RGB) so every image
-    kind feeds the same feature contract."""
+    """Image decode: REAL for 24-bit uncompressed BMP, binary PPM, and
+    (r5) the two compressed formats that need no codec library — 8-bit
+    truecolor PNG (stdlib-zlib DEFLATE) and baseline JPEG (T.81 Huffman
+    + DCT, ``ops/jpeg.py``). Genuinely codec-bound formats (WebP/AVIF/…)
+    raise ``NotImplementedError`` until a codec library exists here.
+    Returns (H, W, 3) uint8 — PNG alpha is dropped (RGBA → RGB) so every
+    image kind feeds the same feature contract."""
     from . import codecs
 
     kind = codecs.sniff_codec(payload)

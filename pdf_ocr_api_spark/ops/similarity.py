@@ -549,22 +549,64 @@ def _ivfpq_encode(
     with_dist: bool = False,
 ) -> DataFrame:
     """One-scan IVF×PQ encoder against FIXED quantizers — the shared
-    backend of the residual index build AND the incremental append path
-    (append-encoded codes must be byte-identical to build-encoded ones,
-    so there is exactly one encoder). Returns (id, ivf_list, codes[,
-    cdist]); ``cdist`` is the vector's distance to its assigned coarse
-    centroid — the drift signal ``ivfpq_append`` accounts with.
+    backend of the index builds AND the incremental append path
+    (append-encoded codes must be identical to build-encoded ones, so
+    each build path's exact computation is reused). Returns (id,
+    ivf_list, codes[, cdist]); ``cdist`` is the vector's distance to its
+    assigned coarse centroid — the drift signal ``ivfpq_append``
+    accounts with.
 
-    Space contract (must mirror the build paths exactly): residual
-    indexes assign AND encode in L2-normalized space (IVFADC); raw
-    indexes assign in RAW space (``ivf_index`` fits/assigns on raw
-    vectors) and PQ-encode the normalized full vector (``pq_index``)."""
+    Space contract (mirrors the build paths EXACTLY, down to the
+    floating-point evaluation order): residual indexes assign AND
+    encode in L2-normalized space with the same numpy kernel the
+    residual build runs. Raw indexes assign in RAW space with the SAME
+    codegen expression ``ivf_index`` assigns with at build time (a
+    numpy reimplementation can disagree on near-tie distances and land
+    a vector in a different list than the build would — the r5 review
+    finding), and PQ-encode the normalized full vector with
+    ``pq_index``'s numpy formula."""
     import numpy as np
 
     cents = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
     cb = [np.ascontiguousarray(np.asarray(c, dtype=np.float64)) for c in codebooks]
     m = len(cb)
     dsub = cents.shape[1] // m
+
+    if not residual:
+        # ivf_list + distance via the build's own expression (ivf_index)
+        vd = F.col(vec_col).cast("array<double>")
+        dists = F.array(*[_sq_dist(vd, c) for c in centroids])
+        sel = [
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("_v"),
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("ivf_list"),
+        ]
+        if with_dist:
+            sel.append(F.sqrt(F.greatest(F.array_min(dists), F.lit(0.0))).alias("cdist"))
+        assigned = emb.select(*sel)
+
+        @F.pandas_udf("array<integer>")
+        def pqcodes(col):
+            import pandas as pd
+
+            vecs = np.array(col.tolist(), dtype=np.float64)
+            if normalize:
+                vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1)[:, None], 1e-12)
+            codes_ = np.empty((len(vecs), m), dtype=np.int32)
+            for i in range(m):
+                sub = vecs[:, i * dsub : (i + 1) * dsub]
+                sd = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    + (cb[i] * cb[i]).sum(axis=1)[None, :]
+                    - 2.0 * (sub @ cb[i].T)
+                )
+                codes_[:, i] = sd.argmin(axis=1)
+            return pd.Series(list(codes_))
+
+        cols = ["id", "ivf_list", pqcodes(F.col("_v")).alias("codes")]
+        if with_dist:
+            cols.append("cdist")
+        return assigned.select(*cols)
 
     @F.pandas_udf("struct<ivf_list: integer, codes: array<integer>, cdist: double>")
     def encode(col):
@@ -576,15 +618,14 @@ def _ivfpq_encode(
             if normalize
             else vecs
         )
-        basis = vn if residual else vecs
         dd = (
-            (basis * basis).sum(axis=1)[:, None]
+            (vn * vn).sum(axis=1)[:, None]
             + (cents * cents).sum(axis=1)[None, :]
-            - 2.0 * (basis @ cents.T)
+            - 2.0 * (vn @ cents.T)
         )
         lists = dd.argmin(axis=1)
         cdist = np.sqrt(np.maximum(dd[np.arange(len(vecs)), lists], 0.0))
-        base = (vn - cents[lists]) if residual else vn
+        base = vn - cents[lists]
         codes_ = np.empty((len(vecs), m), dtype=np.int32)
         for i in range(m):
             sub = base[:, i * dsub : (i + 1) * dsub]
@@ -633,27 +674,46 @@ def save_ivfpq_index(
     the BUILD-TIME assignment-drift baseline (mean distance to assigned
     centroid) in a ``{target}_drift`` table — ``ivfpq_append`` compares
     each appended batch against it so an operator knows when the frozen
-    quantizers have drifted off the data and a rebuild is due."""
+    quantizers have drifted off the data and a rebuild is due. The
+    baseline is estimated on the deterministic value-hash SAMPLE
+    (``_pq_sample`` — the same rows the quantizers were fitted on):
+    re-encoding the whole corpus just to average a distance would
+    double the build cost at scale (the r5 review finding), and a batch
+    mean vs a sample mean are estimates of the same expectation.
+
+    ``normalize`` is PERSISTED in the props table alongside
+    ``residual`` and read back by ``ivfpq_append`` — a
+    normalize-mismatched append would silently emit divergent codes,
+    the same silent-failure class the signature-index props guard
+    closes for MinHash."""
+    import numpy as np
+
     from ..sources.io import write_table
 
     write_table(codes, f"{target}_codes", mode="create", partition_by=["ivf_list"])
     _write_centroids(spark, centroids, f"{target}_centroids")
     _write_codebooks(spark, codebooks, f"{target}_codebooks")
-    props = spark.createDataFrame([("residual", str(bool(residual)))], "key STRING, value STRING")
+    props = spark.createDataFrame(
+        [("residual", str(bool(residual))), ("normalize", str(bool(normalize)))],
+        "key STRING, value STRING",
+    )
     write_table(props, f"{target}_props", mode="create")
     if emb is not None:
-        stats = (
-            _ivfpq_encode(
-                emb, centroids, codebooks, normalize, residual, id_col, vec_col,
-                with_dist=True,
-            )
-            .agg(F.count("*").alias("n"), F.avg("cdist").alias("d"))
-            .collect()[0]
+        x = _pq_sample(emb, id_col, vec_col)
+        basis = (
+            x / np.maximum(np.linalg.norm(x, axis=1)[:, None], 1e-12)
+            if (residual and normalize)
+            else x
         )
+        cents = np.asarray(centroids, dtype=np.float64)
+        dd = (
+            (basis * basis).sum(axis=1)[:, None]
+            + (cents * cents).sum(axis=1)[None, :]
+            - 2.0 * (basis @ cents.T)
+        )
+        mean_dist = float(np.sqrt(np.maximum(dd.min(axis=1), 0.0)).mean())
         write_table(
-            spark.createDataFrame(
-                [("build", int(stats.n), float(stats.d or 0.0))], _DRIFT_SCHEMA
-            ),
+            spark.createDataFrame([("build", int(len(x)), mean_dist)], _DRIFT_SCHEMA),
             f"{target}_drift",
             mode="create",
         )
@@ -663,7 +723,6 @@ def ivfpq_append(
     spark,
     target: str,
     new_emb: DataFrame,
-    normalize: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     batch: str = "append",
@@ -683,19 +742,26 @@ def ivfpq_append(
     build mean): an operator alerts on it (≳1.2-1.5 is the usual
     rebuild trigger) instead of discovering recall loss downstream.
     ``drift_ratio`` is None for pre-r5 indexes saved without a
-    baseline."""
+    baseline, and for an EMPTY batch (no vectors → no batch mean).
+
+    The scoring scheme (``residual``) and vector normalization are read
+    from the index's props table, never from the caller — a
+    normalize-mismatched append would silently emit divergent codes
+    (pre-r5 indexes without a ``normalize`` prop load as True, the
+    build default)."""
     from ..sources.io import read_table, table_exists, write_table
 
     _, centroids, codebooks, props = load_ivfpq_index(spark, target)
     enc = _ivfpq_encode(
-        new_emb, centroids, codebooks, normalize, props["residual"], id_col, vec_col,
-        with_dist=True,
+        new_emb, centroids, codebooks, props["normalize"], props["residual"],
+        id_col, vec_col, with_dist=True,
     ).localCheckpoint(eager=True)  # one encode pass feeds stats AND the write
     stats = enc.agg(F.count("*").alias("n"), F.avg("cdist").alias("d")).collect()[0]
     write_table(
         enc.drop("cdist"), f"{target}_codes", mode="append", partition_by=["ivf_list"]
     )
-    row = (batch, int(stats.n), float(stats.d or 0.0))
+    batch_mean = float(stats.d) if stats.d is not None else None
+    row = (batch, int(stats.n), batch_mean if batch_mean is not None else 0.0)
     drift_target = f"{target}_drift"
     if table_exists(spark, drift_target):
         write_table(spark.createDataFrame([row], _DRIFT_SCHEMA), drift_target, mode="append")
@@ -709,9 +775,11 @@ def ivfpq_append(
         build_mean = None
     return {
         "appended": int(stats.n),
-        "mean_dist": float(stats.d or 0.0),
+        "mean_dist": batch_mean if batch_mean is not None else 0.0,
         "build_mean_dist": build_mean,
-        "drift_ratio": (float(stats.d) / build_mean) if build_mean else None,
+        "drift_ratio": (
+            batch_mean / build_mean if (build_mean and batch_mean is not None) else None
+        ),
     }
 
 
@@ -720,7 +788,10 @@ def load_ivfpq_index(
 ) -> tuple[DataFrame, list[list[float]], list, dict]:
     """Returns (codes, centroids, codebooks, props); ``props['residual']``
     tells ``ivfpq_topk`` which scoring scheme the codes require (older
-    indexes without a props table load as residual=False)."""
+    indexes without a props table load as residual=False), and
+    ``props['normalize']`` (r5) tells ``ivfpq_append`` which space the
+    codes were built in (pre-r5 indexes load as True, the build
+    default)."""
     from ..sources.io import read_table
 
     codes = read_table(spark, f"{target}_codes")
@@ -729,6 +800,7 @@ def load_ivfpq_index(
     except Exception:
         props = {"residual": "False"}
     props["residual"] = props.get("residual", "False") == "True"
+    props["normalize"] = props.get("normalize", "True") == "True"
     return (
         codes,
         _read_centroids(spark, f"{target}_centroids"),

@@ -1364,52 +1364,12 @@ def test_exact_duplicates_truncated_column(spark):
 
 
 def _ref_png_filter(img, ftypes):
-    """Reference PNG filterer for decoder tests: apply the SPEC's
-    per-row filters (types 0-4) forward, independently of the codec
-    under test, and assemble a full PNG stream around the result."""
-    import struct
-    import zlib
+    """Delegates to the shared spec-reference filterer (tests/png_ref.py
+    — one reference implementation, used by both this file and
+    test_properties, so a spec correction cannot leave one stale)."""
+    from .png_ref import ref_png_stream
 
-    h, w, ch = img.shape
-    stride = w * ch
-    raw = img.reshape(h, stride).astype(np.int32)
-    prev = np.zeros(stride, np.int32)
-    lines = []
-    for y, t in zip(range(h), ftypes):
-        row = raw[y]
-        f = row.copy()
-        if t == 1:
-            f[ch:] = (row[ch:] - row[:-ch]) % 256
-        elif t == 2:
-            f = (row - prev) % 256
-        elif t == 3:
-            f[:ch] = (row[:ch] - (prev[:ch] >> 1)) % 256
-            f[ch:] = (row[ch:] - ((row[:-ch] + prev[ch:]) >> 1)) % 256
-        elif t == 4:
-            f[:ch] = (row[:ch] - prev[:ch]) % 256
-            for i in range(ch, stride):
-                a, b, c = int(row[i - ch]), int(prev[i]), int(prev[i - ch])
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                f[i] = (row[i] - pred) % 256
-        lines.append(bytes([t]) + bytes(f.astype(np.uint8)))
-        prev = row
-
-    def chunk(tag, body):
-        return struct.pack(">I", len(body)) + tag + body + struct.pack(
-            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
-        )
-
-    color_type = 2 if ch == 3 else 6
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"tEXt", b"k\x00v")  # ancillary chunk must be skipped
-        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
-        + chunk(b"IEND", b"")
-    )
+    return ref_png_stream(img, ftypes, include_ancillary=True)
 
 
 def test_png_roundtrip_and_filters():
@@ -1708,3 +1668,118 @@ def test_jpeg_real_feature_path(spark):
     assert np.allclose(got, multimodal.image_features(decoded), atol=1e-6)
     assert np.allclose(got[:6], multimodal.image_features(img)[:6], atol=0.02)
     assert multimodal.decode_image(payload).shape == img.shape
+
+
+def test_ivfpq_encode_matches_build_exactly(near_dup_corpus, spark):
+    """r5 review: the shared fixed-quantizer encoder must reproduce the
+    BUILD's own codes bit-for-bit on the build's input — including the
+    raw path, whose list assignment must ride the same codegen
+    expression as ivf_index (a numpy reimplementation can flip
+    near-tie assignments)."""
+    df = near_dup_corpus
+    for residual in (True, False):
+        codes, cents, cbs = similarity.ivfpq_index(df, n_lists=8, m=4, residual=residual)
+        want = sorted((r.id, r.ivf_list, tuple(r.codes)) for r in codes.collect())
+        got = sorted(
+            (r.id, r.ivf_list, tuple(r.codes))
+            for r in similarity._ivfpq_encode(
+                df, cents, cbs, True, residual, "vec_id", "embedding"
+            ).collect()
+        )
+        assert got == want, f"residual={residual}"
+
+
+def test_ivfpq_append_empty_batch_and_normalize_props(near_dup_corpus, spark, tmp_path):
+    """r5 review: an empty batch appends zero rows without crashing
+    (drift_ratio None — no batch mean exists), and the index's
+    normalize flag is persisted + honored by append (a mismatched
+    normalize would silently emit divergent codes)."""
+    df = near_dup_corpus
+    old = df.filter(F.col("vec_id") < 200)
+
+    # normalize=False build: props must round-trip and drive the append
+    codes, cents, cbs = similarity.ivfpq_index(
+        old, n_lists=8, m=4, residual=True, normalize=False
+    )
+    target = str(tmp_path / "ivfpq_nonorm")
+    similarity.save_ivfpq_index(
+        spark, codes, cents, cbs, target, residual=True, emb=old, normalize=False
+    )
+    _, _, _, props = similarity.load_ivfpq_index(spark, target)
+    assert props["normalize"] is False and props["residual"] is True
+
+    new = df.filter(F.col("vec_id") >= 200)
+    similarity.ivfpq_append(spark, target, new, batch="b1")
+    got = similarity.load_ivfpq_index(spark, target)[0].filter(F.col("id") >= 200)
+    want = similarity._ivfpq_encode(
+        new, cents, cbs, False, True, "vec_id", "embedding"
+    )
+    assert sorted((r.id, r.ivf_list, tuple(r.codes)) for r in got.collect()) == sorted(
+        (r.id, r.ivf_list, tuple(r.codes)) for r in want.collect()
+    )
+
+    # empty batch: no crash, zero appended, drift_ratio None
+    out = similarity.ivfpq_append(
+        spark, target, new.filter(F.col("vec_id") < 0), batch="b2"
+    )
+    assert out["appended"] == 0 and out["drift_ratio"] is None
+
+
+def test_jpeg_hostile_streams_raise_valueerror():
+    """r5 review: sampling factor 0 (ZeroDivisionError bait) and
+    implausible SOF dimensions (32 GiB allocation bait) must be
+    ValueError — the router's only degrade path."""
+    import struct as _s
+
+    from pdf_ocr_api_spark.ops import codecs
+
+    rng = np.random.default_rng(1)
+    good = codecs.encode_jpeg(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8), 90)
+
+    # locate SOF0 and patch a component's sampling byte to h=1,v=0
+    i = good.index(b"\xff\xc0")
+    b = bytearray(good)
+    b[i + 11] = 0x10  # first component hv byte (after len/prec/h/w/nc + id)
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(bytes(b))
+    # implausible dimensions: patch SOF h/w to 65535x65535
+    b = bytearray(good)
+    _s.pack_into(">HH", b, i + 5, 65535, 65535)
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(bytes(b))
+
+
+def test_png_hostile_streams_raise_valueerror():
+    """r5 review: CRC-valid wrong-length IHDR (struct.error bait),
+    implausible dimensions, and a DEFLATE bomb whose inflation exceeds
+    the declared raster must all be ValueError, with the inflate
+    BOUNDED (the bomb must not materialize)."""
+    import struct as _s
+    import zlib as _z
+
+    from pdf_ocr_api_spark.ops import codecs
+
+    def chunk(tag, body):
+        return _s.pack(">I", len(body)) + tag + body + _s.pack(
+            ">I", _z.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    # 12-byte IHDR with a valid CRC
+    bad_ihdr = magic + chunk(b"IHDR", b"\x00" * 12) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        codecs.decode_png(bad_ihdr)
+    # implausible dimensions
+    huge = _s.pack(">IIBBBBB", 1 << 16, 1 << 16, 8, 2, 0, 0, 0)
+    with pytest.raises(ValueError):
+        codecs.decode_png(
+            magic + chunk(b"IHDR", huge) + chunk(b"IDAT", _z.compress(b"\x00" * 64))
+            + chunk(b"IEND", b"")
+        )
+    # DEFLATE bomb: 2x2 image declared, megabytes of zeros compressed
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb = magic + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", _z.compress(b"\x00" * (8 << 20))
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        codecs.decode_png(bomb)

@@ -237,43 +237,9 @@ def test_png_roundtrip_any_filters(h, w, ch, seed, data):
     img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
     ftypes = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
 
-    stride = w * ch
-    raw = img.reshape(h, stride).astype(np.int32)
-    prev = np.zeros(stride, np.int32)
-    lines = []
-    for y, t in zip(range(h), ftypes):
-        row = raw[y]
-        f = row.copy()
-        if t == 1:
-            f[ch:] = (row[ch:] - row[:-ch]) % 256
-        elif t == 2:
-            f = (row - prev) % 256
-        elif t == 3:
-            f[:ch] = (row[:ch] - (prev[:ch] >> 1)) % 256
-            f[ch:] = (row[ch:] - ((row[:-ch] + prev[ch:]) >> 1)) % 256
-        elif t == 4:
-            f[:ch] = (row[:ch] - prev[:ch]) % 256
-            for i in range(ch, stride):
-                a, b, c = int(row[i - ch]), int(prev[i]), int(prev[i - ch])
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                f[i] = (row[i] - pred) % 256
-        lines.append(bytes([t]) + bytes(f.astype(np.uint8)))
-        prev = row
+    from .png_ref import ref_png_stream
 
-    def chunk(tag, body):
-        return struct.pack(">I", len(body)) + tag + body + struct.pack(
-            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
-        )
-
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 6, 0, 0, 0)
-    png = (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
-        + chunk(b"IEND", b"")
-    )
+    png = ref_png_stream(img, ftypes)
     assert (codecs.decode_png(png) == img).all()
 
 
