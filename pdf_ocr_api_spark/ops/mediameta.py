@@ -1,0 +1,255 @@
+"""Media METADATA probing without decoding (r5).
+
+The multimodal table's typed metadata struct (``MEDIA_SCHEMA``:
+mime/width/height/duration_ms) never needed a codec library — container
+and header formats are pure ``struct`` arithmetic even when the sample
+data inside is codec-bound:
+
+* **MP4 / ISO BMFF**: box walk (32/64-bit sizes) → ``mvhd``
+  timescale+duration, first video ``tkhd`` 16.16 width/height, ``stsd``
+  sample-entry fourcc. The mdat payload stays opaque.
+* **MP3 / MPEG audio**: ID3v2 skip (synchsafe size), then a frame-header
+  walk (version/layer/bitrate/samplerate tables) summing
+  samples-per-frame / samplerate — exact duration for CBR and VBR both,
+  no Xing header trusted.
+* The seven DECODABLE formats (``codecs.py``/``jpeg.py``) get their
+  metadata from their own headers via the same probe surface.
+
+So the stub boundary moves again: MP3/MP4 *decode* remains
+``NotImplementedError``, but a 100 TB media pipeline's partition/filter
+columns (mime, dimensions, duration) are REAL for all nine formats.
+Every malformed stream raises ValueError — the mapInPandas router
+(``multimodal.media_metadata``) degrades to an all-null struct, never
+kills the job.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# ---------------------------------------------------------------------------
+# MP4 (ISO base media file format)
+# ---------------------------------------------------------------------------
+
+_MP4_BRANDS = (b"ftyp", b"styp")
+
+
+def _mp4_boxes(d: bytes, start: int, end: int):
+    """Yield (type, body_start, box_end) for the boxes in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", d, pos)
+        typ = d[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            (size,) = struct.unpack_from(">Q", d, pos + 8)
+            hdr = 16
+        elif size == 0:  # to end of enclosing box
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"bad MP4 box size {size} for {typ!r}")
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def _mp4_find(d: bytes, start: int, end: int, typ: bytes):
+    for t, b, e in _mp4_boxes(d, start, end):
+        if t == typ:
+            return b, e
+    return None
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """ISO BMFF container probe → {mime, width, height, duration_ms,
+    n_tracks, codecs} — no sample data is touched."""
+    d = payload
+    if d is None or len(d) < 12 or d[4:8] not in _MP4_BRANDS:
+        raise ValueError("not an ISO BMFF (MP4) payload")
+    moov = _mp4_find(d, 0, len(d), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    ms, me = moov
+    out = {
+        "mime": "video/mp4", "width": None, "height": None,
+        "duration_ms": None, "n_tracks": 0, "codecs": [],
+    }
+    mvhd = _mp4_find(d, ms, me, b"mvhd")
+    if mvhd is not None:
+        b, e = mvhd
+        ver = d[b]
+        if ver == 1:
+            timescale, duration = struct.unpack_from(">IQ", d, b + 20)
+        else:
+            timescale, duration = struct.unpack_from(">II", d, b + 12)
+        if timescale:
+            out["duration_ms"] = int(duration * 1000 // timescale)
+    for t, b, e in _mp4_boxes(d, ms, me):
+        if t != b"trak":
+            continue
+        out["n_tracks"] += 1
+        tkhd = _mp4_find(d, b, e, b"tkhd")
+        if tkhd is not None:
+            tb, _te = tkhd
+            ver = d[tb]
+            off = tb + (88 if ver == 1 else 76)
+            w16, h16 = struct.unpack_from(">II", d, off)
+            w, h = w16 >> 16, h16 >> 16
+            if w and h and out["width"] is None:
+                out["width"], out["height"] = w, h
+        mdia = _mp4_find(d, b, e, b"mdia")
+        if mdia is None:
+            continue
+        minf = _mp4_find(d, *mdia, b"minf")
+        if minf is None:
+            continue
+        stbl = _mp4_find(d, *minf, b"stbl")
+        if stbl is None:
+            continue
+        stsd = _mp4_find(d, *stbl, b"stsd")
+        if stsd is not None:
+            sb, se = stsd
+            if sb + 16 <= se:
+                out["codecs"].append(d[sb + 12 : sb + 16].decode("latin1"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MP3 (MPEG-1/2/2.5 audio frames; Layer I-III headers)
+# ---------------------------------------------------------------------------
+
+# bitrate tables, kbit/s (index 1..14; 0 = free, 15 = bad)
+_BR_V1 = {
+    1: [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    2: [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    3: [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+}
+_BR_V2 = {
+    1: [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    2: [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    3: [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_SR = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
+
+
+def _id3v2_size(d: bytes) -> int:
+    """Bytes to skip for a leading ID3v2 tag (0 when absent)."""
+    if len(d) >= 10 and d[:3] == b"ID3":
+        ss = d[6:10]
+        if any(b & 0x80 for b in ss):
+            raise ValueError("bad ID3v2 synchsafe size")
+        return 10 + ((ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3])
+    return 0
+
+
+def probe_mp3(payload: bytes) -> dict:
+    """MPEG-audio frame walk → {mime, duration_ms, sample_rate,
+    n_frames, bitrate_kbps (mean), layer, channels} without decoding.
+    Walks EVERY frame (VBR-exact); trailing ID3v1 tolerated."""
+    d = payload
+    if d is None or len(d) < 4:
+        raise ValueError("not an MPEG audio payload")
+    pos = _id3v2_size(d)
+    end = len(d)
+    if end - pos >= 128 and d[end - 128 : end - 125] == b"TAG":
+        end -= 128  # ID3v1 trailer
+    n_frames = 0
+    samples = 0.0
+    kbps_sum = 0
+    sr_out = layer_out = ch_out = None
+    while pos + 4 <= end:
+        b1, b2, b3, b4 = d[pos : pos + 4]
+        if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+            raise ValueError(f"lost MPEG frame sync at {pos}")
+        ver = (b2 >> 3) & 3        # 0=2.5, 2=MPEG2, 3=MPEG1 (1=reserved)
+        layer = 4 - ((b2 >> 1) & 3)  # 1..3; (b2>>1)&3 == 0 is reserved
+        br_i = b3 >> 4
+        sr_i = (b3 >> 2) & 3
+        pad = (b3 >> 1) & 1
+        if ver == 1 or ((b2 >> 1) & 3) == 0 or br_i in (0, 15) or sr_i == 3:
+            raise ValueError("unsupported/invalid MPEG frame header")
+        table = _BR_V1 if ver == 3 else _BR_V2
+        kbps = table[layer][br_i]
+        sr = _SR[ver][sr_i]
+        if layer == 1:
+            flen = (12 * kbps * 1000 // sr + pad) * 4
+            spf = 384
+        else:
+            per = 144 if (layer == 3 and ver == 3) or layer == 2 else 72
+            flen = per * kbps * 1000 // sr + pad
+            spf = 1152 if layer == 2 or ver == 3 else 576
+        if flen <= 4:
+            raise ValueError("degenerate MPEG frame length")
+        if pos + flen > end:
+            raise ValueError("truncated final MPEG frame")
+        n_frames += 1
+        samples += spf
+        kbps_sum += kbps
+        if sr_out is None:
+            sr_out, layer_out = sr, layer
+            ch_out = 1 if ((b4 >> 6) & 3) == 3 else 2
+        pos += flen
+    if n_frames == 0:
+        raise ValueError("no MPEG frames found")
+    return {
+        "mime": "audio/mpeg",
+        "duration_ms": int(samples * 1000 / sr_out),
+        "sample_rate": sr_out,
+        "n_frames": n_frames,
+        "bitrate_kbps": kbps_sum // n_frames,
+        "layer": layer_out,
+        "channels": ch_out,
+    }
+
+
+# ---------------------------------------------------------------------------
+# unified probe over all known formats
+# ---------------------------------------------------------------------------
+
+
+def probe_media(payload: bytes) -> dict:
+    """One probe for the MEDIA_SCHEMA meta struct: {mime, width, height,
+    duration_ms} for every format this engine knows — the seven
+    decodable ones (header-derived) plus MP4/MP3 (container/frame-walk
+    derived, sample data untouched). ValueError for unknown/corrupt
+    payloads (callers degrade)."""
+    from . import codecs
+
+    d = payload
+    if not d:
+        raise ValueError("empty payload")
+    meta = {"mime": None, "width": None, "height": None, "duration_ms": None}
+    kind = codecs.sniff_codec(d)
+    if kind in ("bmp", "ppm", "png", "jpeg"):
+        img = codecs.decode_bmp(d) if kind == "bmp" else (
+            codecs.decode_ppm(d) if kind == "ppm" else (
+                codecs.decode_png(d) if kind == "png" else codecs.decode_jpeg(d)
+            )
+        )
+        meta.update(mime=f"image/{kind}", width=img.shape[1], height=img.shape[0])
+        return meta
+    if kind in ("wav", "au"):
+        samples, rate = codecs.decode_wav(d) if kind == "wav" else codecs.decode_au(d)
+        mime = "audio/wav" if kind == "wav" else "audio/basic"
+        meta.update(mime=mime, duration_ms=int(len(samples) * 1000 / max(rate, 1)))
+        return meta
+    if kind == "y4m":
+        frames, fps = codecs.decode_y4m(d)
+        meta.update(
+            mime="video/x-yuv4mpeg", width=frames.shape[2], height=frames.shape[1],
+            duration_ms=int(len(frames) * 1000 / max(fps, 1)),
+        )
+        return meta
+    if len(d) >= 12 and d[4:8] in _MP4_BRANDS:
+        p = probe_mp4(d)
+        meta.update(
+            mime=p["mime"], width=p["width"], height=p["height"],
+            duration_ms=p["duration_ms"],
+        )
+        return meta
+    if d[:3] == b"ID3" or (len(d) >= 2 and d[0] == 0xFF and (d[1] & 0xE0) == 0xE0):
+        p = probe_mp3(d)
+        meta.update(mime=p["mime"], duration_ms=p["duration_ms"])
+        return meta
+    raise ValueError("unknown media format")

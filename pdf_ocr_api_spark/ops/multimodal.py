@@ -206,6 +206,50 @@ def media_features(df):
     return df.mapInPandas(extract_features_udf, schema=FEATURE_SCHEMA)
 
 
+META_SCHEMA = (
+    "media_id BIGINT, kind STRING, n_bytes BIGINT, "
+    "mime STRING, width INT, height INT, duration_ms BIGINT"
+)
+
+
+def metadata_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: binary payload → the MEDIA_SCHEMA meta fields
+    (mime/width/height/duration_ms), REAL for all nine known formats —
+    including MP3/MP4, whose metadata is pure container/frame-header
+    arithmetic even though their sample data stays codec-bound
+    (``ops/mediameta.py``). Unknown/corrupt payloads degrade to an
+    all-null struct; one bad row never kills the job."""
+    from . import mediameta
+
+    for pdf in batches:
+        rows = []
+        for p in pdf["payload"]:
+            try:
+                m = mediameta.probe_media(p)
+            except ValueError:
+                m = {"mime": None, "width": None, "height": None, "duration_ms": None}
+            rows.append(m)
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)).astype("int64"),
+                "mime": [r["mime"] for r in rows],
+                "width": pd.array([r["width"] for r in rows], dtype="Int32"),
+                "height": pd.array([r["height"] for r in rows], dtype="Int32"),
+                "duration_ms": pd.array([r["duration_ms"] for r in rows], dtype="Int64"),
+            }
+        )
+
+
+def media_metadata(df):
+    """binary media table → typed-metadata table (mapInPandas,
+    shuffle-free) — the MEDIA_SCHEMA ``meta`` struct, filled for real.
+    At 100 TB these are the partition/filter columns (mime, dimensions,
+    duration) a media pipeline prunes on before ever decoding samples."""
+    return df.mapInPandas(metadata_udf, schema=META_SCHEMA)
+
+
 def synthesize_media(spark, n: int = 64):
     """Deterministic fake media table for tests/benchmarks (payload =
     seeded bytes; kinds cycle image/audio/video)."""

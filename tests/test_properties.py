@@ -277,3 +277,20 @@ def test_jpeg_corrupt_never_crashes_router(data, seed):
     except ValueError:
         pass
     assert multimodal.media_feature_vector(mutated).shape == (16,)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300))
+def test_probe_media_corrupt_never_escapes(data):
+    """r5: probe_media on arbitrary bytes (incl. MP4/MP3-prefixed) must
+    return a dict or raise ValueError — nothing else (the metadata UDF
+    degrades on ValueError only)."""
+    from pdf_ocr_api_spark.ops import mediameta
+
+    for prefix in (b"", b"\x00\x00\x00\x18ftyp", b"ID3\x04\x00\x00\x00\x00\x00\x05",
+                   b"\xff\xfb\x90\x00"):
+        try:
+            m = mediameta.probe_media(prefix + data)
+            assert isinstance(m, dict)
+        except ValueError:
+            pass
