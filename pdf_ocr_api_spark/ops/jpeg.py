@@ -239,8 +239,10 @@ def encode_jpeg(
 ) -> bytes:
     """(H, W, 3) uint8 RGB or (H, W) uint8 gray → baseline JFIF JPEG
     bytes (Annex-K tables quality-scaled). ``subsample``: '444' (one
-    block per component per MCU) or '420' (2×2 luma blocks + mean-
-    downsampled chroma — the ubiquitous camera/web layout).
+    block per component per MCU), '420' (2×2 luma blocks + 2×2-mean
+    chroma — the ubiquitous camera/web layout) or '422' (2×1 luma +
+    horizontally-halved chroma — the broadcast layout; exercises the
+    decoder's asymmetric sampling-factor path).
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many
     MCUs (the resync feature real streams use; exercises the decoder's
     restart path)."""
@@ -248,8 +250,8 @@ def encode_jpeg(
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
         raise ValueError(f"expected (H, W, 3) or (H, W) uint8, got {a.shape}")
-    if subsample not in ("444", "420"):
-        raise ValueError(f"unsupported subsample {subsample!r} (444/420)")
+    if subsample not in ("444", "420", "422"):
+        raise ValueError(f"unsupported subsample {subsample!r} (444/420/422)")
     h, w = a.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
@@ -265,15 +267,17 @@ def encode_jpeg(
         planes = [y - 128.0, cb - 128.0, cr - 128.0]
 
     nc = 1 if gray else 3
-    sub = subsample == "420" and not gray
-    if sub:
-        # luma 2×2 blocks per MCU; chroma = 2×2 mean over the even-padded plane
-        hv = [(2, 2), (1, 1), (1, 1)]
-        mcux, mcuy = -(-w // 16), -(-h // 16)
+    if subsample in ("420", "422") and not gray:
+        # luma hs×vs blocks per MCU; chroma mean-decimated by (vs, hs)
+        hs, vs = (2, 2) if subsample == "420" else (2, 1)
+        hv = [(hs, vs), (1, 1), (1, 1)]
+        mcux, mcuy = -(-w // (8 * hs)), -(-h // (8 * vs))
         ds = []
         for p in planes[1:]:
-            pp = np.pad(p, ((0, (-h) % 2), (0, (-w) % 2)), mode="edge")
-            ds.append(pp.reshape(pp.shape[0] // 2, 2, pp.shape[1] // 2, 2).mean(axis=(1, 3)))
+            pp = np.pad(p, ((0, (-h) % vs), (0, (-w) % hs)), mode="edge")
+            ds.append(
+                pp.reshape(pp.shape[0] // vs, vs, pp.shape[1] // hs, hs).mean(axis=(1, 3))
+            )
         planes = [planes[0]] + ds
     else:
         hv = [(1, 1)] * nc

@@ -208,12 +208,55 @@ def probe_mp3(payload: bytes) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def _png_dims(d: bytes) -> tuple[int, int]:
+    """PNG dimensions from IHDR alone (the spec pins IHDR as the first
+    chunk) — no inflate, no unfilter."""
+    if len(d) < 24 or d[12:16] != b"IHDR":
+        raise ValueError("PNG missing leading IHDR")
+    w, h = struct.unpack_from(">II", d, 16)
+    if w <= 0 or h <= 0:
+        raise ValueError("bad PNG dimensions")
+    return w, h
+
+
+def _jpeg_dims(d: bytes) -> tuple[int, int]:
+    """JPEG dimensions from the SOF segment alone — no entropy decode.
+    Accepts ANY SOFn (incl. progressive, which full decode refuses):
+    the dimensions are metadata regardless of coding mode."""
+    sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+    pos = 2
+    while pos + 4 <= len(d):
+        if d[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = d[pos + 1]
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", d, pos + 2)
+        if marker in sof:
+            if pos + 9 > len(d):
+                raise ValueError("truncated SOF")
+            h, w = struct.unpack_from(">HH", d, pos + 5)
+            if w <= 0 or h <= 0:
+                raise ValueError("bad JPEG dimensions")
+            return w, h
+        if marker == 0xDA or marker == 0xD9:
+            break
+        pos += 2 + seglen
+    raise ValueError("JPEG missing SOF")
+
+
 def probe_media(payload: bytes) -> dict:
     """One probe for the MEDIA_SCHEMA meta struct: {mime, width, height,
-    duration_ms} for every format this engine knows — the seven
-    decodable ones (header-derived) plus MP4/MP3 (container/frame-walk
-    derived, sample data untouched). ValueError for unknown/corrupt
-    payloads (callers degrade)."""
+    duration_ms} for every format this engine knows. A probe is
+    HEADER-ONLY wherever the format allows: PNG/JPEG dimensions come
+    from IHDR/SOF without inflating or entropy-decoding anything
+    (decoding compressed rasters just to read a width would make the
+    metadata pass as expensive as the decode pass at 100 TB); BMP/PPM/
+    WAV/AU/Y4M 'decodes' are header parses over zero-copy views and are
+    used as-is; MP4/MP3 are container/frame-walk derived with sample
+    data untouched. ValueError for unknown/corrupt payloads (callers
+    degrade)."""
     from . import codecs
 
     d = payload
@@ -221,12 +264,12 @@ def probe_media(payload: bytes) -> dict:
         raise ValueError("empty payload")
     meta = {"mime": None, "width": None, "height": None, "duration_ms": None}
     kind = codecs.sniff_codec(d)
-    if kind in ("bmp", "ppm", "png", "jpeg"):
-        img = codecs.decode_bmp(d) if kind == "bmp" else (
-            codecs.decode_ppm(d) if kind == "ppm" else (
-                codecs.decode_png(d) if kind == "png" else codecs.decode_jpeg(d)
-            )
-        )
+    if kind in ("png", "jpeg"):
+        w, h = _png_dims(d) if kind == "png" else _jpeg_dims(d)
+        meta.update(mime=f"image/{kind}", width=w, height=h)
+        return meta
+    if kind in ("bmp", "ppm"):
+        img = codecs.decode_bmp(d) if kind == "bmp" else codecs.decode_ppm(d)
         meta.update(mime=f"image/{kind}", width=img.shape[1], height=img.shape[0])
         return meta
     if kind in ("wav", "au"):

@@ -1577,7 +1577,7 @@ def test_jpeg_roundtrip_psnr():
     x = np.linspace(0, 255, 64)[None, :] * np.ones((48, 1))
     img = np.stack([x, x[::-1] * 0.7 + 30, np.full((48, 64), 128.0)], axis=2).astype(np.uint8)
 
-    for sub in ("444", "420"):
+    for sub in ("444", "420", "422"):
         for ri in (0, 3):
             b = codecs.encode_jpeg(img, quality=90, subsample=sub, restart_interval=ri)
             assert codecs.sniff_codec(b) == "jpeg"
