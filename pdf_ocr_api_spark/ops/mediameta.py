@@ -61,6 +61,23 @@ def _mp4_find(d: bytes, start: int, end: int, typ: bytes):
     return None
 
 
+def _valueerror_only(fn):
+    """Container parsers walk attacker-controlled offsets: convert the
+    index/struct errors truncated bodies produce into the module's
+    single failure type (callers catch ValueError, nothing else)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(payload):
+        try:
+            return fn(payload)
+        except (IndexError, struct.error) as e:
+            raise ValueError(f"malformed media payload: {e}") from e
+
+    return wrapped
+
+
+@_valueerror_only
 def probe_mp4(payload: bytes) -> dict:
     """ISO BMFF container probe → {mime, width, height, duration_ms,
     n_tracks, codecs} — no sample data is touched."""
@@ -81,9 +98,13 @@ def probe_mp4(payload: bytes) -> dict:
         ver = d[b]
         if ver == 1:
             timescale, duration = struct.unpack_from(">IQ", d, b + 20)
+            unknown = duration == 0xFFFFFFFFFFFFFFFF
         else:
             timescale, duration = struct.unpack_from(">II", d, b + 12)
-        if timescale:
+            unknown = duration == 0xFFFFFFFF
+        # all-ones duration is the ISO 14496-12 "unknown" sentinel
+        # (fragmented/live files) — report None, not an 83-day movie
+        if timescale and not unknown:
             out["duration_ms"] = int(duration * 1000 // timescale)
     for t, b, e in _mp4_boxes(d, ms, me):
         if t != b"trak":
@@ -139,10 +160,14 @@ def _id3v2_size(d: bytes) -> int:
         ss = d[6:10]
         if any(b & 0x80 for b in ss):
             raise ValueError("bad ID3v2 synchsafe size")
-        return 10 + ((ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3])
+        size = 10 + ((ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3])
+        if d[5] & 0x10:  # ID3v2.4 footer flag: 10 more bytes after the tag
+            size += 10
+        return size
     return 0
 
 
+@_valueerror_only
 def probe_mp3(payload: bytes) -> dict:
     """MPEG-audio frame walk → {mime, duration_ms, sample_rate,
     n_frames, bitrate_kbps (mean), layer, channels} without decoding.
@@ -155,7 +180,7 @@ def probe_mp3(payload: bytes) -> dict:
     if end - pos >= 128 and d[end - 128 : end - 125] == b"TAG":
         end -= 128  # ID3v1 trailer
     n_frames = 0
-    samples = 0.0
+    seconds = 0.0
     kbps_sum = 0
     sr_out = layer_out = ch_out = None
     while pos + 4 <= end:
@@ -184,7 +209,9 @@ def probe_mp3(payload: bytes) -> dict:
         if pos + flen > end:
             raise ValueError("truncated final MPEG frame")
         n_frames += 1
-        samples += spf
+        # per-frame seconds, not a shared samplerate: a concatenated
+        # 22.05k+44.1k stream (naive file cat) must not be 2x off
+        seconds += spf / sr
         kbps_sum += kbps
         if sr_out is None:
             sr_out, layer_out = sr, layer
@@ -194,7 +221,7 @@ def probe_mp3(payload: bytes) -> dict:
         raise ValueError("no MPEG frames found")
     return {
         "mime": "audio/mpeg",
-        "duration_ms": int(samples * 1000 / sr_out),
+        "duration_ms": int(seconds * 1000),
         "sample_rate": sr_out,
         "n_frames": n_frames,
         "bitrate_kbps": kbps_sum // n_frames,
@@ -228,6 +255,10 @@ def _jpeg_dims(d: bytes) -> tuple[int, int]:
     while pos + 4 <= len(d):
         if d[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        while pos + 1 < len(d) and d[pos + 1] == 0xFF:
+            pos += 1  # T.81 B.1.1.2: any number of 0xFF fill bytes
+        if pos + 4 > len(d):
+            break
         marker = d[pos + 1]
         if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
             pos += 2
@@ -246,6 +277,39 @@ def _jpeg_dims(d: bytes) -> tuple[int, int]:
     raise ValueError("JPEG missing SOF")
 
 
+def _y4m_meta(d: bytes) -> tuple[int, int, int, int]:
+    """Y4M (w, h, fps, n_frames) by a FRAME-marker walk — fixed stride
+    per frame, zero plane materialization (decode_y4m would allocate
+    every luma plane just to be counted)."""
+    nl = d.index(b"\n")
+    header = d[:nl].decode("ascii", "replace").split(" ")
+    w = h = None
+    fps = 25
+    for tok in header[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("F"):
+            fps = int(tok[1:].split(":")[0])
+        elif tok.startswith("C") and tok[1:] not in ("420", "420jpeg", "420mpeg2"):
+            raise ValueError(f"unsupported Y4M chroma mode {tok}")
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    frame_n = w * h + 2 * ((w // 2) * (h // 2))
+    n = 0
+    pos = nl + 1
+    while pos < len(d):
+        fe = d.index(b"\n", pos)
+        if not d[pos:fe].startswith(b"FRAME"):
+            raise ValueError("Y4M frame marker missing")
+        if fe + 1 + frame_n > len(d):
+            raise ValueError("truncated Y4M frame")
+        n += 1
+        pos = fe + 1 + frame_n
+    return w, h, fps, n
+
+
 def probe_media(payload: bytes) -> dict:
     """One probe for the MEDIA_SCHEMA meta struct: {mime, width, height,
     duration_ms} for every format this engine knows. A probe is
@@ -256,7 +320,17 @@ def probe_media(payload: bytes) -> dict:
     WAV/AU/Y4M 'decodes' are header parses over zero-copy views and are
     used as-is; MP4/MP3 are container/frame-walk derived with sample
     data untouched. ValueError for unknown/corrupt payloads (callers
-    degrade)."""
+    degrade) — index/struct errors from truncated container bodies are
+    CONVERTED (the metadata UDF catches only ValueError; a leaked
+    struct.error from one corrupt MP4 row would kill the job, the r5
+    review finding)."""
+    try:
+        return _probe_media_impl(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"malformed media payload: {e}") from e
+
+
+def _probe_media_impl(payload: bytes) -> dict:
     from . import codecs
 
     d = payload
@@ -278,10 +352,10 @@ def probe_media(payload: bytes) -> dict:
         meta.update(mime=mime, duration_ms=int(len(samples) * 1000 / max(rate, 1)))
         return meta
     if kind == "y4m":
-        frames, fps = codecs.decode_y4m(d)
+        w, h, fps, n_frames = _y4m_meta(d)
         meta.update(
-            mime="video/x-yuv4mpeg", width=frames.shape[2], height=frames.shape[1],
-            duration_ms=int(len(frames) * 1000 / max(fps, 1)),
+            mime="video/x-yuv4mpeg", width=w, height=h,
+            duration_ms=int(n_frames * 1000 / max(fps, 1)),
         )
         return meta
     if len(d) >= 12 and d[4:8] in _MP4_BRANDS:

@@ -195,7 +195,7 @@ def extract_features_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             {
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
-                "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)).astype("int64"),
+                "n_bytes": _n_bytes(pdf["payload"]),
                 "feature": feats,
             }
         )
@@ -212,6 +212,22 @@ META_SCHEMA = (
 )
 
 
+def _n_bytes(payloads: pd.Series) -> pd.Series:
+    """Payload byte counts (null → 0) — shared by both media UDFs so the
+    two output tables can never disagree on the semantics."""
+    return payloads.map(lambda b: 0 if b is None else len(b)).astype("int64")
+
+
+def _in_range(v, lo: int, hi: int):
+    """Clamp probe values to the output schema's range AS NULL: a
+    hostile header can claim width 2^31 or an ~1.8e22 ms duration, and
+    an out-of-range value would raise TypeError in the Int32/Int64 cast
+    OUTSIDE the per-row try — one crafted row killing the job (the r5
+    review finding). Out-of-schema metadata is unknowable, not an
+    error."""
+    return v if (v is not None and lo <= v <= hi) else None
+
+
 def metadata_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas body: binary payload → the MEDIA_SCHEMA meta fields
     (mime/width/height/duration_ms), REAL for all nine known formats —
@@ -221,6 +237,7 @@ def metadata_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     all-null struct; one bad row never kills the job."""
     from . import mediameta
 
+    i32, i64 = (1 << 31) - 1, (1 << 63) - 1
     for pdf in batches:
         rows = []
         for p in pdf["payload"]:
@@ -233,11 +250,13 @@ def metadata_udf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             {
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
-                "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)).astype("int64"),
+                "n_bytes": _n_bytes(pdf["payload"]),
                 "mime": [r["mime"] for r in rows],
-                "width": pd.array([r["width"] for r in rows], dtype="Int32"),
-                "height": pd.array([r["height"] for r in rows], dtype="Int32"),
-                "duration_ms": pd.array([r["duration_ms"] for r in rows], dtype="Int64"),
+                "width": pd.array([_in_range(r["width"], 1, i32) for r in rows], dtype="Int32"),
+                "height": pd.array([_in_range(r["height"], 1, i32) for r in rows], dtype="Int32"),
+                "duration_ms": pd.array(
+                    [_in_range(r["duration_ms"], 0, i64) for r in rows], dtype="Int64"
+                ),
             }
         )
 

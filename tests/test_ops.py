@@ -1894,3 +1894,76 @@ def test_media_metadata_distributed(spark):
     # local probe agrees with the distributed pass
     local = mediameta.probe_media(payloads[7][1])
     assert local["duration_ms"] == got[7].duration_ms
+
+
+def test_probe_hardening_review_fixes(spark):
+    """r5 review batch 2: truncated container bodies are ValueError (not
+    struct.error/IndexError), unknown-duration sentinels are None, ID3v2.4
+    footers are skipped, JPEG fill bytes tolerated, mixed-samplerate MP3
+    durations correct, Y4M probed without materializing frames, and
+    out-of-schema header values become nulls instead of killing the UDF."""
+    import struct as _s
+
+    from pdf_ocr_api_spark.ops import codecs, mediameta, multimodal
+
+    # truncated tkhd body inside a valid box structure → ValueError
+    short_tkhd = _mk_box(b"tkhd", b"\x00" * 52)
+    moov = _mk_box(b"mvhd", b"\x00" * 12 + _s.pack(">II", 1000, 5000) + b"\x00" * 80)
+    moov += _mk_box(b"trak", short_tkhd)
+    bad = _mk_box(b"ftyp", b"isom\x00\x00\x02\x00") + _mk_box(b"moov", moov)
+    with pytest.raises(ValueError):
+        mediameta.probe_mp4(bad)
+    with pytest.raises(ValueError):
+        mediameta.probe_media(bad)
+    # empty mvhd body → ValueError, not IndexError
+    with pytest.raises(ValueError):
+        mediameta.probe_mp4(
+            _mk_box(b"ftyp", b"isom\x00\x00\x02\x00")
+            + _mk_box(b"moov", _mk_box(b"mvhd", b""))
+        )
+
+    # mvhd all-ones duration = "unknown" sentinel → None
+    mvhd_unk = b"\x00" * 12 + _s.pack(">II", 600, 0xFFFFFFFF) + b"\x00" * 80
+    p = mediameta.probe_mp4(
+        _mk_box(b"ftyp", b"isom\x00\x00\x02\x00") + _mk_box(b"moov", _mk_box(b"mvhd", mvhd_unk))
+    )
+    assert p["duration_ms"] is None
+
+    # ID3v2.4 footer flag: 10 extra bytes before the first frame
+    frames = _mk_mp3(5)
+    tagged = b"ID3" + b"\x04\x00\x10" + b"\x00\x00\x00\x0a" + b"\x00" * 20 + frames
+    assert mediameta.probe_mp3(tagged)["n_frames"] == 5
+
+    # mixed sample rates: 22.05k MPEG2 frames + 44.1k MPEG1 frames
+    # V2 L3 80kbps 22050Hz: flen = 72*80000//22050 = 261, 576 samples
+    f2 = bytes([0xFF, 0xF3, 0x90, 0x00]) + b"\x00" * (261 - 4)
+    m2 = mediameta.probe_mp3(f2 * 4)
+    mixed = f2 * 4 + _mk_mp3(6)
+    m1 = mediameta.probe_mp3(_mk_mp3(6))
+    got = mediameta.probe_mp3(mixed)
+    # ±1 ms: the parts are floored independently of the whole
+    assert abs(got["duration_ms"] - (m2["duration_ms"] + m1["duration_ms"])) <= 1
+
+    # JPEG fill bytes before a marker still probe
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (8, 10, 3), dtype=np.uint8)
+    good = codecs.encode_jpeg(img, 90)
+    i = good.index(b"\xff\xc0")
+    filled = good[:i] + b"\xff" + good[i:]  # extra 0xFF fill byte
+    m = mediameta.probe_media(filled)
+    assert (m["width"], m["height"]) == (10, 8)
+
+    # Y4M walk equals the decoder's frame count without materializing
+    y4m = codecs.encode_y4m(rng.integers(0, 256, (7, 12, 12), dtype=np.uint8), fps=5)
+    w, h, fps, n = mediameta._y4m_meta(y4m)
+    assert (w, h, fps, n) == (12, 12, 5, 7)
+    assert mediameta.probe_media(y4m)["duration_ms"] == int(7 * 1000 / 5)
+
+    # hostile header values become NULLs in the distributed pass
+    hostile_png = bytearray(codecs.encode_png(img))
+    _s.pack_into(">I", hostile_png, 16, 1 << 31)  # width = 2^31 in IHDR
+    df = spark.createDataFrame(
+        [(0, "image", bytes(hostile_png))], "media_id LONG, kind STRING, payload BINARY"
+    )
+    row = multimodal.media_metadata(df).collect()[0]
+    assert row.width is None
