@@ -569,24 +569,34 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_near_pairs(dedup.simhash64(d, parallelism=32), max_hamming=3)
 
 
-def q_textstats_quality(spark, sf_dir):
-    """Quality scoring: length/punct/stopword/digit ratios + composite."""
+def q_textstats_profile(spark, sf_dir):
+    """One-pass text profile (r5 consolidation of the quality + tokens
+    entries): length/punct/stopword/digit ratios + composite quality,
+    whitespace (n_tokens) AND BPE-ish token counts, plus Gopher-style
+    repetition signals (dup_word_frac / dup_2gram_frac) — one corpus
+    scan, no joins."""
     from pdf_ocr_api_spark.ops import textstats
 
     d = _t(spark, sf_dir, "documents")
-    return textstats.quality_features(d)
+    return textstats.text_profile(d)
 
 
-def q_textstats_tokens(spark, sf_dir):
-    """Token counting: whitespace + BPE-ish regex tokens."""
-    from pdf_ocr_api_spark.ops import textstats
+def q_decontam_ngram(spark, sf_dir):
+    """Benchmark decontamination (r5): word n-gram overlap of the corpus
+    against a probe set (docs with doc_id % 29 == 0 stand in for the
+    benchmark suite; the rest are the training corpus). n=3 here because
+    the synthetic docs are ~50 tokens — real pipelines run 8-13-grams on
+    web documents; the operator takes n as a parameter. Probe n-grams
+    broadcast; the only shuffle carries matched hits. String-form grams
+    here so the DuckDB oracle replays the join verbatim; the production
+    path is the xxhash64 ``hashed=True`` variant (pytest-equivalence
+    asserted)."""
+    from pdf_ocr_api_spark.ops import decontam
 
     d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        textstats.token_count(F.col("text")).alias("ws_tokens"),
-        textstats.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
-    )
+    probes = d.filter(F.col("doc_id") % 29 == 0)
+    corpus = d.filter(F.col("doc_id") % 29 != 0)
+    return decontam.contamination(corpus, probes, n=3, min_hits=1)
 
 
 def q_lang_id(spark, sf_dir):
@@ -852,8 +862,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pipeline": q_dedup_pipeline,
         "dedup_incremental": q_dedup_incremental,
         "dedup_simhash": q_dedup_simhash,
-        "textstats_quality": q_textstats_quality,
-        "textstats_tokens": q_textstats_tokens,
+        # r5 consolidation: quality+tokens share one one-pass profile
+        # entry (with repetition signals), freeing the cap slot the new
+        # decontamination entry occupies
+        "textstats_profile": q_textstats_profile,
+        "decontam_ngram": q_decontam_ngram,
         "lang_id": q_lang_id,
         "ann_brute_cosine": q_ann_brute_cosine,
         # r4 consolidation: the driver evaluates at most 50 entries — the
@@ -1210,14 +1223,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id
         """,
-        "textstats_quality": _quality_sql(),
-        "textstats_tokens": r"""
-            SELECT doc_id,
-                   CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = '' THEN 0
-                        ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
-                   END AS ws_tokens,
-                   len(regexp_extract_all(coalesce(text, ''), '[A-Za-zÀ-ÿ0-9]+|[^A-Za-zÀ-ÿ0-9\s]')) AS bpe_tokens
-            FROM documents
+        "textstats_profile": _profile_sql(),
+        "decontam_ngram": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(toks) >= 3
+                            THEN list_transform(range(1, len(toks) - 1),
+                                                i -> array_to_string(toks[i:i+2], ' '))
+                            ELSE [array_to_string(toks, ' ')] END
+                     ) AS gs
+              FROM toks
+            ), probe AS (
+              SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 29 = 0
+            ), doc_grams AS (
+              SELECT doc_id, len(gs) AS n_ngrams, unnest(gs) AS g
+              FROM grams WHERE doc_id % 29 <> 0
+            )
+            SELECT doc_id, n_hits, n_ngrams,
+                   round(n_hits * 1.0 / n_ngrams, 6) AS contamination_ratio
+            FROM (
+              SELECT dg.doc_id, dg.n_ngrams, count(*) AS n_hits
+              FROM doc_grams dg JOIN probe p ON dg.g = p.g
+              GROUP BY dg.doc_id, dg.n_ngrams
+            ) WHERE n_hits >= 1
         """,
         "lang_id": lang_case,
         "extract_metadata": """
@@ -1306,14 +1339,17 @@ def _basis_sql() -> str:
     return f"translate(lower(coalesce(text, '')), '{_ACC_SRC}', '{_ACC_DST}')"
 
 
-def _quality_sql() -> str:
+def _profile_sql() -> str:
     return r"""
         SELECT doc_id AS id,
                length(text) AS n_chars,
                n_tokens,
+               bpe_tokens,
                round(CASE WHEN length(text) > 0 THEN n_punct * 1.0 / length(text) ELSE 0 END, 6) AS punct_ratio,
                round(CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0 END, 6) AS stop_ratio,
                round(CASE WHEN length(text) > 0 THEN n_digit * 1.0 / length(text) ELSE 0 END, 6) AS digit_ratio,
+               round(CASE WHEN n_tokens > 0 THEN 1 - uniq_w * 1.0 / n_tokens ELSE 0 END, 6) AS dup_word_frac,
+               round(CASE WHEN n_g2 > 0 THEN 1 - uniq_g2 * 1.0 / n_g2 ELSE 0 END, 6) AS dup_2gram_frac,
                round(
                  least(n_tokens / 100.0, 1.0) * 0.4
                  + CASE WHEN n_tokens > 0
@@ -1326,13 +1362,25 @@ def _quality_sql() -> str:
                , 6) AS quality_score
         FROM (
           SELECT doc_id, text,
-                 CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = '' THEN 0
-                      ELSE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
-                 END AS n_tokens,
+                 len(toks) AS n_tokens,
+                 len(regexp_extract_all(coalesce(text, ''), '[A-Za-zÀ-ÿ0-9]+|[^A-Za-zÀ-ÿ0-9\s]')) AS bpe_tokens,
                  len(regexp_extract_all(text, '[.,;:!?…]')) AS n_punct,
                  len(regexp_extract_all({BASIS}, '\b(the|and|of|o|a|de|que|e|do|da)\b')) AS n_stop,
-                 len(regexp_extract_all(text, '\d')) AS n_digit
-          FROM documents
+                 len(regexp_extract_all(text, '\d')) AS n_digit,
+                 len(list_distinct(toks)) AS uniq_w,
+                 CASE WHEN len(toks) >= 2 THEN len(toks) - 1 ELSE 0 END AS n_g2,
+                 CASE WHEN len(toks) >= 2
+                      THEN len(list_distinct(list_transform(range(1, len(toks)),
+                                                            i -> array_to_string(toks[i:i+1], ' '))))
+                      ELSE 0 END AS uniq_g2
+          FROM (
+            SELECT doc_id, text,
+                   CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+                   END AS toks
+            FROM documents
+          )
         )
     """.replace("{BASIS}", _basis_sql())
 

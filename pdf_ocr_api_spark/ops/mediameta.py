@@ -231,6 +231,350 @@ def probe_mp3(payload: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# MP4 sample demux (r5): the container layer is pure table arithmetic
+# ---------------------------------------------------------------------------
+#
+# ISO BMFF stores every sample's (offset, size, time) in four stbl
+# tables — stts (decode deltas, run-length), stsc (samples-per-chunk
+# runs), stsz (sizes), stco/co64 (chunk offsets). Walking them is plain
+# struct math: DEMUX — pulling the exact frame/sample bytes out of a
+# video file — needs no codec at all. Only decoding the pulled sample
+# bytes into pixels (H.264/AAC) is codec-bound and stays stubbed. This
+# is the real boundary a 100 TB media pipeline cares about: frame
+# sampling, per-frame sharding, and sample-level dedup all run on the
+# demuxed bytes without ever touching a codec.
+
+
+def _stts_expand(d: bytes, b: int, e: int) -> list[int]:
+    """stts body → per-sample decode times (track timescale units)."""
+    (n,) = struct.unpack_from(">I", d, b + 4)
+    times, t = [], 0
+    pos = b + 8
+    for _ in range(n):
+        if pos + 8 > e:
+            raise ValueError("truncated stts")
+        cnt, delta = struct.unpack_from(">II", d, pos)
+        if cnt > 1 << 24:
+            raise ValueError("absurd stts run length")
+        for _ in range(cnt):
+            times.append(t)
+            t += delta
+        pos += 8
+    return times
+
+
+def _stsz_sizes(d: bytes, b: int, e: int) -> list[int]:
+    uniform, count = struct.unpack_from(">II", d, b + 4)
+    if count > 1 << 24:
+        raise ValueError("absurd stsz count")
+    if uniform:
+        return [uniform] * count
+    if b + 12 + 4 * count > e:
+        raise ValueError("truncated stsz")
+    return list(struct.unpack_from(f">{count}I", d, b + 12))
+
+
+def _stsc_runs(d: bytes, b: int, e: int) -> list[tuple[int, int]]:
+    """stsc body → [(first_chunk, samples_per_chunk)] runs (1-based)."""
+    (n,) = struct.unpack_from(">I", d, b + 4)
+    runs = []
+    pos = b + 8
+    for _ in range(n):
+        if pos + 12 > e:
+            raise ValueError("truncated stsc")
+        first, spc, _sdi = struct.unpack_from(">III", d, pos)
+        runs.append((first, spc))
+        pos += 12
+    return runs
+
+
+def _chunk_offsets(d: bytes, sb: int, se: int) -> list[int]:
+    stco = _mp4_find(d, sb, se, b"stco")
+    if stco is not None:
+        b, e = stco
+        (n,) = struct.unpack_from(">I", d, b + 4)
+        if b + 8 + 4 * n > e:
+            raise ValueError("truncated stco")
+        return list(struct.unpack_from(f">{n}I", d, b + 8))
+    co64 = _mp4_find(d, sb, se, b"co64")
+    if co64 is None:
+        raise ValueError("MP4 track missing stco/co64")
+    b, e = co64
+    (n,) = struct.unpack_from(">I", d, b + 4)
+    if b + 8 + 8 * n > e:
+        raise ValueError("truncated co64")
+    return list(struct.unpack_from(f">{n}Q", d, b + 8))
+
+
+@_valueerror_only
+def demux_mp4(payload: bytes) -> list[dict]:
+    """Full container demux: every track's samples as real byte slices.
+
+    Returns one dict per track: ``{handler, codec, timescale, samples}``
+    where ``samples`` is a list of ``{idx, offset, size, time, time_ms,
+    data}`` — ``data`` being the EXACT sample bytes from mdat, resolved
+    through stsc/stco/stsz, with decode times expanded from stts. Every
+    table inconsistency (sample count mismatch, range outside the
+    payload, truncated table) raises ValueError."""
+    d = payload
+    if d is None or len(d) < 12 or d[4:8] not in _MP4_BRANDS:
+        raise ValueError("not an ISO BMFF (MP4) payload")
+    moov = _mp4_find(d, 0, len(d), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    tracks = []
+    for t, tb, te in _mp4_boxes(d, *moov):
+        if t != b"trak":
+            continue
+        mdia = _mp4_find(d, tb, te, b"mdia")
+        if mdia is None:
+            raise ValueError("MP4 trak missing mdia")
+        mdhd = _mp4_find(d, *mdia, b"mdhd")
+        if mdhd is None:
+            raise ValueError("MP4 trak missing mdhd")
+        mb, _me = mdhd
+        ver = d[mb]
+        timescale = struct.unpack_from(">I", d, mb + (20 if ver == 1 else 12))[0]
+        hdlr = _mp4_find(d, *mdia, b"hdlr")
+        handler = d[hdlr[0] + 8 : hdlr[0] + 12].decode("latin1") if hdlr else "????"
+        minf = _mp4_find(d, *mdia, b"minf")
+        if minf is None:
+            raise ValueError("MP4 trak missing minf")
+        stbl = _mp4_find(d, *minf, b"stbl")
+        if stbl is None:
+            raise ValueError("MP4 trak missing stbl")
+        sb, se = stbl
+        stsd = _mp4_find(d, sb, se, b"stsd")
+        codec = d[stsd[0] + 12 : stsd[0] + 16].decode("latin1") if stsd else "????"
+        stts = _mp4_find(d, sb, se, b"stts")
+        stsz = _mp4_find(d, sb, se, b"stsz")
+        stsc = _mp4_find(d, sb, se, b"stsc")
+        if stts is None or stsz is None or stsc is None:
+            raise ValueError("MP4 stbl missing stts/stsz/stsc")
+        times = _stts_expand(d, *stts)
+        sizes = _stsz_sizes(d, *stsz)
+        runs = _stsc_runs(d, *stsc)
+        offsets = _chunk_offsets(d, sb, se)
+        if len(times) != len(sizes):
+            raise ValueError(
+                f"stts/stsz sample count mismatch ({len(times)} vs {len(sizes)})"
+            )
+        if not runs or runs[0][0] != 1:
+            raise ValueError("stsc must start at chunk 1")
+        # expand stsc runs across the stco chunk list → per-sample ranges
+        samples, si = [], 0
+        for ci, chunk_off in enumerate(offsets, start=1):
+            spc = 0
+            for first, run_spc in runs:
+                if first <= ci:
+                    spc = run_spc
+                else:
+                    break
+            pos = chunk_off
+            for _ in range(spc):
+                if si >= len(sizes):
+                    raise ValueError("stsc maps more samples than stsz declares")
+                size = sizes[si]
+                if pos + size > len(d):
+                    raise ValueError("MP4 sample range outside payload")
+                samples.append(
+                    {
+                        "idx": si,
+                        "offset": pos,
+                        "size": size,
+                        "time": times[si],
+                        "time_ms": int(times[si] * 1000 // timescale) if timescale else 0,
+                        "data": d[pos : pos + size],
+                    }
+                )
+                pos += size
+                si += 1
+        if si != len(sizes):
+            raise ValueError(
+                f"chunk tables map {si} samples, stsz declares {len(sizes)}"
+            )
+        tracks.append(
+            {"handler": handler, "codec": codec, "timescale": timescale, "samples": samples}
+        )
+    if not tracks:
+        raise ValueError("MP4 has no tracks")
+    return tracks
+
+
+def mp4_track_samples(payload: bytes, handler: str = "vide") -> list[dict]:
+    """Samples of the first track with the given handler ('vide'/'soun');
+    ValueError when no such track exists."""
+    for tr in demux_mp4(payload):
+        if tr["handler"] == handler:
+            return tr["samples"]
+    raise ValueError(f"MP4 has no '{handler}' track")
+
+
+def _box(typ: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def _fbox(typ: bytes, ver: int, flags: int, body: bytes) -> bytes:
+    return _box(typ, struct.pack(">I", (ver << 24) | flags) + body)
+
+
+def _rle(vals: list[int]) -> list[tuple[int, int]]:
+    runs: list[tuple[int, int]] = []
+    for v in vals:
+        if runs and runs[-1][1] == v:
+            runs[-1] = (runs[-1][0] + 1, v)
+        else:
+            runs.append((1, v))
+    return runs
+
+
+def mux_mp4(tracks: list[dict], movie_timescale: int = 1000) -> bytes:
+    """Minimal ISO BMFF muxer — the deterministic fixture builder the
+    demux tests (and synthesize_real_media) drive. Each track dict:
+    ``{handler: 'vide'|'soun', codec: 4-char fourcc, timescale,
+    samples: [bytes], deltas: [int], samples_per_chunk: [int],
+    width?, height?}``. Writes ftyp + mdat + moov with real stts/stsc/
+    stsz/stco tables (run-length-compressed where the format does), so a
+    round-trip exercises the same table arithmetic a camera file does.
+    """
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    # mdat layout: chunks in track order; remember absolute offsets
+    mdat_body = bytearray()
+    chunk_offs: list[list[int]] = []
+    mdat_start = len(ftyp) + 8
+    for tr in tracks:
+        samples, spcs = tr["samples"], tr["samples_per_chunk"]
+        if sum(spcs) != len(samples):
+            raise ValueError("samples_per_chunk must sum to len(samples)")
+        offs, si = [], 0
+        for spc in spcs:
+            offs.append(mdat_start + len(mdat_body))
+            for _ in range(spc):
+                mdat_body += samples[si]
+                si += 1
+        chunk_offs.append(offs)
+    mdat = _box(b"mdat", bytes(mdat_body))
+
+    traks = b""
+    max_dur_movie = 0
+    for tid, tr in enumerate(tracks, start=1):
+        ts, deltas = tr["timescale"], tr["deltas"]
+        dur = sum(deltas)
+        dur_movie = dur * movie_timescale // max(ts, 1)
+        max_dur_movie = max(max_dur_movie, dur_movie)
+        w, h = tr.get("width", 0), tr.get("height", 0)
+        tkhd = _fbox(
+            b"tkhd",
+            0,
+            7,  # enabled | in_movie | in_preview
+            struct.pack(">II", 0, 0)  # times
+            + struct.pack(">I", tid)
+            + b"\x00" * 4
+            + struct.pack(">I", dur_movie)
+            + b"\x00" * 8  # reserved
+            + struct.pack(">hhhh", 0, 0, 0, 0)  # layer/group/volume/pad
+            + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        mdhd = _fbox(
+            b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, ts, dur, 0x55C4, 0)
+        )
+        hdlr = _fbox(
+            b"hdlr",
+            0,
+            0,
+            b"\x00" * 4 + tr["handler"].encode("latin1") + b"\x00" * 12 + b"mux\x00",
+        )
+        if tr["handler"] == "vide":
+            mhd = _fbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+            entry_body = (
+                b"\x00" * 6
+                + struct.pack(">H", 1)  # data_ref_index
+                + b"\x00" * 16
+                + struct.pack(">HH", w, h)
+                + struct.pack(">II", 0x480000, 0x480000)
+                + b"\x00" * 4
+                + struct.pack(">H", 1)
+                + b"\x00" * 32
+                + struct.pack(">H", 0x18)
+                + struct.pack(">h", -1)
+            )
+        else:
+            mhd = _fbox(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+            entry_body = (
+                b"\x00" * 6
+                + struct.pack(">H", 1)
+                + b"\x00" * 8
+                + struct.pack(">HHI", 2, 16, 0)
+                + struct.pack(">I", tr["timescale"] << 16)
+            )
+        stsd = _fbox(
+            b"stsd",
+            0,
+            0,
+            struct.pack(">I", 1) + _box(tr["codec"].encode("latin1"), entry_body),
+        )
+        stts_runs = _rle(deltas)
+        stts = _fbox(
+            b"stts",
+            0,
+            0,
+            struct.pack(">I", len(stts_runs))
+            + b"".join(struct.pack(">II", c, v) for c, v in stts_runs),
+        )
+        # stsc: collapse consecutive equal samples-per-chunk into runs
+        spc_runs: list[tuple[int, int]] = []
+        for ci, spc in enumerate(tr["samples_per_chunk"], start=1):
+            if spc_runs and spc_runs[-1][1] == spc:
+                continue
+            spc_runs.append((ci, spc))
+        stsc = _fbox(
+            b"stsc",
+            0,
+            0,
+            struct.pack(">I", len(spc_runs))
+            + b"".join(struct.pack(">III", fc, spc, 1) for fc, spc in spc_runs),
+        )
+        sizes = [len(s) for s in tr["samples"]]
+        uniform = sizes and all(s == sizes[0] for s in sizes)
+        stsz = _fbox(
+            b"stsz",
+            0,
+            0,
+            struct.pack(">II", sizes[0] if uniform else 0, len(sizes))
+            + (b"" if uniform else b"".join(struct.pack(">I", s) for s in sizes)),
+        )
+        stco = _fbox(
+            b"stco",
+            0,
+            0,
+            struct.pack(">I", len(chunk_offs[tid - 1]))
+            + b"".join(struct.pack(">I", o) for o in chunk_offs[tid - 1]),
+        )
+        dinf = _box(
+            b"dinf",
+            _fbox(b"dref", 0, 0, struct.pack(">I", 1) + _fbox(b"url ", 0, 1, b"")),
+        )
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = _box(b"minf", mhd + dinf + stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        traks += _box(b"trak", tkhd + mdia)
+    mvhd = _fbox(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, movie_timescale, max_dur_movie)
+        + struct.pack(">IH", 0x10000, 0x100)
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", len(tracks) + 1),
+    )
+    moov = _box(b"moov", mvhd + traks)
+    return ftyp + mdat + moov
+
+
+# ---------------------------------------------------------------------------
 # unified probe over all known formats
 # ---------------------------------------------------------------------------
 

@@ -5,11 +5,15 @@ metadata struct. Decode/feature/resize/frame-sample are REAL for the
 formats a stdlib + numpy codec can parse (``codecs.py``: 24-bit BMP,
 binary PPM, 8-bit truecolor PNG — DEFLATE is stdlib ``zlib`` — and
 baseline JPEG images — Huffman + DCT are plain arithmetic, ``jpeg.py``;
-PCM-16 WAV + Sun AU audio, YUV4MPEG2 video); codec-bound
-formats (MP3/MP4) remain honestly stubbed behind
-``NotImplementedError`` — no codec library ships in this container —
-with ``fake_features`` as the deterministic stand-in that keeps the
-distributed plumbing byte-verifiable for ANY payload.
+PCM-16 WAV + Sun AU audio, YUV4MPEG2 video). For MP3/MP4 the stub
+boundary sits exactly at the codec: metadata probing (frame/box walks,
+``mediameta.probe_*``) and MP4 sample DEMUX (``mediameta.demux_mp4`` —
+frame extraction through the stsc/stco/stsz tables) are REAL pure
+arithmetic; only decoding the demuxed sample bytes into pixels/PCM
+(H.264/AAC/Layer-III) remains behind ``NotImplementedError`` — no codec
+library ships in this container — with ``fake_features`` as the
+deterministic stand-in that keeps the distributed plumbing
+byte-verifiable for ANY payload.
 
 At 100 TB the binary column dominates IO: keep media in its own table
 (or Iceberg file-split-friendly column ordering), size Arrow batches by
@@ -396,15 +400,50 @@ def resize_media(df, width: int = 64, height: int = 64):
     return df.mapInPandas(fn, schema=RESIZE_SCHEMA)
 
 
+def byte_features(data: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """REAL features over raw sample bytes (the honest feature basis for
+    demuxed-but-codec-bound payloads, e.g. H.264 samples pulled out of
+    an MP4): size, mean/std, byte entropy, distinct-byte fraction,
+    first/last byte, and an 8-bin value histogram — 16 dims, all numpy.
+    Deterministic in the bytes alone (unlike fake_features' seeded
+    noise, these are interpretable statistics a dedup/quality pass can
+    threshold on)."""
+    a = np.frombuffer(data if data else b"\x00", np.uint8)
+    p = np.bincount(a, minlength=256) / len(a)
+    nz = p[p > 0]
+    entropy = float(-(nz * np.log2(nz)).sum())
+    hist8 = np.add.reduceat(p, np.arange(0, 256, 32))
+    head = np.array(
+        [
+            float(len(a)),
+            a.mean() / 255.0,
+            a.std() / 255.0,
+            entropy / 8.0,
+            float((p > 0).sum()) / 256.0,
+            a[0] / 255.0,
+            a[-1] / 255.0,
+            0.0,
+        ],
+        np.float32,
+    )
+    out = np.concatenate([head, hist8.astype(np.float32)])
+    return out[:dim] if len(out) >= dim else np.pad(out, (0, dim - len(out)))
+
+
 FRAME_SCHEMA = "media_id BIGINT, frame_idx INT, frame ARRAY<FLOAT>"
 
 
 def frame_sample(df, n_frames: int = 4):
     """Video frame sampling: one media row → n_frames feature rows (the
     UDTF row-expansion shape). REAL for Y4M payloads — evenly sampled
-    decoded frames, per-frame image features over the luma plane; fake
-    deterministic frames for codec-bound formats."""
-    from . import codecs
+    decoded frames, per-frame image features over the luma plane — and
+    (r5) REAL at the container layer for MP4: the sampled frames are the
+    actual video-track sample bytes pulled through the stsc/stco/stsz
+    tables (``mediameta.demux_mp4``), featurized with byte statistics
+    (``byte_features``) since pixel decode of the codec payload stays
+    codec-bound. Fake deterministic frames only for unknown formats or
+    corrupt streams."""
+    from . import codecs, mediameta
 
     def rows_for(payload):
         if codecs.sniff_codec(payload) == "y4m":
@@ -418,6 +457,14 @@ def frame_sample(df, n_frames: int = 4):
                     image_features(np.repeat(frames_y[j][:, :, None], 3, axis=2)).tolist()
                     for j in idx
                 ]
+        if payload is not None and len(payload) >= 12 and payload[4:8] in mediameta._MP4_BRANDS:
+            try:
+                samples = mediameta.mp4_track_samples(payload, "vide")
+            except ValueError:  # corrupt container: degrade, never kill the job
+                samples = []
+            if samples:
+                idx = np.linspace(0, len(samples) - 1, n_frames).astype(np.int64)
+                return [byte_features(samples[j]["data"]).tolist() for j in idx]
         return [
             fake_features((payload or b"") + i.to_bytes(2, "big")).tolist()
             for i in range(n_frames)

@@ -312,6 +312,85 @@ def with_quality(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass per-document text profile: the quality_features columns
+    + both token counts + Gopher-style repetition signals
+    (``dup_word_frac``, ``dup_2gram_frac`` — the fraction of word /
+    word-2-gram occurrences that are repeats; rep-heavy boilerplate and
+    generation loops score high). ONE corpus scan, no joins — the r5
+    consolidation of the separate quality/tokens sweeps.
+
+    Same staged-projection discipline as quality_features: the token
+    array and 2-gram array are STAGED as columns so each split/regex
+    runs once per row no matter how many outputs reference it (Spark
+    does not CSE across when() branches — the repo's standing
+    expression pitfall)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        c.alias("_t"),
+        normalized_text(c).alias("_n"),
+        _marker_basis(c).alias("_b"),
+    )
+    # empty normalized text → genuinely zero tokens (split('') is [''])
+    toks = F.when(
+        F.col("_n") == "", F.array().cast("array<string>")
+    ).otherwise(F.split("_n", " "))
+    staged = staged.select("id", "_t", "_b", toks.alias("_toks"))
+    g2 = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - 2),
+            lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = staged.select(
+        "id",
+        F.length("_t").alias("n_chars"),
+        F.size("_toks").alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("_t"), F.lit(r"[A-Za-zÀ-ÿ0-9]+|[^A-Za-zÀ-ÿ0-9\s]"), 0)
+        ).alias("bpe_tokens"),
+        F.size(F.regexp_extract_all(F.col("_t"), F.lit(_PUNCT), 0)).alias("n_punct"),
+        F.size(F.regexp_extract_all(F.col("_b"), F.lit(_STOPWORDS_PT_EN), 0)).alias("n_stop"),
+        F.size(F.regexp_extract_all(F.col("_t"), F.lit(r"\d"), 0)).alias("n_digit"),
+        F.size(F.array_distinct("_toks")).alias("_uniq_w"),
+        F.size(g2).alias("_n_g2"),
+        F.size(F.array_distinct(g2)).alias("_uniq_g2"),
+    )
+    n_chars, n_tokens = F.col("n_chars"), F.col("n_tokens")
+    n_punct, n_stop, n_digit = F.col("n_punct"), F.col("n_stop"), F.col("n_digit")
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, n_digit / n_chars).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(F.lit(0.0))
+    dup_word_frac = F.when(
+        n_tokens > 0, 1 - F.col("_uniq_w") / n_tokens
+    ).otherwise(F.lit(0.0))
+    dup_2gram_frac = F.when(
+        F.col("_n_g2") > 0, 1 - F.col("_uniq_g2") / F.col("_n_g2")
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.when((mean_tok_len >= 3) & (mean_tok_len <= 12), 0.2).otherwise(0.0)
+        + F.least(stop_ratio * 2, F.lit(0.2))
+        + F.when(punct_ratio <= 0.1, 0.1).otherwise(0.0)
+        + F.when(digit_ratio <= 0.3, 0.1).otherwise(0.0)
+    )
+    return counts.select(
+        "id",
+        "n_chars",
+        "n_tokens",
+        "bpe_tokens",
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(dup_word_frac, 6).alias("dup_word_frac"),
+        F.round(dup_2gram_frac, 6).alias("dup_2gram_frac"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
 def fingerprint(col, k: int = 5, keep: int = 8):
     """Winnowing-style document fingerprint: the ``keep`` smallest
     xxhash64 values over word k-grams (rolling-hash analogue), sorted —

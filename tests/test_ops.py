@@ -1967,3 +1967,143 @@ def test_probe_hardening_review_fixes(spark):
     )
     row = multimodal.media_metadata(df).collect()[0]
     assert row.width is None
+
+
+# ---------------------------------------------------------------------------
+# decontamination (r5)
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_known_overlap(spark):
+    """Planted 3-gram overlaps: an exact probe copy scores ratio 1.0, a
+    doc sharing exactly one trigram scores 1/n_ngrams, a disjoint doc is
+    absent from the report."""
+    from pdf_ocr_api_spark.ops import decontam
+
+    probes = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id LONG, text STRING"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),  # identical → ratio 1.0
+            (1, "zero one alpha beta gamma nine eight"),  # shares trigrams
+            (2, "totally disjoint words everywhere here"),  # no overlap
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in decontam.contamination(corpus, probes, n=3).collect()
+    }
+    assert set(got) == {0, 1}
+    assert got[0]["n_hits"] == got[0]["n_ngrams"] == 3
+    assert got[0]["contamination_ratio"] == 1.0
+    # doc 1 has 5 distinct trigrams; exactly one ('alpha beta gamma') is
+    # in the probe set
+    assert got[1]["n_hits"] == 1 and got[1]["n_ngrams"] == 5
+    assert got[1]["contamination_ratio"] == round(1 / 5, 6)
+
+
+def test_contamination_hashed_equals_string(docs, spark):
+    """The production xxhash64 join and the oracle-portable string join
+    flag identical (doc_id, n_hits, n_ngrams) rows."""
+    from pdf_ocr_api_spark.ops import decontam
+
+    probes = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    key = lambda rows: sorted((r["doc_id"], r["n_hits"], r["n_ngrams"]) for r in rows)
+    s = decontam.contamination(corpus, probes, n=2, hashed=False).collect()
+    h = decontam.contamination(corpus, probes, n=2, hashed=True).collect()
+    assert key(s) == key(h) and len(s) > 0
+
+
+def test_decontaminate_policies(spark):
+    """Strict policy (max_ratio=0) drops any overlap; a loose ratio
+    threshold keeps lightly-contaminated docs; max_hits caps absolute
+    overlap regardless of ratio."""
+    from pdf_ocr_api_spark.ops import decontam
+
+    probes = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id LONG, text STRING"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),  # ratio 1.0
+            (1, "zero one alpha beta gamma nine eight two six five"),  # ratio 1/8
+            (2, "totally disjoint words everywhere here"),  # clean
+        ],
+        "doc_id LONG, text STRING",
+    )
+    strict = decontam.decontaminate(corpus, probes, n=3, max_ratio=0.0)
+    assert sorted(r["doc_id"] for r in strict.collect()) == [2]
+    loose = decontam.decontaminate(corpus, probes, n=3, max_ratio=0.5)
+    assert sorted(r["doc_id"] for r in loose.collect()) == [1, 2]
+    capped = decontam.decontaminate(corpus, probes, n=3, max_ratio=1.0, max_hits=2)
+    assert sorted(r["doc_id"] for r in capped.collect()) == [1, 2]
+
+
+def test_contamination_broadcast_plan(docs):
+    """Scale shape: the probe join must be a broadcast hash join (the
+    corpus side never shuffles for the probe), with no nested-loop
+    fallback anywhere in the plan."""
+    from pdf_ocr_api_spark.ops import decontam
+    from pdf_ocr_api_spark.plans import inspect as PI
+
+    probes = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    out = decontam.contamination(corpus, probes, n=2, hashed=True)
+    plan = PI.executed_plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# one-pass text profile (r5 consolidation)
+# ---------------------------------------------------------------------------
+
+
+def test_text_profile_matches_components(docs):
+    """text_profile's shared columns must equal the standalone
+    quality_features / token-count operators row-for-row (the entry
+    consolidation must not drift from the oracled components)."""
+    prof = {r["id"]: r for r in textstats.text_profile(docs).collect()}
+    qual = {r["id"]: r for r in textstats.quality_features(docs).collect()}
+    toks = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            textstats.token_count(F.col("text")).alias("ws"),
+            textstats.bpe_ish_token_count(F.col("text")).alias("bpe"),
+        ).collect()
+    }
+    assert set(prof) == set(qual)
+    for i, p in prof.items():
+        q = qual[i]
+        for c in ("n_chars", "n_tokens", "punct_ratio", "stop_ratio", "digit_ratio", "quality_score"):
+            assert p[c] == q[c], (i, c, p[c], q[c])
+        assert p["n_tokens"] == toks[i]["ws"]
+        assert p["bpe_tokens"] == toks[i]["bpe"]
+        assert 0.0 <= p["dup_word_frac"] <= 1.0
+        assert 0.0 <= p["dup_2gram_frac"] <= 1.0
+
+
+def test_text_profile_repetition_signals(spark):
+    """Gopher-style repetition: 'spam spam spam spam' has dup_word_frac
+    3/4 and dup_2gram_frac 2/3; a no-repeat doc scores 0 on both; empty
+    and single-token docs are well-defined."""
+    df = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam"),
+            (1, "all words here are unique tokens"),
+            (2, ""),
+            (3, "solo"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["id"]: r for r in textstats.text_profile(df).collect()}
+    assert got[0]["dup_word_frac"] == 0.75
+    assert got[0]["dup_2gram_frac"] == round(2 / 3, 6)
+    assert got[1]["dup_word_frac"] == 0.0 and got[1]["dup_2gram_frac"] == 0.0
+    assert got[2]["n_tokens"] == 0 and got[2]["dup_word_frac"] == 0.0
+    assert got[3]["n_tokens"] == 1 and got[3]["dup_2gram_frac"] == 0.0
