@@ -430,7 +430,7 @@ def _rle(vals: list[int]) -> list[tuple[int, int]]:
 
 def mux_mp4(tracks: list[dict], movie_timescale: int = 1000) -> bytes:
     """Minimal ISO BMFF muxer — the deterministic fixture builder the
-    demux tests (and synthesize_real_media) drive. Each track dict:
+    demux tests drive. Each track dict:
     ``{handler: 'vide'|'soun', codec: 4-char fourcc, timescale,
     samples: [bytes], deltas: [int], samples_per_chunk: [int],
     width?, height?}``. Writes ftyp + mdat + moov with real stts/stsc/

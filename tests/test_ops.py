@@ -2107,3 +2107,122 @@ def test_text_profile_repetition_signals(spark):
     assert got[1]["dup_word_frac"] == 0.0 and got[1]["dup_2gram_frac"] == 0.0
     assert got[2]["n_tokens"] == 0 and got[2]["dup_word_frac"] == 0.0
     assert got[3]["n_tokens"] == 1 and got[3]["dup_2gram_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# MP4 sample demux (r5): container-layer frame extraction without a codec
+# ---------------------------------------------------------------------------
+
+
+def _mp4_fixture():
+    from pdf_ocr_api_spark.ops import mediameta
+
+    rng = np.random.default_rng(42)
+    vid = [rng.integers(0, 256, size=20 + 7 * i, dtype=np.uint8).tobytes() for i in range(9)]
+    aud = [rng.integers(0, 256, size=32, dtype=np.uint8).tobytes() for _ in range(6)]
+    tracks = [
+        {
+            "handler": "vide", "codec": "avc1", "timescale": 30,
+            "samples": vid, "deltas": [1] * 9,
+            # varying samples-per-chunk exercises the stsc run expansion
+            "samples_per_chunk": [2, 3, 3, 1],
+            "width": 64, "height": 48,
+        },
+        {
+            "handler": "soun", "codec": "mp4a", "timescale": 8000,
+            "samples": aud, "deltas": [1024] * 6,
+            "samples_per_chunk": [4, 2],
+        },
+    ]
+    return mediameta.mux_mp4(tracks), vid, aud
+
+
+def test_mp4_mux_demux_roundtrip():
+    """Demuxed samples must be byte-identical to what was muxed, with
+    stts decode times and track metadata intact — across multi-chunk
+    stsc runs and both uniform and per-sample stsz forms."""
+    from pdf_ocr_api_spark.ops import mediameta
+
+    payload, vid, aud = _mp4_fixture()
+    tracks = mediameta.demux_mp4(payload)
+    assert [t["handler"] for t in tracks] == ["vide", "soun"]
+    v, a = tracks
+    assert v["codec"] == "avc1" and a["codec"] == "mp4a"
+    assert [s["data"] for s in v["samples"]] == vid
+    assert [s["data"] for s in a["samples"]] == aud
+    assert [s["time"] for s in v["samples"]] == list(range(9))
+    assert [s["time"] for s in a["samples"]] == [1024 * i for i in range(6)]
+    assert v["samples"][3]["time_ms"] == 3 * 1000 // 30
+    # container probe agrees with the mux parameters
+    p = mediameta.probe_mp4(payload)
+    assert (p["width"], p["height"]) == (64, 48)
+    assert p["n_tracks"] == 2 and p["codecs"] == ["avc1", "mp4a"]
+    assert p["duration_ms"] == 6 * 1024 * 1000 // 8000  # audio is the longest track
+
+
+def test_mp4_demux_hostile_streams():
+    """Truncations and byte flips either demux consistently or raise
+    ValueError — never any other exception (the mapInPandas routers
+    catch only ValueError; anything else kills a corpus job)."""
+    from pdf_ocr_api_spark.ops import mediameta
+
+    payload, _, _ = _mp4_fixture()
+    for cut in range(0, len(payload), 37):
+        try:
+            mediameta.demux_mp4(payload[:cut])
+        except ValueError:
+            pass
+    rng = np.random.default_rng(7)
+    buf = bytearray(payload)
+    for _ in range(300):
+        i = int(rng.integers(0, len(buf)))
+        old = buf[i]
+        buf[i] = int(rng.integers(0, 256))
+        try:
+            tracks = mediameta.demux_mp4(bytes(buf))
+            for t in tracks:
+                for s in t["samples"]:
+                    assert len(s["data"]) == s["size"]
+        except ValueError:
+            pass
+        buf[i] = old
+
+
+def test_byte_features_shape_and_determinism():
+    from pdf_ocr_api_spark.ops import multimodal
+
+    f1 = multimodal.byte_features(b"abcabc\x00\xff")
+    f2 = multimodal.byte_features(b"abcabc\x00\xff")
+    assert f1.shape == (16,) and f1.dtype == np.float32
+    assert np.array_equal(f1, f2)
+    assert f1[0] == 8.0  # size
+    e = multimodal.byte_features(b"")
+    assert e.shape == (16,)
+    # constant byte → zero entropy; uniform-ish bytes → high entropy
+    assert multimodal.byte_features(b"\x41" * 100)[3] == 0.0
+    assert multimodal.byte_features(bytes(range(256)))[3] == 1.0
+
+
+def test_frame_sample_mp4_real(spark):
+    """frame_sample on an MP4 row returns byte_features of the ACTUAL
+    demuxed video samples at the evenly-spaced indices — proving the
+    container path is real, not the fake fallback."""
+    from pdf_ocr_api_spark.ops import mediameta, multimodal
+
+    payload, vid, _ = _mp4_fixture()
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(payload))], "media_id LONG, kind STRING, payload BINARY"
+    )
+    rows = multimodal.frame_sample(df, n_frames=4).orderBy("frame_idx").collect()
+    assert len(rows) == 4
+    idx = np.linspace(0, len(vid) - 1, 4).astype(int)
+    for r, j in zip(rows, idx):
+        expect = multimodal.byte_features(vid[j])
+        assert np.allclose(np.array(r["frame"], np.float32), expect)
+    # corrupt MP4 degrades to the deterministic fake path, job survives
+    bad = payload[:40]
+    df2 = spark.createDataFrame(
+        [(2, "video", bytearray(bad))], "media_id LONG, kind STRING, payload BINARY"
+    )
+    rows2 = multimodal.frame_sample(df2, n_frames=3).collect()
+    assert len(rows2) == 3
