@@ -26,6 +26,10 @@ raw sample arrays, parseable with ``struct`` + ``numpy``:
   (4:4:4/4:2:0, DRI/RSTn) + decoder (arbitrary sampling factors,
   restart markers, grayscale); progressive/arithmetic-coded raise
   ValueError.
+* **GIF** (r5 — compressed, but LZW is an algorithm, not a library):
+  variable-width LZW encode/decode + palette mapping, 87a/89a, global
+  or local color table, first frame, non-interlaced; encode is
+  lossless for ≤256-color images (GIF's own model).
 
 These are the real-decoder backends for ``ops.multimodal`` — the
 remaining codec-bound formats (MP3/MP4) stay honestly stubbed behind
@@ -490,6 +494,256 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# GIF (87a/89a, LZW — pure Python/numpy, r5)
+# ---------------------------------------------------------------------------
+#
+# GIF's only compression is LZW with variable-width codes — an
+# algorithm, not a codec library dependency: a dictionary walk plus
+# LSB-first bit packing. Scope: 8-bit palette images (≤256 distinct
+# colors on encode — GIF's own model), global or local color table,
+# non-interlaced (Adam-less GIF interlace raises ValueError like PNG's
+# Adam7 does), first image frame; transparency/animation extensions are
+# skipped structurally (sub-block walk), not decoded.
+
+_GIF_MAX_CODE = 1 << 12  # LZW codes are capped at 12 bits
+
+
+def _gif_lzw_compress(indices: np.ndarray, mcs: int) -> bytes:
+    """GIF-variant LZW over palette indices → raw code stream (caller
+    sub-blocks it). Emits CLEAR up front and on table overflow, EOI at
+    the end; code width grows in the decoder-synchronized off-by-one
+    pattern (widen when next_code == (1<<width)+1)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    buf = nbits = 0
+
+    width = mcs + 1
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    table: dict[tuple[int, int], int] = {}
+    next_code = eoi + 1
+    emit(clear)
+    cur = -1
+    for px in indices.tolist():
+        if cur < 0:
+            cur = px
+            continue
+        key = (cur, px)
+        if key in table:
+            cur = table[key]
+            continue
+        emit(cur)
+        if next_code < _GIF_MAX_CODE:
+            table[key] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            # table full (code 4095 assigned): a 4096th code would need
+            # 13 bits — reset instead of adding, decoder-synchronized
+            emit(clear)
+            table.clear()
+            width = mcs + 1
+            next_code = eoi + 1
+        cur = px
+    if cur >= 0:
+        emit(cur)
+    emit(eoi)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decompress(data: bytes, mcs: int, n_pixels: int) -> np.ndarray:
+    """Raw LZW code stream → exactly n_pixels palette indices. Output is
+    bounded by n_pixels regardless of stream content (bomb guard); any
+    out-of-range or early-EOI stream raises ValueError."""
+    if not 2 <= mcs <= 11:
+        raise ValueError(f"bad GIF LZW min code size {mcs}")
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = np.empty(n_pixels, np.uint8)
+    n_out = 0
+    # dictionary as prefix/suffix arrays — O(1) append, stack-based expand
+    prefix = np.zeros(_GIF_MAX_CODE, np.int32)
+    suffix = np.zeros(_GIF_MAX_CODE, np.uint8)
+    for c in range(clear):
+        suffix[c] = c
+    width = mcs + 1
+    next_code = eoi + 1
+    buf = nbits = pos = 0
+    prev = -1
+    stack = bytearray()
+    while n_out < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream ended before raster complete")
+            buf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = buf & ((1 << width) - 1)
+        buf >>= width
+        nbits -= width
+        if code == clear:
+            width = mcs + 1
+            next_code = eoi + 1
+            prev = -1
+            continue
+        if code == eoi:
+            raise ValueError("GIF LZW EOI before raster complete")
+        if code >= next_code or (prev < 0 and code >= clear):
+            if not (code == next_code and prev >= 0):
+                raise ValueError(f"GIF LZW code {code} out of range")
+        # expand: walk suffix chain (KwKwK case uses prev + its head)
+        stack.clear()
+        c = code
+        if code == next_code:  # KwKwK
+            c = prev
+        while c >= clear:  # composite codes only; roots are < clear
+            stack.append(suffix[c])
+            c = prefix[c]
+        stack.append(suffix[c])
+        first = stack[-1]
+        if code == next_code:
+            stack.insert(0, first)
+        n = len(stack)
+        if n_out + n > n_pixels:
+            raise ValueError("GIF LZW produces more pixels than the raster holds")
+        out[n_out : n_out + n] = np.frombuffer(bytes(stack), np.uint8)[::-1]
+        n_out += n
+        if prev >= 0 and next_code < _GIF_MAX_CODE:
+            prefix[next_code] = prev
+            suffix[next_code] = first
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = code
+    return out
+
+
+def encode_gif(rgb: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → single-frame GIF89a with a global color table.
+    Lossless for images with ≤256 distinct colors (GIF's own model);
+    more colors raise ValueError — palette quantization is a policy, not
+    a codec, decision."""
+    import struct
+
+    rgb = np.ascontiguousarray(rgb, np.uint8)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("encode_gif expects (H, W, 3) uint8")
+    h, w = rgb.shape[:2]
+    if h == 0 or w == 0 or h > 0xFFFF or w > 0xFFFF:
+        raise ValueError(f"GIF dimensions out of range: {w}x{h}")
+    flat = rgb.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"GIF needs <=256 distinct colors, image has {len(palette)}")
+    # GCT size is a power of two >= 4 (mcs >= 2 per spec)
+    bits = max(2, int(np.ceil(np.log2(max(len(palette), 2)))))
+    gct = np.zeros((1 << bits, 3), np.uint8)
+    gct[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+    out += gct.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor
+    mcs = bits
+    out.append(mcs)
+    stream = _gif_lzw_compress(inverse.astype(np.int32), mcs)
+    for i in range(0, len(stream), 255):
+        block = stream[i : i + 255]
+        out.append(len(block))
+        out += block
+    out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a first frame → (H, W, 3) uint8. Global or local color
+    table, non-interlaced; extensions are skipped by their sub-block
+    structure. Interlaced images, missing color tables, and any LZW /
+    table inconsistency raise ValueError."""
+    import struct
+
+    d = payload
+    if d is None or len(d) < 13 or d[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    _sw, _sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", d, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(d):
+            raise ValueError("truncated GIF global color table")
+        gct = np.frombuffer(d, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while True:
+        if pos >= len(d):
+            raise ValueError("GIF ended before an image descriptor")
+        block = d[pos]
+        pos += 1
+        if block == 0x3B:
+            raise ValueError("GIF has no image frame")
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(d):
+                    raise ValueError("truncated GIF extension")
+                sz = d[pos]
+                pos += 1 + sz
+                if sz == 0:
+                    break
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        break
+    if pos + 9 > len(d):
+        raise ValueError("truncated GIF image descriptor")
+    _left, _top, iw, ih, iflags = struct.unpack_from("<HHHHB", d, pos)
+    pos += 9
+    if iw == 0 or ih == 0:
+        raise ValueError("bad GIF image dimensions")
+    if iflags & 0x40:
+        raise ValueError("interlaced GIF not supported")
+    ct = gct
+    if iflags & 0x80:
+        n = 2 << (iflags & 0x07)
+        if pos + 3 * n > len(d):
+            raise ValueError("truncated GIF local color table")
+        ct = np.frombuffer(d, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    if ct is None:
+        raise ValueError("GIF image has no color table")
+    if pos >= len(d):
+        raise ValueError("truncated GIF before LZW data")
+    mcs = d[pos]
+    pos += 1
+    stream = bytearray()
+    while True:
+        if pos >= len(d):
+            raise ValueError("truncated GIF image data")
+        sz = d[pos]
+        pos += 1
+        if sz == 0:
+            break
+        if pos + sz > len(d):
+            raise ValueError("truncated GIF data sub-block")
+        stream += d[pos : pos + sz]
+        pos += sz
+    idx = _gif_lzw_decompress(bytes(stream), mcs, iw * ih)
+    if int(idx.max(initial=0)) >= len(ct):
+        raise ValueError("GIF pixel index outside color table")
+    return ct[idx].reshape(ih, iw, 3).copy()
+
+
+# ---------------------------------------------------------------------------
 # magic-byte sniffing
 # ---------------------------------------------------------------------------
 
@@ -511,15 +765,17 @@ def decode_jpeg(payload: bytes):
 
 
 def sniff_codec(payload: bytes | None) -> str | None:
-    """'bmp' | 'wav' | 'y4m' | 'ppm' | 'au' | 'png' | 'jpeg' when the
-    payload is one of the decodable formats, else None (codec-bound or
-    unknown)."""
+    """'bmp' | 'wav' | 'y4m' | 'ppm' | 'au' | 'png' | 'jpeg' | 'gif'
+    when the payload is one of the decodable formats, else None
+    (codec-bound or unknown)."""
     if not payload:
         return None
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:8] == _PNG_MAGIC:
         return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":

@@ -682,8 +682,14 @@ def _probe_media_impl(payload: bytes) -> dict:
         raise ValueError("empty payload")
     meta = {"mime": None, "width": None, "height": None, "duration_ms": None}
     kind = codecs.sniff_codec(d)
-    if kind in ("png", "jpeg"):
-        w, h = _png_dims(d) if kind == "png" else _jpeg_dims(d)
+    if kind in ("png", "jpeg", "gif"):
+        if kind == "gif":
+            # logical-screen descriptor alone — no LZW touched
+            w, h = struct.unpack_from("<HH", d, 6)
+            if w <= 0 or h <= 0:
+                raise ValueError("bad GIF dimensions")
+        else:
+            w, h = _png_dims(d) if kind == "png" else _jpeg_dims(d)
         meta.update(mime=f"image/{kind}", width=w, height=h)
         return meta
     if kind in ("bmp", "ppm"):

@@ -58,9 +58,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         return codecs.decode_png(payload)[:, :, :3]
     if kind == "jpeg":
         return codecs.decode_jpeg(payload)
+    if kind == "gif":
+        return codecs.decode_gif(payload)
     raise NotImplementedError(
         "codec-bound image decode (WebP/AVIF/…) needs a codec library "
-        "(PIL/libvips) — absent in this container; BMP/PPM/PNG/JPEG decode for real"
+        "(PIL/libvips) — absent in this container; BMP/PPM/PNG/JPEG/GIF decode for real"
     )
 
 
@@ -175,6 +177,8 @@ def media_feature_vector(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
             return image_features(codecs.decode_png(payload)[:, :, :3], dim)
         if kind == "jpeg":
             return image_features(codecs.decode_jpeg(payload), dim)
+        if kind == "gif":
+            return image_features(codecs.decode_gif(payload), dim)
         if kind == "wav":
             return audio_features(*codecs.decode_wav(payload), dim=dim)
         if kind == "au":

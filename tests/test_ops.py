@@ -2226,3 +2226,110 @@ def test_frame_sample_mp4_real(spark):
     )
     rows2 = multimodal.frame_sample(df2, n_frames=3).collect()
     assert len(rows2) == 3
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (r5): LZW is an algorithm, not a codec library
+# ---------------------------------------------------------------------------
+
+
+def test_gif_roundtrip_lossless():
+    """GIF is lossless for palette-bounded images: encode→decode must be
+    byte-exact — across gradients, few-color logos, single pixels, and
+    an image large enough to overflow the 4096-entry LZW table (forcing
+    the mid-stream CLEAR/reset path)."""
+    from pdf_ocr_api_spark.ops import codecs
+
+    rng = np.random.default_rng(5)
+    cases = []
+    # 2-color checkerboard
+    cb = np.indices((9, 13)).sum(axis=0) % 2
+    cases.append(np.stack([cb * 255] * 3, axis=2).astype(np.uint8))
+    # 256-gray gradient
+    g = np.linspace(0, 255, 64, dtype=np.uint8)[None, :].repeat(48, 0)
+    cases.append(np.repeat(g[:, :, None], 3, axis=2))
+    # random 200-color noise, large enough to overflow the code table
+    pal = rng.integers(0, 256, (200, 3), dtype=np.uint8)
+    idx = rng.integers(0, 200, (120, 160))
+    cases.append(pal[idx])
+    # single pixel
+    cases.append(np.array([[[7, 80, 201]]], np.uint8))
+    for rgb in cases:
+        payload = codecs.encode_gif(rgb)
+        assert codecs.sniff_codec(payload) == "gif"
+        out = codecs.decode_gif(payload)
+        assert out.shape == rgb.shape
+        assert np.array_equal(out, rgb)
+
+
+def test_gif_reject_invalid():
+    from pdf_ocr_api_spark.ops import codecs
+
+    rng = np.random.default_rng(11)
+    # >256 distinct colors cannot be a GIF without quantization
+    many = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    assert len(np.unique(many.reshape(-1, 3), axis=0)) > 256
+    with pytest.raises(ValueError):
+        codecs.encode_gif(many)
+    with pytest.raises(ValueError):
+        codecs.decode_gif(b"GIF89a")  # truncated header
+    with pytest.raises(ValueError):
+        codecs.decode_gif(b"NOTGIF" + b"\x00" * 20)
+    # interlace flag set → explicit unsupported
+    good = codecs.encode_gif(np.zeros((4, 4, 3), np.uint8))
+    desc = good.index(b"\x2c")
+    bad = bytearray(good)
+    bad[desc + 9] |= 0x40
+    with pytest.raises(ValueError):
+        codecs.decode_gif(bytes(bad))
+
+
+def test_gif_hostile_streams_raise_valueerror():
+    """Truncations and byte flips must decode consistently or raise
+    ValueError — never any other exception and never an allocation
+    bigger than the declared raster (LZW-bomb guard)."""
+    from pdf_ocr_api_spark.ops import codecs
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (32, 3), dtype=np.uint8)
+    payload = codecs.encode_gif(pal[rng.integers(0, 32, (24, 31))])
+    for cut in range(0, len(payload), 11):
+        try:
+            codecs.decode_gif(payload[:cut])
+        except ValueError:
+            pass
+    buf = bytearray(payload)
+    for _ in range(600):
+        i = int(rng.integers(0, len(buf)))
+        old = buf[i]
+        buf[i] = int(rng.integers(0, 256))
+        try:
+            out = codecs.decode_gif(bytes(buf))
+            assert out.ndim == 3 and out.shape[2] == 3
+        except ValueError:
+            pass
+        buf[i] = old
+
+
+def test_gif_feature_and_probe_paths(spark):
+    """GIF payloads ride the REAL decode path end-to-end: sniff →
+    decode_gif → image_features (not the fake fallback), and the
+    metadata probe reads dimensions from the logical-screen descriptor
+    alone."""
+    from pdf_ocr_api_spark.ops import codecs, mediameta, multimodal
+
+    rng = np.random.default_rng(21)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    rgb = pal[rng.integers(0, 16, (20, 28))]
+    payload = codecs.encode_gif(rgb)
+    feat = multimodal.media_feature_vector(payload)
+    assert np.allclose(feat, multimodal.image_features(rgb))
+    assert not np.allclose(feat, multimodal.fake_features(payload))
+    meta = mediameta.probe_media(payload)
+    assert meta == {"mime": "image/gif", "width": 28, "height": 20, "duration_ms": None}
+    # distributed: media_metadata fills the GIF row for real
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload))], "media_id LONG, kind STRING, payload BINARY"
+    )
+    row = multimodal.media_metadata(df).collect()[0]
+    assert (row["mime"], row["width"], row["height"]) == ("image/gif", 28, 20)
