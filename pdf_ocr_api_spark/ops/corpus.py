@@ -39,11 +39,34 @@ def turn_id(conv_col="conv_id", turn_col="turn_idx"):
     return F.concat_ws(chr(0x1F), F.col(conv_col), F.col(turn_col).cast("string"))
 
 
-def _gated_turns(transcripts, min_quality, langs, min_tokens, depara, _cut):
-    """extract → quality/language features → gates; the shared front half
+def _gated_turns(
+    transcripts,
+    min_quality,
+    langs,
+    min_tokens,
+    depara,
+    _cut,
+    scrub_pii=False,
+    decontam_probes=None,
+    decontam_n=8,
+    decontam_max_ratio=0.0,
+):
+    """extract → (optional PII scrub) → quality/language features →
+    gates → (optional benchmark decontamination); the shared front half
     of ``clean_corpus`` and ``clean_corpus_incremental``. Returns the
-    gated per-turn frame with the ``_tid`` surrogate attached."""
+    gated per-turn frame with the ``_tid`` surrogate attached.
+
+    ``scrub_pii`` redacts emails/CPF/cards/IPs/phones (typed tags,
+    ``textstats.scrub_pii``) BEFORE quality scoring — scores and token
+    counts then describe the text that actually ships. ``decontam_probes``
+    (a benchmark table with a ``text`` column) drops turns whose word
+    n-gram overlap with the probe set exceeds ``decontam_max_ratio``
+    (``decontam.decontaminate``, hashed join) — running it before the
+    dedup stages keeps a contaminated turn from ever being the kept
+    representative of a near-dup family."""
     ext = extract_transcripts(transcripts, depara=depara, with_services=False)
+    if scrub_pii:
+        ext = ext.withColumn("clean_text", textstats.scrub_pii(F.col("clean_text")))
     # materialize the extraction output ONCE (localCheckpoint — at real
     # scale this is the stored extraction table, see lineage.run): the
     # pipeline fans out into quality join, exact-dedup join, LSH build
@@ -80,7 +103,20 @@ def _gated_turns(transcripts, min_quality, langs, min_tokens, depara, _cut):
     keep = (F.col("quality_score") >= min_quality) & (F.col("n_tokens") >= min_tokens)
     if langs:
         keep = keep & F.col("lang").isin(list(langs))
-    return turns.filter(keep)
+    gated = turns.filter(keep)
+    if decontam_probes is not None:
+        from . import decontam
+
+        gated = decontam.decontaminate(
+            gated,
+            decontam_probes,
+            text_col="clean_text",
+            id_col="_tid",
+            n=decontam_n,
+            max_ratio=decontam_max_ratio,
+            hashed=True,
+        )
+    return gated
 
 
 def clean_corpus(
@@ -95,6 +131,10 @@ def clean_corpus(
     parallelism: int | None = None,
     max_bucket_size: int | None = 256,
     reliable_checkpoint_dir: str | None = None,
+    scrub_pii: bool = False,
+    decontam_probes: DataFrame | None = None,
+    decontam_n: int = 8,
+    decontam_max_ratio: float = 0.0,
 ) -> DataFrame:
     """Raw transcripts → cleaned per-turn corpus.
 
@@ -123,7 +163,11 @@ def clean_corpus(
     def _cut(df: DataFrame) -> DataFrame:
         return dedup._materialize(df, reliable_checkpoint_dir)
 
-    gated = _gated_turns(transcripts, min_quality, langs, min_tokens, depara, _cut)
+    gated = _gated_turns(
+        transcripts, min_quality, langs, min_tokens, depara, _cut,
+        scrub_pii=scrub_pii, decontam_probes=decontam_probes,
+        decontam_n=decontam_n, decontam_max_ratio=decontam_max_ratio,
+    )
     # stage 1: EXACT dedup (hash groupBy — one shuffle on uniform md5
     # keys). Template-heavy corpora have huge identical families; running
     # LSH over them would put a whole family into one band bucket and
@@ -192,6 +236,10 @@ def clean_corpus_incremental(
     max_bucket_size: int | None = 256,
     kept_sigs: DataFrame | None = None,
     reliable_checkpoint_dir: str | None = None,
+    scrub_pii: bool = False,
+    decontam_probes: DataFrame | None = None,
+    decontam_n: int = 8,
+    decontam_max_ratio: float = 0.0,
 ) -> DataFrame:
     """Incremental ``clean_corpus`` — the operational shape for a corpus
     that GROWS: process only the NEW batch of raw transcripts against the
@@ -228,7 +276,11 @@ def clean_corpus_incremental(
     def _cut(df: DataFrame) -> DataFrame:
         return dedup._materialize(df, reliable_checkpoint_dir)
 
-    gated = _gated_turns(transcripts, min_quality, langs, min_tokens, depara, _cut)
+    gated = _gated_turns(
+        transcripts, min_quality, langs, min_tokens, depara, _cut,
+        scrub_pii=scrub_pii, decontam_probes=decontam_probes,
+        decontam_n=decontam_n, decontam_max_ratio=decontam_max_ratio,
+    )
     hashed = gated.withColumn("_h", F.md5(dedup.normalized_text(F.col("clean_text"))))
     reps = hashed.groupBy("_h").agg(F.min("_tid").alias("_tid"))
     batch_reps = hashed.join(reps, ["_h", "_tid"])

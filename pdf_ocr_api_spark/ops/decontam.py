@@ -61,6 +61,7 @@ def contamination(
     n: int = 8,
     min_hits: int = 1,
     hashed: bool = False,
+    probe_text_col: str = "text",
 ) -> DataFrame:
     """Per-document contamination report:
     ``(doc_id, n_hits, n_ngrams, contamination_ratio)`` for every doc
@@ -69,8 +70,11 @@ def contamination(
     ``n_ngrams`` counts the doc's DISTINCT n-grams, ``n_hits`` how many
     of those appear anywhere in the probe set, ``contamination_ratio``
     their quotient — the quantity decontamination policies threshold on.
+    ``probe_text_col`` names the PROBE table's text column (benchmark
+    suites rarely share the corpus schema — e.g. clean_corpus checks its
+    ``clean_text`` turns against a probe table's ``text``).
     """
-    pg = F.broadcast(probe_ngrams(probes, text_col=text_col, n=n, hashed=hashed))
+    pg = F.broadcast(probe_ngrams(probes, text_col=probe_text_col, n=n, hashed=hashed))
     grams = docs.select(
         F.col(id_col).alias("doc_id"), _gram_col(F.col(text_col), n).alias("_gs")
     )
@@ -101,6 +105,7 @@ def decontaminate(
     max_ratio: float = 0.0,
     max_hits: int | None = None,
     hashed: bool = True,
+    probe_text_col: str = "text",
 ) -> DataFrame:
     """Drop contaminated documents: keep docs whose probe overlap stays
     at or under BOTH thresholds (``max_ratio`` on the distinct-n-gram
@@ -112,7 +117,8 @@ def decontaminate(
     the flagged-id table is small (contaminated docs, not the corpus),
     so the final anti-join is map-side too."""
     flagged = contamination(
-        docs, probes, text_col=text_col, id_col=id_col, n=n, min_hits=1, hashed=hashed
+        docs, probes, text_col=text_col, id_col=id_col, n=n, min_hits=1,
+        hashed=hashed, probe_text_col=probe_text_col,
     )
     cond = F.col("contamination_ratio") > F.lit(max_ratio)
     if max_hits is not None:

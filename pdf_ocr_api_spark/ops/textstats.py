@@ -391,6 +391,51 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+# PII redaction patterns — ordered MOST-specific first: an email's
+# digits must not be half-eaten by the phone pattern, a card number
+# must win over two phone-shaped halves. Java-regex lookarounds keep
+# digit runs inside longer numbers (invoice ids) unredacted. Phone
+# shape is the reference corpus' domain (Brazilian municipal
+# documents): +CC / (DD) prefixes with 4-5+4 digit bodies.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("cpf", r"(?<!\d)\d{3}\.\d{3}\.\d{3}-\d{2}(?!\d)", "<CPF>"),
+    ("card", r"(?<![\d-])\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}(?![\d-])", "<CARD>"),
+    ("ipv4", r"(?<![\d.])(?:\d{1,3}\.){3}\d{1,3}(?![\d.])", "<IP>"),
+    (
+        "phone",
+        r"(?<![\d-])(?:\+\d{1,3}[ .-]?)?(?:\(\d{2,3}\)[ .-]?|\b\d{2,3}[ .-])?\d{4,5}[ .-]\d{4}(?![\d-])",
+        "<PHONE>",
+    ),
+]
+
+
+def scrub_pii(col):
+    """Redact PII spans (emails, CPF, card numbers, IPv4, phone shapes)
+    with typed placeholder tags — pure chained regexp_replace, stays in
+    whole-stage codegen. The standard pre-training hygiene pass; chain
+    order is load-bearing (see PII_PATTERNS)."""
+    out = F.coalesce(col, F.lit(""))
+    for _name, rx, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, rx, tag)
+    return out
+
+
+def pii_counts(col):
+    """Per-category PII hit counts (struct of ints) — the audit twin of
+    ``scrub_pii``: a corpus operator samples these to alert on PII-dense
+    sources before the scrub even runs."""
+    cur = F.coalesce(col, F.lit(""))
+    fields = []
+    for name, rx, tag in PII_PATTERNS:
+        # count on the text as the scrub chain would SEE it (earlier
+        # patterns already replaced) so categories never double-count
+        # the same span
+        fields.append(F.size(F.regexp_extract_all(cur, F.lit(rx), 0)).alias(name))
+        cur = F.regexp_replace(cur, rx, tag)
+    return F.struct(*fields)
+
+
 def fingerprint(col, k: int = 5, keep: int = 8):
     """Winnowing-style document fingerprint: the ``keep`` smallest
     xxhash64 values over word k-grams (rolling-hash analogue), sorted —

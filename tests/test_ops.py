@@ -2333,3 +2333,73 @@ def test_gif_feature_and_probe_paths(spark):
     )
     row = multimodal.media_metadata(df).collect()[0]
     assert (row["mime"], row["width"], row["height"]) == ("image/gif", 28, 20)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + corpus wiring (r5)
+# ---------------------------------------------------------------------------
+
+
+def test_scrub_pii_ground_truths(spark):
+    """Each category redacts with its typed tag; structured ids that are
+    NOT PII (plain digit runs, versions) survive; chain order keeps the
+    card pattern from being eaten as two phone halves."""
+    cases = [
+        ("contact me at a.user+tag@mail-host.com today", "contact me at <EMAIL> today"),
+        ("cpf 123.456.789-01 on file", "cpf <CPF> on file"),
+        ("card 4111 1111 1111 1111 declined", "card <CARD> declined"),
+        ("host 10.0.255.1 unreachable", "host <IP> unreachable"),
+        ("call +55 11 91234-5678 now", "call <PHONE> now"),
+        ("call (11) 91234-5678 now", "call <PHONE> now"),
+        ("protocol 2023123456789 unchanged", "protocol 2023123456789 unchanged"),
+        ("version 1.2.3 released", "version 1.2.3 released"),
+        ("", ""),
+        (None, ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "i LONG, text STRING"
+    )
+    got = {r["i"]: r["out"] for r in df.select("i", textstats.scrub_pii(F.col("text")).alias("out")).collect()}
+    for i, (_t, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i])
+
+
+def test_pii_counts_no_double_count(spark):
+    """pii_counts categories are disjoint: an email's digits never also
+    count as a phone; totals match what scrub_pii redacts."""
+    text = "mail a@b.co or b@c.org, cpf 123.456.789-01, call (11) 91234-5678"
+    df = spark.createDataFrame([(text,)], "text STRING")
+    row = df.select(textstats.pii_counts(F.col("text")).alias("c")).collect()[0]["c"]
+    assert row["email"] == 2 and row["cpf"] == 1 and row["phone"] == 1
+    assert row["card"] == 0 and row["ipv4"] == 0
+
+
+def test_clean_corpus_scrub_and_decontam(spark, depara):
+    """clean_corpus with scrub_pii redacts emails in the kept text; with
+    decontam_probes, turns overlapping the benchmark probe are dropped
+    while clean turns survive."""
+    from pdf_ocr_api_spark.ops import corpus
+
+    leaky = ("please send the signed contract to maria.silva@example.com before the "
+             "end of the week so the team can begin the review process on time")
+    clean = ("the cat and the dog of the house are in the garden near the "
+             "old stone wall where the birds sing in the morning light")
+    rows = [
+        ("c0", 0, "user", leaky, None),
+        ("c1", 0, "user", clean, None),
+    ]
+    sdf = spark.createDataFrame(
+        rows, "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING"
+    )
+    out = corpus.clean_corpus(
+        sdf, min_quality=0.3, min_tokens=3, depara=depara, parallelism=4, scrub_pii=True
+    ).collect()
+    texts = {r.conv_id: r.clean_text for r in out}
+    assert "<EMAIL>" in texts["c0"] and "example.com" not in texts["c0"]
+
+    probes = spark.createDataFrame([(0, clean)], "doc_id LONG, text STRING")
+    out2 = corpus.clean_corpus(
+        sdf, min_quality=0.3, min_tokens=3, depara=depara, parallelism=4,
+        decontam_probes=probes, decontam_n=3,
+    ).collect()
+    assert sorted(r.conv_id for r in out2) == ["c0"]
