@@ -96,6 +96,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--langs", default=None,
                     help="comma-separated language allow-list (e.g. en,pt); non-Latin corpora "
                          "are script-routed — list script tags (und-cjk, und-cyrillic, …) to keep them")
+    ap.add_argument("--scrub-pii", action="store_true",
+                    help="redact emails/CPF/cards/IPs/phones (typed tags) "
+                         "before quality scoring in the clean-corpus modes")
+    ap.add_argument("--decontam-probes", default=None,
+                    help="parquet dir / catalog ident of a benchmark probe table "
+                         "(text column) — turns overlapping it are dropped before dedup")
+    ap.add_argument("--decontam-n", type=int, default=8,
+                    help="word n-gram size for decontamination (default 8)")
+    ap.add_argument("--decontam-max-ratio", type=float, default=0.0,
+                    help="max allowed contaminated fraction of a turn's distinct "
+                         "n-grams (default 0.0 = strict)")
     ap.add_argument("--max-bucket-size", type=int, default=256,
                     help="LSH band-bucket skew cap (dropped buckets are counted in the summary); 0 = uncapped")
     ap.add_argument("--show-runs", action="store_true",
@@ -198,7 +209,12 @@ def _clean_corpus_job(args) -> int:
         dedup_threshold=args.dedup_threshold,
         parallelism=args.buckets,
         max_bucket_size=cap,
+        scrub_pii=args.scrub_pii,
+        decontam_n=args.decontam_n,
+        decontam_max_ratio=args.decontam_max_ratio,
     )
+    if args.decontam_probes:
+        kw["decontam_probes"] = read_table(spark, args.decontam_probes)
     batch = read_table(spark, args.input)
 
     if args.clean_corpus:

@@ -648,6 +648,47 @@ def test_runner_clean_corpus_cycle(spark, tmp_path):
     assert all(r.dropped_buckets == 0 for r in runs)
 
 
+def test_runner_scrub_and_decontam_flags(spark, tmp_path):
+    """r5 CLI surface: --scrub-pii redacts before the store is written,
+    and --decontam-probes drops benchmark-overlapping turns in BOTH
+    modes — the flags reach ops/corpus with the right plumbing."""
+    from pdf_ocr_api_spark import runner
+
+    bench = ("what is the capital of france and which river flows through "
+             "the city on its way to the northern sea coast")
+    keep = ("the cat and the dog of the house are in the garden near the "
+            "old stone wall where the birds sing in the morning light")
+    pii = ("please send the signed contract to maria.silva@example.com "
+           "before the end of the week so the team can file it properly")
+    schema = "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING"
+    b1 = spark.createDataFrame([("a0", 0, "user", keep, None),
+                                ("a1", 0, "user", pii, None)], schema)
+    b2 = spark.createDataFrame([("b0", 0, "user", bench, None),
+                                ("b1", 0, "user", "entirely new unique content about deep "
+                                 "sea creatures and their glowing light organs", None)], schema)
+    in1, in2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    b1.write.parquet(in1)
+    b2.write.parquet(in2)
+    probes_path = str(tmp_path / "probes")
+    spark.createDataFrame([(bench,)], "text STRING").write.parquet(probes_path)
+    root = str(tmp_path / "run")
+    knobs = ["--min-quality", "0.3", "--min-tokens", "5", "--dedup-threshold", "0.6",
+             "--buckets", "8", "--scrub-pii",
+             "--decontam-probes", probes_path, "--decontam-n", "4"]
+
+    assert runner.main(["--clean-corpus", "--input", in1, "--output", root] + knobs) == 0
+    assert runner.main(["--clean-incremental", "--input", in2, "--output", root] + knobs) == 0
+
+    stored = spark.read.parquet(f"{root}/corpus").collect()
+    ids = {(r.conv_id, r.turn_idx) for r in stored}
+    assert ("b0", 0) not in ids            # benchmark turn decontaminated
+    assert ("b1", 0) in ids                # clean new content survives
+    a1 = next(r.clean_text for r in stored if r.conv_id == "a1")
+    assert "<EMAIL>" in a1 and "maria.silva@example.com" not in a1
+    # signature index stays row-consistent through the gated path
+    assert spark.read.parquet(f"{root}/signatures").count() == len(stored)
+
+
 def test_incremental_kept_set_is_independent(spark):
     """Property over random corpora + planted near-dups: after
     incremental(b1) + incremental(b2 | kept1), NO verified near-dup pair
