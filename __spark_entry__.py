@@ -397,11 +397,26 @@ def q_u2_delete_turns(spark, sf_dir):
     return turnops.delete_turns(_pseudo_turns(spark, sf_dir), 1, 3)
 
 
-def q_rotate_turns(spark, sf_dir):
-    """Rotate-pages analogue: cyclic turn shift + renumber."""
-    from pdf_ocr_api_spark.operators import turnops
+def q_training_split(spark, sf_dir):
+    """Training-set assembly (ops/training, r5): leakage-safe hash
+    splits + deterministic mixture weighting over documents. Every
+    decision is a pure function of (key, salt) through the md5-portable
+    60-bit hash, so the DuckDB oracle reproduces the assignment
+    value-for-value — a FULL hash-match for sampling, which rand()-based
+    sampling can never give. zh is upsampled 2.5× (2 whole copies + a
+    hash-remainder third), fr downsampled to 0.4, the rest pass through
+    (the r5 registry slot freed by rotate_turns, whose operator remains
+    pytest-covered in test_turnops)."""
+    from pdf_ocr_api_spark.ops import training
 
-    return turnops.rotate_turns(_pseudo_turns(spark, sf_dir), 3)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = training.assign_splits(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id", salt="split-v1"
+    )
+    out = training.mixture_sample(
+        out, {"zh": 2.5, "fr": 0.4}, domain_col="lang", key_col="doc_id", salt="mix-v1"
+    )
+    return out.select("doc_id", "split", "mix_copy")
 
 
 def q_u4_insert_turns(spark, sf_dir):
@@ -847,7 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u2_delete_turns": q_u2_delete_turns,
         "u3_replace_turns": q_u3_replace_turns,
         "u4_insert_turns": q_u4_insert_turns,
-        "rotate_turns": q_rotate_turns,
+        "training_split": q_training_split,
         "x6_split_by_count": q_x6_split_by_count,
         "x6_split_into_n": q_x6_split_into_n,
         "x6_split_by_ranges": q_x6_split_by_ranges,
@@ -1056,21 +1071,7 @@ def oracle_sql() -> dict[str, str]:
                    doc_id
             FROM u
         """,
-        "rotate_turns": """
-            WITH pt AS (
-              SELECT printf('doc-conv-%04d', CAST(doc_id % 50 AS INT)) AS conv_id,
-                     CAST(doc_id // 50 AS INT) AS turn_idx, doc_id
-              FROM documents
-            )
-            SELECT conv_id,
-                   CAST(row_number() OVER (PARTITION BY conv_id ORDER BY new_pos) - 1 AS INT) AS turn_idx,
-                   doc_id
-            FROM (
-              SELECT conv_id, doc_id,
-                     (turn_idx + 3) % (count(*) OVER (PARTITION BY conv_id)) AS new_pos
-              FROM pt
-            )
-        """,
+        "training_split": _training_split_sql(),
         "x6_split_by_count": """
             WITH pt AS (
               SELECT printf('doc-conv-%04d', CAST(doc_id % 50 AS INT)) AS conv_id,
@@ -1383,6 +1384,36 @@ def _profile_sql() -> str:
           )
         )
     """.replace("{BASIS}", _basis_sql())
+
+
+def _training_split_sql() -> str:
+    """DuckDB twin of q_training_split: the decision thresholds are
+    derived from the SAME ops/training helpers the Spark side uses, so
+    the two engines cannot drift on float→int boundary rounding."""
+    from pdf_ocr_api_spark.ops import training
+
+    bounds = training.split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    plan = {v: (w, r) for v, w, r in training.mixture_weights_plan({"zh": 2.5, "fr": 0.4})}
+    return f"""
+        WITH h AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || 'split-v1'), 1, 15))::BIGINT AS hs,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || 'mix-v1'), 1, 15))::BIGINT AS hm
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 CASE WHEN hs < {bounds[0][1]} THEN 'train'
+                      WHEN hs < {bounds[1][1]} THEN 'val'
+                      ELSE 'test' END AS split,
+                 (CASE lang WHEN 'zh' THEN {plan['zh'][0]} WHEN 'fr' THEN {plan['fr'][0]} ELSE 1 END
+                  + CASE WHEN hm < (CASE lang WHEN 'zh' THEN {plan['zh'][1]}
+                                              WHEN 'fr' THEN {plan['fr'][1]} ELSE 0 END)
+                         THEN 1 ELSE 0 END) AS copies
+          FROM h
+        )
+        SELECT doc_id, split, CAST(c AS INT) AS mix_copy
+        FROM (SELECT doc_id, split, unnest(range(copies)) AS c FROM s WHERE copies > 0)
+    """
 
 
 def _lang_id_sql() -> str:

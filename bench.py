@@ -145,6 +145,22 @@ def headline_queries(spark, transcripts):
         qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
         return _count(similarity.brute_force_topk(e.filter(F.col("vec_id") != 0), list(qv), k=10))
 
+    def q_training_assembly():
+        # r5: the training-set assembly tail — leakage-safe split +
+        # sequence packing over the full bench transcript table (one
+        # hash shuffle + one-wave pandas packing stage)
+        from pdf_ocr_api_spark.ops import training
+
+        t = transcripts.withColumn(
+            "n_tok", F.size(F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"))
+        )
+        tr = training.assign_splits(t, {"train": 0.95, "val": 0.05}, key_col="conv_id")
+        packed = training.pack_sequences(
+            tr.filter(F.col("split") == "train"),
+            "n_tok", budget=2048, key_cols=["conv_id", "turn_idx"],
+        )
+        return _count(packed)
+
     return {
         "extract": q_extract,
         "extract_text_only": q_extract_text_only,
@@ -155,6 +171,7 @@ def headline_queries(spark, transcripts):
         "simhash": q_simhash,
         "quality": q_quality,
         "ann_cosine": q_ann,
+        "training_assembly": q_training_assembly,
     }
 
 

@@ -107,6 +107,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--decontam-max-ratio", type=float, default=0.0,
                     help="max allowed contaminated fraction of a turn's distinct "
                          "n-grams (default 0.0 = strict)")
+    ap.add_argument("--splits", default=None,
+                    help='train/val/test weights, e.g. "train=0.98,val=0.01,test=0.01" — '
+                         "leakage-safe hash split keyed on conv_id, stored as a split column; "
+                         "hash-stable, so incremental batches agree with history without reading "
+                         "it (use the same weights/salt on every batch of a store)")
+    ap.add_argument("--split-salt", default="split-v1",
+                    help="salt for the split hash (default split-v1)")
     ap.add_argument("--max-bucket-size", type=int, default=256,
                     help="LSH band-bucket skew cap (dropped buckets are counted in the summary); 0 = uncapped")
     ap.add_argument("--show-runs", action="store_true",
@@ -217,8 +224,28 @@ def _clean_corpus_job(args) -> int:
         kw["decontam_probes"] = read_table(spark, args.decontam_probes)
     batch = read_table(spark, args.input)
 
+    def _with_splits(df):
+        if not args.splits:
+            return df
+        from .ops import training
+
+        try:
+            weights = {
+                k.strip(): float(v)
+                for k, v in (p.split("=", 1) for p in args.splits.split(",") if p.strip())
+            }
+        except ValueError as exc:
+            raise SystemExit(f'--splits must look like "train=0.98,val=0.01": {exc}')
+        out = training.assign_splits(df, weights, key_col="conv_id", salt=args.split_salt)
+        # the recall-loss accounting rides a Python-side attribute that
+        # does NOT follow withColumn — carry it, or _log_run records None
+        for attr in ("_dedup_metrics", "_lsh_metrics"):
+            if getattr(df, attr, None) is not None:
+                setattr(out, attr, getattr(df, attr))
+        return out
+
     if args.clean_corpus:
-        out = corpus_ops.clean_corpus(batch, **kw)
+        out = _with_splits(corpus_ops.clean_corpus(batch, **kw))
         write_table(out, corpus_target, mode="create")
         metrics = corpus_ops.dedup_metrics(out)
         # signatures from the STORED table (the scale pattern: never keep
@@ -243,7 +270,7 @@ def _clean_corpus_job(args) -> int:
     corpus_ops.sync_signatures(spark, corpus_target, sig_target, parallelism=args.buckets)
     kept = read_table(spark, corpus_target)
     sigs = read_table(spark, sig_target)
-    new_rows = corpus_ops.clean_corpus_incremental(kept, batch, kept_sigs=sigs, **kw)
+    new_rows = _with_splits(corpus_ops.clean_corpus_incremental(kept, batch, kept_sigs=sigs, **kw))
     metrics = corpus_ops.dedup_metrics(new_rows)
     # one computation, two appends: materialize the (batch-sized) result
     new_rows = new_rows.localCheckpoint(eager=True)

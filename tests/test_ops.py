@@ -689,6 +689,52 @@ def test_runner_scrub_and_decontam_flags(spark, tmp_path):
     assert spark.read.parquet(f"{root}/signatures").count() == len(stored)
 
 
+def test_runner_splits_flag(spark, tmp_path):
+    """r5 CLI surface: --splits stores a leakage-safe hash split column;
+    the assignment is hash-stable, so the incremental batch's rows agree
+    with what a full rebuild would assign — and the run log still
+    carries the dedup metrics (the split projection must not drop the
+    metrics attribute)."""
+    from pdf_ocr_api_spark import runner
+    from pdf_ocr_api_spark.ops import training
+
+    texts = [
+        (f"c{i}", 0, "user",
+         f"document number {i} about the {w} in the old town near the river "
+         "where the market opens early and the stalls sell bread and fruit", None)
+        for i, w in enumerate(["library", "station", "harbor", "school", "garden",
+                               "museum", "bridge", "mill", "bakery", "tower"])
+    ]
+    schema = "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING"
+    b1 = spark.createDataFrame(texts[:6], schema)
+    b2 = spark.createDataFrame(texts[6:], schema)
+    in1, in2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    b1.write.parquet(in1)
+    b2.write.parquet(in2)
+    root = str(tmp_path / "run")
+    knobs = ["--min-quality", "0.3", "--min-tokens", "5", "--dedup-threshold", "0.6",
+             "--buckets", "8", "--splits", "train=0.6,val=0.4", "--split-salt", "s9"]
+
+    assert runner.main(["--clean-corpus", "--input", in1, "--output", root] + knobs) == 0
+    assert runner.main(["--clean-incremental", "--input", in2, "--output", root] + knobs) == 0
+
+    stored = spark.read.parquet(f"{root}/corpus")
+    assert "split" in stored.columns
+    # stored assignment == fresh assignment of the same keys (stability)
+    want = {
+        r.conv_id: r.split
+        for r in training.assign_splits(
+            stored.select("conv_id").distinct(), {"train": 0.6, "val": 0.4},
+            key_col="conv_id", salt="s9",
+        ).collect()
+    }
+    assert all(r.split == want[r.conv_id] for r in stored.collect())
+    assert set(want.values()) == {"train", "val"}
+    # metrics survived the split projection into the runs table
+    runs = spark.read.parquet(f"{root}/runs").collect()
+    assert all(r.dropped_buckets is not None for r in runs)
+
+
 def test_incremental_kept_set_is_independent(spark):
     """Property over random corpora + planted near-dups: after
     incremental(b1) + incremental(b2 | kept1), NO verified near-dup pair
