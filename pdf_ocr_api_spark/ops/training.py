@@ -313,6 +313,86 @@ def pack_sequences(
     return packed.drop("_pk_key", "_pk_hash", "_pk_bucket", "_pk_tok")
 
 
+def split_leakage_pairs(
+    df: DataFrame,
+    split_col: str = "split",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Cross-split near-duplicate audit — the leakage check a hash split
+    cannot give you by construction.
+
+    ``assign_splits`` guarantees a GROUP never straddles splits, but two
+    *different* groups carrying near-identical text still can (mirrored
+    articles, re-posted code, template families) — and a test-set row
+    whose near-twin sits in train is benchmark leakage. This composes the
+    dedup stack (``dedup.minhash_lsh_pairs`` → ``dedup.jaccard_verify``,
+    same knobs, same skew cap) with the split column and keeps only the
+    verified pairs whose endpoints disagree on split:
+    ``(id_a, split_a, id_b, split_b, jaccard)``.
+
+    Exact duplicates are near-duplicates (jaccard 1.0), so this subsumes
+    an exact cross-split check — except for texts shorter than ``k``
+    words, whose shingle set is empty and which no n-gram method can
+    compare (run the corpus min-token gate first). Cost profile is the
+    dedup pass itself; the split bookkeeping adds two broadcast-sized
+    semi-join projections, no extra shuffle over the verify step.
+    """
+    from . import dedup
+
+    pairs = dedup.minhash_lsh_pairs(
+        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        bands=bands, k=k, max_bucket_size=max_bucket_size,
+    )
+    verified = dedup.jaccard_verify(
+        df, pairs, text_col=text_col, id_col=id_col, k=k, threshold=threshold
+    )
+    splits = df.select(F.col(id_col).alias("_sl_id"), F.col(split_col).alias("_sl_split"))
+    out = (
+        verified.join(splits, verified["id_a"] == splits["_sl_id"])
+        .withColumnRenamed("_sl_split", "split_a")
+        .drop("_sl_id")
+        .join(splits, verified["id_b"] == splits["_sl_id"])
+        .withColumnRenamed("_sl_split", "split_b")
+        .drop("_sl_id")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "split_a", "id_b", "split_b", "jaccard")
+    )
+    # ride the dedup pass' recall-loss accounting through to the caller
+    for attr in ("_bucket_cap_observation", "_bucket_cap_fallback"):
+        if getattr(pairs, attr, None) is not None:
+            setattr(out, attr, getattr(pairs, attr))
+    return out
+
+
+def split_leakage_report(leak_pairs: DataFrame) -> DataFrame:
+    """Aggregate ``split_leakage_pairs`` into the frame an operator
+    alerts on: one row per (split_a, split_b) direction with the pair
+    count, distinct contaminated ids on each side, and the worst
+    example. Empty frame = no detectable leakage at the threshold."""
+    return (
+        leak_pairs.groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("id_a").alias("n_ids_a"),
+            F.countDistinct("id_b").alias("n_ids_b"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+            F.max_by(F.struct("id_a", "id_b"), F.col("jaccard")).alias("_worst"),
+        )
+        .select(
+            "split_a", "split_b", "n_pairs", "n_ids_a", "n_ids_b", "max_jaccard",
+            F.col("_worst.id_a").alias("worst_id_a"),
+            F.col("_worst.id_b").alias("worst_id_b"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
 def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
     """One-row utilization summary of a packed frame: pack counts,
     oversize count, and mean fill fraction — the number a pipeline

@@ -264,3 +264,79 @@ def test_split_mix_pack_compose(spark):
         by_row.setdefault(r.row_id, set()).add(r.pack_id)
     multi = [v for v in by_row.values() if len(v) > 1]
     assert len(multi) > len(by_row) * 0.8             # replicas scatter across packs
+
+
+# ---------------------------------------------------------------------------
+# split-leakage audit
+# ---------------------------------------------------------------------------
+
+_LEAK_BASE = (
+    "the quarterly municipal infrastructure report covers road resurfacing "
+    "schedules drainage upgrades and the bridge inspection backlog across "
+    "seven districts with cost projections for the coming fiscal year"
+)
+
+
+def _leak_corpus(spark):
+    """Planted leakage: docs 0/1 are near-identical but in different
+    splits; docs 2/3 near-identical within ONE split; the rest unique."""
+    uniq = [
+        "glacier meltwater chemistry sampling protocol for alpine catchment studies",
+        "sourdough fermentation timing depends on ambient temperature and hydration",
+        "the orchestra rehearsal schedule moved to thursday evenings this season",
+        "vector clock reconciliation in eventually consistent replicated stores",
+    ]
+    rows = [
+        (0, _LEAK_BASE + " appendix one", "test"),
+        (1, _LEAK_BASE + " appendix two", "train"),
+        (2, "shared template " + uniq[0] + " version a", "train"),
+        (3, "shared template " + uniq[0] + " version b", "train"),
+        (4, uniq[1], "train"),
+        (5, uniq[2], "val"),
+        (6, uniq[3], "test"),
+    ]
+    return spark.createDataFrame(rows, "doc_id INT, text STRING, split STRING")
+
+
+def test_split_leakage_pairs_finds_cross_split_only(spark):
+    df = _leak_corpus(spark)
+    leaks = training.split_leakage_pairs(
+        df, threshold=0.5, num_hashes=32, bands=16, k=3
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in leaks} == {(0, 1)}     # 2-3 same-split: excluded
+    (r,) = leaks
+    assert {r.split_a, r.split_b} == {"test", "train"}
+    assert r.jaccard > 0.5
+
+
+def test_split_leakage_clean_corpus_is_empty(spark):
+    df = _leak_corpus(spark).filter(F.col("doc_id") >= 2)
+    assert (
+        training.split_leakage_pairs(df, threshold=0.5, num_hashes=32, bands=16).count() == 0
+    )
+
+
+def test_split_leakage_report_shape(spark):
+    df = _leak_corpus(spark)
+    leaks = training.split_leakage_pairs(df, threshold=0.5, num_hashes=32, bands=16)
+    rep = training.split_leakage_report(leaks).collect()
+    assert len(rep) == 1
+    (r,) = rep
+    assert r.n_pairs == 1 and r.n_ids_a == 1 and r.n_ids_b == 1
+    assert {r.worst_id_a, r.worst_id_b} == {0, 1}
+    assert r.max_jaccard > 0.5
+    # empty input -> empty report, stable schema
+    empty = training.split_leakage_report(leaks.filter(F.lit(False)))
+    assert empty.count() == 0 and "max_jaccard" in empty.columns
+
+
+def test_split_leakage_carries_bucket_cap_accounting(spark):
+    from pdf_ocr_api_spark.ops import dedup
+
+    df = _leak_corpus(spark)
+    leaks = training.split_leakage_pairs(
+        df, threshold=0.5, num_hashes=32, bands=16, max_bucket_size=64
+    )
+    leaks.count()
+    m = dedup.bucket_cap_metrics(leaks)
+    assert m["dropped_buckets"] == 0 and m["max_bucket"] is not None
