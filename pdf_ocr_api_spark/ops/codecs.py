@@ -30,6 +30,11 @@ raw sample arrays, parseable with ``struct`` + ``numpy``:
   variable-width LZW encode/decode + palette mapping, 87a/89a, global
   or local color table, first frame, non-interlaced; encode is
   lossless for ≤256-color images (GIF's own model).
+* **FLAC** (r5 late, ``ops/flac.py``): Rice coding over integer
+  predictors — algorithms with zero external tables; full decoder
+  (constant/verbatim/fixed/LPC subframes, all stereo decorrelation
+  modes, CRC-8/16 + PCM MD5 verify) and a valid fixed-predictor
+  encoder (lossless round-trip, bit-exact).
 
 These are the real-decoder backends for ``ops.multimodal`` — the
 remaining codec-bound formats (MP3/MP4) stay honestly stubbed behind
@@ -765,13 +770,15 @@ def decode_jpeg(payload: bytes):
 
 
 def sniff_codec(payload: bytes | None) -> str | None:
-    """'bmp' | 'wav' | 'y4m' | 'ppm' | 'au' | 'png' | 'jpeg' | 'gif'
-    when the payload is one of the decodable formats, else None
+    """'bmp' | 'wav' | 'y4m' | 'ppm' | 'au' | 'png' | 'jpeg' | 'gif' |
+    'flac' when the payload is one of the decodable formats, else None
     (codec-bound or unknown)."""
     if not payload:
         return None
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:4] == b"fLaC":
+        return "flac"
     if payload[:8] == _PNG_MAGIC:
         return "png"
     if payload[:6] in (b"GIF87a", b"GIF89a"):

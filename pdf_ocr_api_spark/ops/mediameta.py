@@ -654,6 +654,20 @@ def _y4m_meta(d: bytes) -> tuple[int, int, int, int]:
     return w, h, fps, n
 
 
+def _flac_streaminfo(d: bytes) -> tuple[int, int]:
+    """(rate_hz, total_samples) from the mandatory first metadata block;
+    raises ValueError if it is not a well-formed STREAMINFO."""
+    from . import flac as flac_codec
+
+    if len(d) < 8 + 34:
+        raise ValueError("truncated FLAC header")
+    hdr = struct.unpack(">I", d[4:8])[0]
+    if (hdr >> 24) & 0x7F != 0 or (hdr & 0xFFFFFF) != 34:
+        raise ValueError("first FLAC metadata block is not STREAMINFO")
+    info = flac_codec._parse_streaminfo(d[8:42])
+    return info["rate"], info["total_samples"]
+
+
 def probe_media(payload: bytes) -> dict:
     """One probe for the MEDIA_SCHEMA meta struct: {mime, width, height,
     duration_ms} for every format this engine knows. A probe is
@@ -700,6 +714,15 @@ def _probe_media_impl(payload: bytes) -> dict:
         samples, rate = codecs.decode_wav(d) if kind == "wav" else codecs.decode_au(d)
         mime = "audio/wav" if kind == "wav" else "audio/basic"
         meta.update(mime=mime, duration_ms=int(len(samples) * 1000 / max(rate, 1)))
+        return meta
+    if kind == "flac":
+        # STREAMINFO-only: sample count and rate live in the first
+        # metadata block — no frame is Rice-decoded for a duration read
+        rate, total = _flac_streaminfo(d)
+        meta.update(
+            mime="audio/flac",
+            duration_ms=int(total * 1000 / max(rate, 1)) if total else None,
+        )
         return meta
     if kind == "y4m":
         w, h, fps, n_frames = _y4m_meta(d)

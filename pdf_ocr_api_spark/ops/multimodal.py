@@ -67,9 +67,12 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 
 def decode_audio(payload: bytes):
-    """Audio decode: REAL for PCM-16 WAV and Sun AU → ((n, ch) int16,
-    rate); compressed audio raises NotImplementedError (no codec
-    library)."""
+    """Audio decode: REAL for PCM-16 WAV, Sun AU and (r5) FLAC —
+    lossless compression is Rice coding + integer predictors, i.e.
+    algorithms, no codec library needed (``ops/flac.py``) — →
+    ((n, ch) int16, rate). Non-16-bit FLAC is shifted to the int16
+    range (amplitude-preserving, >> for 20/24/32 bps, << for 8/12).
+    Codec-bound audio (MP3/AAC) raises NotImplementedError."""
     from . import codecs
 
     kind = codecs.sniff_codec(payload)
@@ -77,8 +80,18 @@ def decode_audio(payload: bytes):
         return codecs.decode_wav(payload)
     if kind == "au":
         return codecs.decode_au(payload)
+    if kind == "flac":
+        from . import flac as flac_codec
+
+        samples, rate, bps = flac_codec.decode_flac(payload)
+        if bps > 16:
+            samples = samples >> (bps - 16)
+        elif bps < 16:
+            samples = samples << (16 - bps)
+        return samples.astype(np.int16), rate
     raise NotImplementedError(
-        "compressed-audio decode needs a codec library — absent here; PCM WAV/AU decode for real"
+        "codec-bound audio (MP3/AAC) needs a codec library — absent here; "
+        "PCM WAV/AU and FLAC decode for real"
     )
 
 
@@ -183,6 +196,8 @@ def media_feature_vector(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
             return audio_features(*codecs.decode_wav(payload), dim=dim)
         if kind == "au":
             return audio_features(*codecs.decode_au(payload), dim=dim)
+        if kind == "flac":
+            return audio_features(*decode_audio(payload), dim=dim)
         if kind == "y4m":
             return video_features(*codecs.decode_y4m(payload), dim=dim)
     except ValueError:
