@@ -313,6 +313,94 @@ def pack_sequences(
     return packed.drop("_pk_key", "_pk_hash", "_pk_bucket", "_pk_tok")
 
 
+def write_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_cols: list[str],
+    salt: str = "",
+    token_col: str | None = None,
+) -> DataFrame:
+    """The assembly's last mile: deterministic hash-sharded output files
+    plus a manifest — what a trainer's data loader actually consumes.
+
+    Every row lands in ``shard = hash(key, salt) % n_shards`` — a pure
+    function of the row's key, so the same corpus produces byte-stable
+    shard membership under any partitioning, and an incremental rebuild
+    moves no rows between shards that it didn't change. Rows are
+    colocated per shard (``repartition(n_shards, shard)`` — the one
+    shuffle) and sorted within the file by (hash, key) so the file
+    order is the epoch-shuffle order, then written as
+    ``path/shard=NNNNN/`` parquet directories (one file per shard:
+    hash-colocation puts each shard's rows in a single task).
+
+    Returns the manifest (also written to ``path/_manifest``): one row
+    per shard with row count, token sum (when ``token_col`` given) and
+    the key-hash span — the sidecar a loader uses to size epochs and an
+    auditor uses to detect a short-written shard without re-scanning
+    data. Balance note: hash sharding is balanced to ~1/sqrt(rows per
+    shard); pick ``n_shards`` so shards hold thousands of rows, not
+    tens.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = F.concat_ws(_SEP, *[F.col(c).cast("string") for c in key_cols])
+    staged = (
+        df.withColumn("_sh_hash", portable_hash(key, salt))
+        .withColumn("shard", F.pmod("_sh_hash", F.lit(n_shards)).cast("int"))
+    )
+    (
+        staged.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_sh_hash", *key_cols)
+        .drop("_sh_hash")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    # manifest from the WRITTEN files, not the input plan: re-running the
+    # upstream pipeline just to count would double the job; a columnar
+    # re-read of (keys, token_col) over fresh parquet is ~free, and it
+    # audits what actually landed on disk
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    wkey = F.concat_ws(_SEP, *[F.col(c).cast("string") for c in key_cols])
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("_sh_hash").alias("min_hash"),
+        F.max("_sh_hash").alias("max_hash"),
+    ]
+    if token_col is not None:
+        aggs.append(F.sum(F.col(token_col).cast("long")).alias("n_tokens"))
+    manifest = (
+        written.withColumn("_sh_hash", portable_hash(wkey, salt))
+        .groupBy("shard")
+        .agg(*aggs)
+        .orderBy("shard")
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/_manifest")
+    return spark.read.parquet(f"{path}/_manifest")
+
+
+def validate_shards(spark, path: str) -> DataFrame:
+    """Audit written shards against their manifest: re-count each
+    ``shard=`` directory and return rows where counts disagree (empty
+    frame = healthy). The cheap post-write integrity gate for a job
+    that must not hand a trainer a short shard."""
+    actual = (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("actual_rows"))
+    )
+    manifest = spark.read.parquet(f"{path}/_manifest")
+    return (
+        manifest.join(actual, "shard", "full_outer")
+        .filter(
+            F.coalesce(F.col("n_rows"), F.lit(-1)) != F.coalesce(F.col("actual_rows"), F.lit(-1))
+        )
+        .select("shard", "n_rows", "actual_rows")
+    )
+
+
 def split_leakage_pairs(
     df: DataFrame,
     split_col: str = "split",

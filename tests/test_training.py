@@ -340,3 +340,89 @@ def test_split_leakage_carries_bucket_cap_accounting(spark):
     leaks.count()
     m = dedup.bucket_cap_metrics(leaks)
     assert m["dropped_buckets"] == 0 and m["max_bucket"] is not None
+
+
+# ---------------------------------------------------------------------------
+# shard writer
+# ---------------------------------------------------------------------------
+
+def test_write_shards_deterministic_and_complete(spark, tmp_path):
+    df = _docs(spark, 400)
+    path = str(tmp_path / "shards")
+    man = training.write_shards(
+        df, path, n_shards=8, key_cols=["row_id"], salt="e0", token_col="n_tokens"
+    ).collect()
+    assert sorted(r.shard for r in man) == list(range(8))
+    assert sum(r.n_rows for r in man) == 400
+    assert sum(r.n_tokens for r in man) == sum(5 + (i * 37) % 90 for i in range(400))
+
+    back = spark.read.parquet(path)
+    assert back.count() == 400
+    # shard assignment is the portable hash — stable under repartitioning
+    again = str(tmp_path / "shards2")
+    training.write_shards(
+        df.repartition(13), again, n_shards=8, key_cols=["row_id"], salt="e0"
+    )
+    a = {r.row_id: r.shard for r in back.collect()}
+    b = {r.row_id: r.shard for r in spark.read.parquet(again).collect()}
+    assert a == b
+    # validation passes on healthy output
+    assert training.validate_shards(spark, path).count() == 0
+
+
+def test_write_shards_one_file_per_shard_dir(spark, tmp_path):
+    import glob
+
+    path = str(tmp_path / "s")
+    training.write_shards(_docs(spark, 200), path, n_shards=4, key_cols=["row_id"])
+    for d in glob.glob(f"{path}/shard=*"):
+        files = [f for f in glob.glob(f"{d}/*.parquet")]
+        assert len(files) == 1, d
+
+
+def test_write_shards_in_file_order_is_shuffle_order(spark, tmp_path):
+    path = str(tmp_path / "s")
+    training.write_shards(_docs(spark, 300), path, n_shards=2, key_cols=["row_id"], salt="ep1")
+    import glob
+    f = sorted(glob.glob(f"{path}/shard=0/*.parquet"))[0]
+    import pandas as pd
+    pdf = pd.read_parquet(f)
+    hashes = [
+        training_hash_py(str(r), "ep1") for r in pdf["row_id"]
+    ]
+    assert hashes == sorted(hashes)
+
+
+def training_hash_py(key: str, salt: str) -> int:
+    import hashlib
+    h = hashlib.md5((key + "\x1f" + salt).encode()).hexdigest()
+    return int(h[:15], 16)
+
+
+def test_portable_hash_python_twin(spark):
+    """The manifest/loader-side reimplementation used above must match
+    Spark's portable_hash (third engine after Spark + DuckDB)."""
+    keys = ["", "a", "row42", "héllo"]
+    sdf = spark.createDataFrame([(k,) for k in keys], "k STRING")
+    got = {r["k"]: r["h"] for r in sdf.select(
+        "k", training.portable_hash(F.col("k"), "s2").alias("h")).collect()}
+    for k in keys:
+        assert got[k] == training_hash_py(k, "s2"), k
+
+
+def test_validate_shards_detects_short_shard(spark, tmp_path):
+    import glob, os
+
+    path = str(tmp_path / "s")
+    training.write_shards(_docs(spark, 200), path, n_shards=4, key_cols=["row_id"])
+    # sabotage: delete one shard's data file
+    victim = glob.glob(f"{path}/shard=1/*.parquet")[0]
+    os.remove(victim)
+    bad = training.validate_shards(spark, path).collect()
+    assert [r.shard for r in bad] == [1]
+    assert bad[0].actual_rows is None
+
+
+def test_write_shards_rejects_bad_args(spark, tmp_path):
+    with pytest.raises(ValueError):
+        training.write_shards(_docs(spark, 4), str(tmp_path / "x"), 0, ["row_id"])
