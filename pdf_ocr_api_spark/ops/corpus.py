@@ -50,23 +50,42 @@ def _gated_turns(
     decontam_probes=None,
     decontam_n=8,
     decontam_max_ratio=0.0,
+    strip_line_repeats=None,
+    repetition_gate=False,
 ):
-    """extract → (optional PII scrub) → quality/language features →
-    gates → (optional benchmark decontamination); the shared front half
-    of ``clean_corpus`` and ``clean_corpus_incremental``. Returns the
+    """extract → (optional PII scrub / line-repeat strip) →
+    quality/language features → gates → (optional Gopher repetition
+    gate / benchmark decontamination); the shared front half of
+    ``clean_corpus`` and ``clean_corpus_incremental``. Returns the
     gated per-turn frame with the ``_tid`` surrogate attached.
 
     ``scrub_pii`` redacts emails/CPF/cards/IPs/phones (typed tags,
     ``textstats.scrub_pii``) BEFORE quality scoring — scores and token
-    counts then describe the text that actually ships. ``decontam_probes``
+    counts then describe the text that actually ships.
+    ``strip_line_repeats`` ('doc' | 'consecutive') removes intra-turn
+    repeated lines (``repetition.dedup_lines``) at the same point and
+    for the same reason. ``repetition_gate`` drops turns failing the
+    Gopher repetition thresholds (``repetition.repetition_filter``,
+    join-free predicate) alongside the quality gates. ``decontam_probes``
     (a benchmark table with a ``text`` column) drops turns whose word
     n-gram overlap with the probe set exceeds ``decontam_max_ratio``
     (``decontam.decontaminate``, hashed join) — running it before the
     dedup stages keeps a contaminated turn from ever being the kept
-    representative of a near-dup family."""
+    representative of a near-dup family.
+
+    All of these change what "the same text" means — incremental runs
+    must use the SAME flags as the history they extend (the stored
+    signature index was built over the transformed text)."""
     ext = extract_transcripts(transcripts, depara=depara, with_services=False)
     if scrub_pii:
         ext = ext.withColumn("clean_text", textstats.scrub_pii(F.col("clean_text")))
+    if strip_line_repeats is not None:
+        from . import repetition
+
+        ext = ext.withColumn(
+            "clean_text",
+            repetition.dedup_lines(F.col("clean_text"), scope=strip_line_repeats),
+        )
     # materialize the extraction output ONCE (localCheckpoint — at real
     # scale this is the stored extraction table, see lineage.run): the
     # pipeline fans out into quality join, exact-dedup join, LSH build
@@ -104,6 +123,10 @@ def _gated_turns(
     if langs:
         keep = keep & F.col("lang").isin(list(langs))
     gated = turns.filter(keep)
+    if repetition_gate:
+        from . import repetition
+
+        gated = repetition.repetition_filter(gated, text_col="clean_text")
     if decontam_probes is not None:
         from . import decontam
 
@@ -135,6 +158,8 @@ def clean_corpus(
     decontam_probes: DataFrame | None = None,
     decontam_n: int = 8,
     decontam_max_ratio: float = 0.0,
+    strip_line_repeats: str | None = None,
+    repetition_gate: bool = False,
 ) -> DataFrame:
     """Raw transcripts → cleaned per-turn corpus.
 
@@ -167,6 +192,7 @@ def clean_corpus(
         transcripts, min_quality, langs, min_tokens, depara, _cut,
         scrub_pii=scrub_pii, decontam_probes=decontam_probes,
         decontam_n=decontam_n, decontam_max_ratio=decontam_max_ratio,
+        strip_line_repeats=strip_line_repeats, repetition_gate=repetition_gate,
     )
     # stage 1: EXACT dedup (hash groupBy — one shuffle on uniform md5
     # keys). Template-heavy corpora have huge identical families; running
@@ -240,6 +266,8 @@ def clean_corpus_incremental(
     decontam_probes: DataFrame | None = None,
     decontam_n: int = 8,
     decontam_max_ratio: float = 0.0,
+    strip_line_repeats: str | None = None,
+    repetition_gate: bool = False,
 ) -> DataFrame:
     """Incremental ``clean_corpus`` — the operational shape for a corpus
     that GROWS: process only the NEW batch of raw transcripts against the
@@ -280,6 +308,7 @@ def clean_corpus_incremental(
         transcripts, min_quality, langs, min_tokens, depara, _cut,
         scrub_pii=scrub_pii, decontam_probes=decontam_probes,
         decontam_n=decontam_n, decontam_max_ratio=decontam_max_ratio,
+        strip_line_repeats=strip_line_repeats, repetition_gate=repetition_gate,
     )
     hashed = gated.withColumn("_h", F.md5(dedup.normalized_text(F.col("clean_text"))))
     reps = hashed.groupBy("_h").agg(F.min("_tid").alias("_tid"))

@@ -1,0 +1,415 @@
+"""Intra-document and corpus-level repetition removal.
+
+Two classes of repetition damage a training corpus that document-level
+dedup (ops/dedup.py) cannot see:
+
+* **Intra-document repetition** — generation loops, templated lists,
+  OCR page-header echoes: the *document* is unique but most of its
+  lines/paragraphs/n-grams repeat.  Gopher (Rae et al. 2021,
+  arXiv:2112.11446 §A1.1) gates on per-document repetition fractions;
+  `repetition_profile` computes the signal family and
+  `repetition_filter` applies the published thresholds.
+* **Cross-document boilerplate lines** — navigation chrome, cookie
+  banners, license footers that appear verbatim in thousands of
+  otherwise-distinct documents.  CCNet / C4 drop lines by corpus-wide
+  occurrence; `strip_boilerplate_lines` is the distributed form.
+
+Everything here is Catalyst-native (array + higher-order-function
+expressions, two narrow aggregations for the corpus op) — no Python
+UDFs, so the whole module stays inside whole-stage codegen and scales
+with the scan.  Reference provenance: the reference engine has no
+repetition stage (its corpus is per-invoice PDFs); this module is part
+of the LLM-training-data operator family the build brief adds on top
+of the reference surface (like ops/dedup.py, ops/decontam.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dedup_lines",
+    "repetition_profile",
+    "with_repetition",
+    "repetition_filter",
+    "strip_boilerplate_lines",
+    "GOPHER_REPETITION_THRESHOLDS",
+]
+
+
+def _split_lines(col):
+    """CRLF-normalized line array, trimmed, blank lines removed.
+
+    Blank lines are layout, not content: counting them as 'duplicate
+    lines' would flag every multi-paragraph document, and removing
+    their duplicates would destroy paragraph structure."""
+    raw = F.split(F.regexp_replace(col, "\r\n?", "\n"), "\n")
+    return F.filter(F.transform(raw, lambda x: F.trim(x)), lambda x: x != "")
+
+
+def _split_paragraphs(col):
+    """Paragraph array: split on blank-line runs, trimmed, empties out."""
+    raw = F.split(F.regexp_replace(col, "\r\n?", "\n"), "\n{2,}")
+    return F.filter(F.transform(raw, lambda x: F.trim(x)), lambda x: x != "")
+
+
+def _dup_fracs(sorted_arr):
+    """(dup_frac, dup_char_frac) over a SORTED string array.
+
+    An element is a duplicate-member when it equals a sorted neighbor —
+    one linear pass over the sorted array instead of the O(n²)
+    count-each-element-in-array shape.  dup_frac is the fraction of
+    elements that belong to a >1 group; dup_char_frac weights by
+    character length (Gopher's 'fraction of characters in duplicate
+    lines')."""
+    n = F.size(sorted_arr)
+    # when() guards keep element_at indexes in [1, n] (index 0 raises,
+    # and out-of-range raises under ANSI) — And/Or short-circuiting is
+    # an implementation detail we do not lean on
+    def _is_dup(x, i):
+        prev_eq = F.when(i > 0, F.element_at(sorted_arr, i) == x).otherwise(
+            F.lit(False)
+        )
+        next_eq = F.when(
+            i < n - 1, F.element_at(sorted_arr, i + 2) == x
+        ).otherwise(F.lit(False))
+        return F.when(prev_eq | next_eq, F.lit(1)).otherwise(F.lit(0))
+
+    flags = F.transform(sorted_arr, _is_dup)
+    dup_n = F.aggregate(flags, F.lit(0), lambda acc, x: acc + x)
+    total_chars = F.aggregate(
+        sorted_arr, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    dup_chars = F.aggregate(
+        F.zip_with(sorted_arr, flags, lambda x, fl: F.length(x) * fl),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    dup_frac = F.when(n > 0, dup_n / n).otherwise(F.lit(0.0))
+    dup_char_frac = F.when(total_chars > 0, dup_chars / total_chars).otherwise(
+        F.lit(0.0)
+    )
+    return dup_frac, dup_char_frac
+
+
+def _word_grams(toks, n: int):
+    """Overlapping word n-grams of a token array (space-joined)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _top_gram_char_frac(sorted_grams, n_nonspace_chars):
+    """Fraction of non-space characters covered by the most frequent
+    n-gram: (occurrences × non-space length of the gram) / total
+    non-space chars.  One F.aggregate run-length pass over the sorted
+    gram array; ties keep the lexically-first gram (deterministic).
+    Gopher §A1.1's 'top n-gram character fraction' — our denominator is
+    non-space characters (space placement between grams is ambiguous),
+    documented and held consistent between numerator and denominator."""
+    state0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(0).alias("best_len"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = run > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, F.length(F.replace(x, F.lit(" "), F.lit(""))))
+            .otherwise(acc["best_len"])
+            .alias("best_len"),
+        )
+
+    final = F.aggregate(sorted_grams, state0, step)
+    covered = final["best"] * final["best_len"]
+    return F.when(
+        n_nonspace_chars > 0,
+        F.least(covered / n_nonspace_chars, F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+
+
+#: Gopher (arXiv:2112.11446 table A1) repetition gate: a document is
+#: kept only if EVERY fraction is at or below its threshold.
+GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+}
+
+
+def _repetition_cols(text):
+    """The seven Gopher signal expressions over a staged text column.
+
+    Staged-projection discipline (the repo's standing expression
+    pitfall): callers must pass a plain column REFERENCE (`F.col`),
+    never an expensive expression — every signal re-references it."""
+    lines = _split_lines(text)
+    paras = _split_paragraphs(text)
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+    return lines, paras, toks
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Gopher repetition signals, one corpus scan.
+
+    Returns ``(id, n_lines, n_paras, dup_line_frac, dup_line_char_frac,
+    dup_para_frac, dup_para_char_frac, top_2gram_char_frac,
+    top_3gram_char_frac, top_4gram_char_frac)``.  Complements
+    textstats.text_profile's dup_word_frac / dup_2gram_frac (occurrence
+    fractions) with the character-weighted line / paragraph / top-gram
+    family Gopher actually gates on.
+
+    All-array expression pipeline: sorts happen per-row inside codegen,
+    no explode, no shuffle — the plan is a projection over the scan, so
+    it rides the input partitioning at any scale."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.select(F.col(id_col).alias("id"), c.alias("_t"))
+    lines, paras, toks = _repetition_cols(F.col("_t"))
+    staged = staged.select(
+        "id",
+        F.array_sort(lines).alias("_sl"),
+        F.array_sort(paras).alias("_sp"),
+        toks.alias("_toks"),
+    )
+    # every gram order references _toks → stage it, then gram arrays
+    staged = staged.select(
+        "id",
+        "_sl",
+        "_sp",
+        F.array_sort(_word_grams(F.col("_toks"), 2)).alias("_g2"),
+        F.array_sort(_word_grams(F.col("_toks"), 3)).alias("_g3"),
+        F.array_sort(_word_grams(F.col("_toks"), 4)).alias("_g4"),
+        F.aggregate(
+            F.col("_toks"), F.lit(0), lambda acc, x: acc + F.length(x)
+        ).alias("_nsc"),
+    )
+    dl, dlc = _dup_fracs(F.col("_sl"))
+    dp, dpc = _dup_fracs(F.col("_sp"))
+    nsc = F.col("_nsc")
+    return staged.select(
+        "id",
+        F.size("_sl").alias("n_lines"),
+        F.size("_sp").alias("n_paras"),
+        F.round(dl, 6).alias("dup_line_frac"),
+        F.round(dlc, 6).alias("dup_line_char_frac"),
+        F.round(dp, 6).alias("dup_para_frac"),
+        F.round(dpc, 6).alias("dup_para_char_frac"),
+        F.round(_top_gram_char_frac(F.col("_g2"), nsc), 6).alias(
+            "top_2gram_char_frac"
+        ),
+        F.round(_top_gram_char_frac(F.col("_g3"), nsc), 6).alias(
+            "top_3gram_char_frac"
+        ),
+        F.round(_top_gram_char_frac(F.col("_g4"), nsc), 6).alias(
+            "top_4gram_char_frac"
+        ),
+    )
+
+
+def with_repetition(
+    df: DataFrame, text_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """``df`` + the repetition signal columns (equi-join on the id —
+    broadcast-free: the profile rides the same scan, so Catalyst plans
+    this as a self-join only if the caller forces it; prefer
+    ``repetition_filter`` which gates without a join)."""
+    prof = repetition_profile(df, text_col, id_col).withColumnRenamed(
+        "id", id_col
+    )
+    return df.join(prof, id_col)
+
+
+def repetition_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+    min_tokens: int = 50,
+) -> DataFrame:
+    """Drop documents exceeding ANY Gopher repetition threshold.
+
+    Join-free: the signals are computed inline as a filter predicate
+    over the scan (same expressions as ``repetition_profile``), so the
+    gate adds zero shuffles to whatever pipeline it sits in.  Pass
+    ``thresholds`` to override individual limits (unknown keys raise).
+
+    The top-n-gram thresholds only apply to documents with at least
+    ``min_tokens`` words (Gopher's 50-word floor): on a 12-word
+    document a single 4-gram trivially covers >16% of the characters,
+    so gating short docs on n-gram coverage deletes clean text — short
+    docs face the line/paragraph duplicate gates only (and the corpus
+    pipeline's own quality/min-token gates).  Pass ``min_tokens=0`` to
+    gate everything."""
+    th = dict(GOPHER_REPETITION_THRESHOLDS)
+    if thresholds:
+        unknown = set(thresholds) - set(th)
+        if unknown:
+            raise ValueError(f"unknown repetition thresholds: {sorted(unknown)}")
+        th.update(thresholds)
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.withColumn("_rep_t", c)
+    lines, paras, toks = _repetition_cols(F.col("_rep_t"))
+    staged = (
+        staged.withColumn("_sl", F.array_sort(lines))
+        .withColumn("_sp", F.array_sort(paras))
+        .withColumn("_toks", toks)
+    )
+    staged = (
+        staged.withColumn("_g2", F.array_sort(_word_grams(F.col("_toks"), 2)))
+        .withColumn("_g3", F.array_sort(_word_grams(F.col("_toks"), 3)))
+        .withColumn("_g4", F.array_sort(_word_grams(F.col("_toks"), 4)))
+        .withColumn(
+            "_nsc",
+            F.aggregate(F.col("_toks"), F.lit(0), lambda a, x: a + F.length(x)),
+        )
+    )
+    dl, dlc = _dup_fracs(F.col("_sl"))
+    dp, dpc = _dup_fracs(F.col("_sp"))
+    nsc = F.col("_nsc")
+    long_enough = F.size("_toks") >= min_tokens
+    sig = {
+        "dup_line_frac": (dl, False),
+        "dup_line_char_frac": (dlc, False),
+        "dup_para_frac": (dp, False),
+        "dup_para_char_frac": (dpc, False),
+        "top_2gram_char_frac": (_top_gram_char_frac(F.col("_g2"), nsc), True),
+        "top_3gram_char_frac": (_top_gram_char_frac(F.col("_g3"), nsc), True),
+        "top_4gram_char_frac": (_top_gram_char_frac(F.col("_g4"), nsc), True),
+    }
+    pred = F.lit(True)
+    for name, (expr, gram_gate) in sig.items():
+        ok = expr <= F.lit(th[name])
+        if gram_gate:
+            ok = ok | ~long_enough
+        pred = pred & ok
+    return staged.filter(pred).drop(
+        "_rep_t", "_sl", "_sp", "_toks", "_g2", "_g3", "_g4", "_nsc"
+    )
+
+
+def dedup_lines(col, scope: str = "doc"):
+    """Expression: text with repeated lines removed, first occurrence
+    kept, original line order preserved.
+
+    ``scope='doc'`` drops every later repeat anywhere in the document
+    (`array_distinct` is order-preserving-first in Spark).
+    ``scope='consecutive'`` collapses only runs of identical adjacent
+    lines (generation-loop stutter) and leaves legitimate refrains
+    alone.  Lines are compared after trim; blank lines are preserved
+    verbatim in both scopes (layout, not content), and trailing
+    whitespace differences do not defeat the match — the ORIGINAL line
+    text is what survives.
+    """
+    raw = F.split(F.regexp_replace(col, "\r\n?", "\n"), "\n")
+    trimmed = F.transform(raw, lambda x: F.trim(x))
+    if scope == "doc":
+        # keep raw[i] iff its trimmed form's FIRST index is i, or blank
+        kept = F.filter(
+            raw,
+            lambda x, i: (F.trim(x) == "")
+            | (F.array_position(trimmed, F.trim(x)) == i + 1),
+        )
+    elif scope == "consecutive":
+        # when() guard: element_at index 0 raises — don't rely on |
+        # short-circuiting
+        kept = F.filter(
+            raw,
+            lambda x, i: (F.trim(x) == "")
+            | F.when(
+                i > 0, F.element_at(trimmed, i) != F.trim(x)
+            ).otherwise(F.lit(True)),
+        )
+    else:
+        raise ValueError(f"unknown dedup_lines scope: {scope!r}")
+    return F.concat_ws("\n", kept)
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 10,
+    min_line_chars: int = 6,
+) -> DataFrame:
+    """Corpus-level boilerplate line removal (CCNet / C4 style): a line
+    whose trimmed form appears in ≥ ``min_docs`` DISTINCT documents is
+    navigation chrome / banner / footer — drop it from every document.
+
+    Returns the input schema with ``text_col`` rewritten plus
+    ``n_lines_dropped``.  Documents keep their row (possibly with empty
+    text) so downstream joins never lose keys; line order is preserved
+    exactly and non-boilerplate lines keep their original bytes.
+
+    Lines shorter than ``min_line_chars`` after trim never participate:
+    "-", "1.", "" are common by virtue of being short, not boilerplate,
+    and dropping them would shred lists.
+
+    Scale shape (the reason this is not an array expression): the
+    occurrence count is corpus-global.  Plan = posexplode → two-phase
+    hash aggregate on md5(line) (partial map-side combine, uniform
+    keys, no skew) → the boilerplate key set is filtered BEFORE the
+    join so only true boilerplate hashes flow into the anti-join →
+    groupBy(id) reassembly.  Three shuffles total, all on uniform keys;
+    nothing is collected to the driver.
+    """
+    base = df.select(
+        F.col(id_col).alias("_bid"),
+        F.posexplode(
+            F.split(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), "\r\n?", "\n"), "\n")
+        ).alias("_pos", "_line"),
+    )
+    base = base.withColumn("_t", F.trim("_line")).withColumn(
+        "_key",
+        F.when(F.length("_t") >= min_line_chars, F.md5(F.col("_t"))),
+    )
+    boiler = (
+        base.filter(F.col("_key").isNotNull())
+        .groupBy("_key")
+        .agg(F.count_distinct("_bid").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_key")
+    )
+    marked = base.join(boiler.withColumn("_drop", F.lit(True)), "_key", "left")
+    rebuilt = marked.groupBy("_bid").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_drop").isNull(),
+                            F.struct(F.col("_pos"), F.col("_line")),
+                        )
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+        ).alias("_new_text"),
+        F.sum(F.when(F.col("_drop").isNotNull(), 1).otherwise(0)).alias(
+            "n_lines_dropped"
+        ),
+    )
+    out = df.join(
+        rebuilt.withColumnRenamed("_bid", id_col), id_col, "left"
+    )
+    return out.withColumn(
+        text_col, F.coalesce(F.col("_new_text"), F.lit(""))
+    ).withColumn(
+        "n_lines_dropped", F.coalesce(F.col("n_lines_dropped"), F.lit(0))
+    ).drop("_new_text")

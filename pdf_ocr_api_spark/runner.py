@@ -107,6 +107,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--decontam-max-ratio", type=float, default=0.0,
                     help="max allowed contaminated fraction of a turn's distinct "
                          "n-grams (default 0.0 = strict)")
+    ap.add_argument("--strip-line-repeats", choices=["doc", "consecutive"], default=None,
+                    help="remove intra-turn repeated lines before quality scoring "
+                         "(doc = drop every later repeat, consecutive = collapse runs); "
+                         "use the SAME value on every batch of a store")
+    ap.add_argument("--repetition-gate", action="store_true",
+                    help="drop turns failing the Gopher repetition thresholds "
+                         "(dup line/para fractions, top n-gram coverage) in the "
+                         "clean-corpus modes")
     ap.add_argument("--splits", default=None,
                     help='train/val/test weights, e.g. "train=0.98,val=0.01,test=0.01" — '
                          "leakage-safe hash split keyed on conv_id, stored as a split column; "
@@ -219,6 +227,8 @@ def _clean_corpus_job(args) -> int:
         scrub_pii=args.scrub_pii,
         decontam_n=args.decontam_n,
         decontam_max_ratio=args.decontam_max_ratio,
+        strip_line_repeats=args.strip_line_repeats,
+        repetition_gate=args.repetition_gate,
     )
     if args.decontam_probes:
         kw["decontam_probes"] = read_table(spark, args.decontam_probes)
