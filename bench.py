@@ -145,6 +145,15 @@ def headline_queries(spark, transcripts):
         qv = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
         return _count(similarity.brute_force_topk(e.filter(F.col("vec_id") != 0), list(qv), k=10))
 
+    def q_repetition():
+        # r5: Gopher repetition gate over the documents table — a pure
+        # array-expression predicate (zero shuffles; the cost is the
+        # per-row sorts/grams inside codegen)
+        from pdf_ocr_api_spark.ops import repetition
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return _count(repetition.repetition_filter(d))
+
     def q_training_assembly():
         # r5: the training-set assembly tail — leakage-safe split +
         # sequence packing over the full bench transcript table (one
@@ -171,6 +180,7 @@ def headline_queries(spark, transcripts):
         "simhash": q_simhash,
         "quality": q_quality,
         "ann_cosine": q_ann,
+        "repetition": q_repetition,
         "training_assembly": q_training_assembly,
     }
 

@@ -334,3 +334,57 @@ def test_clean_corpus_incremental_agrees_with_flags(spark, depara):
     assert full.exceptAll(merged).count() == 0
     # the loop turn never made it into the store
     assert inc.filter("conv_id = 'c020'").count() == 0
+
+
+def test_engine_twins_profile(spark, docs):
+    """The pandas engine (default) and the pure-Catalyst expression
+    engine compute identical signals — the expr form anchors the
+    semantics (DuckDB-oracled above), the pandas form is the fast
+    path."""
+    import math
+
+    # fixture docs + adversarial extras: CRLF, tabs, trailing spaces,
+    # long loop, unicode accents
+    extra = spark.createDataFrame(
+        [
+            (100, "tab\tsep words\r\ntab\tsep words\r\nother line "),
+            (101, " lead space\n\n\nlead space \nLEAD SPACE"),
+            (102, " ".join(["volta o texto de novo"] * 30)),
+            (103, "acentuação já útil\nacentuação já útil"),
+        ],
+        "doc_id int, text string",
+    )
+    both = docs.unionByName(extra)
+    a = {r["id"]: r.asDict() for r in R.repetition_profile(both).collect()}
+    b = {
+        r["id"]: r.asDict()
+        for r in R.repetition_profile(both, engine="expr").collect()
+    }
+    assert a.keys() == b.keys()
+    for i in a:
+        for k in a[i]:
+            va, vb = a[i][k], b[i][k]
+            if isinstance(va, float):
+                assert math.isclose(va, vb, abs_tol=1e-6), (i, k, va, vb)
+            else:
+                assert va == vb, (i, k, va, vb)
+
+
+def test_engine_twins_filter(spark, docs):
+    extra = spark.createDataFrame(
+        [(200, " ".join(["loop words here"] * 40)),
+         (201, " ".join(f"tok{i} unique{i}" for i in range(60)))],
+        "doc_id int, text string",
+    )
+    both = docs.unionByName(extra)
+    for kw in ({}, {"min_tokens": 0}, {"thresholds": {"dup_line_frac": 0.6}}):
+        a = sorted(r["doc_id"] for r in R.repetition_filter(both, **kw).collect())
+        b = sorted(
+            r["doc_id"]
+            for r in R.repetition_filter(both, engine="expr", **kw).collect()
+        )
+        assert a == b, kw
+    with pytest.raises(ValueError, match="engine"):
+        R.repetition_filter(both, engine="nope")
+    with pytest.raises(ValueError, match="engine"):
+        R.repetition_profile(both, engine="nope")
