@@ -25,11 +25,13 @@ Plan shape (all keys uniform by construction — no skew surface):
    (odd multiplier is invertible mod 2^64), TWO independent
    multipliers → a 128-bit fingerprint, so a false window match needs
    a simultaneous collision in both rings;
-2. posexplode windows → groupBy fingerprint: ``count ≥ min_count``
-   AND the canonical keeper ``min (id, pos)`` ride ONE partial-
-   aggregated shuffle;
-3. non-keeper occurrences join back (same partitioning as the
-   groupBy — AQE reuses it) and regroup per document;
+2. ONE shuffle on the fingerprint: occurrence count and the canonical
+   keeper ``min (id, pos)`` are WINDOW aggregates over
+   ``partitionBy(h1, h2)``, so the token-scale window table streams
+   through exactly once — never cached, never consumed twice (the
+   bake-off vs the groupBy+join-back and cached forms is in BENCH.md);
+3. non-keeper occurrences of ≥ ``min_count`` fingerprints regroup per
+   document (small by construction — only true repeats);
 4. per-document rebuild: numpy interval marking (+1/-1 diff array,
    cumsum > 0 = covered token) drops covered tokens; ONLY affected
    documents are rewritten (untouched documents keep their original
@@ -57,7 +59,14 @@ from pyspark.sql import functions as F
 # cut positions drift
 _WS_SPLIT = re.compile(r"[ \t\n\x0b\f\r]+")
 
-__all__ = ["window_fingerprints", "dedup_substrings", "substring_dup_stats"]
+__all__ = [
+    "window_fingerprints",
+    "dedup_substrings",
+    "substring_dup_stats",
+    "substring_index",
+    "dedup_substrings_incremental",
+    "update_substring_index",
+]
 
 # two independent odd multipliers (random 64-bit, fixed for
 # reproducibility across runs and stores)
@@ -222,9 +231,17 @@ def dedup_substrings(
         .groupBy("id")
         .agg(F.sort_array(F.collect_list("pos")).alias("_cut_pos"))
     )
-    joined = df.join(
-        remove.withColumnRenamed("id", id_col), id_col, "left"
-    )
+    return _apply_cuts(df, remove, text_col, id_col, width)
+
+
+def _apply_cuts(
+    df: DataFrame, remove: DataFrame, text_col: str, id_col: str, width: int
+) -> DataFrame:
+    """Join per-doc sorted cut positions (``remove``: (id, _cut_pos))
+    back to the corpus and rebuild affected documents: numpy interval
+    marking (+1/-1 diff, cumsum>0 = covered token) drops covered
+    tokens; untouched docs pass through with their original bytes."""
+    joined = df.join(remove.withColumnRenamed("id", id_col), id_col, "left")
 
     out_fields = df.schema.fieldNames()
     out_schema = joined.drop("_cut_pos").schema.add("n_tokens_removed", "long")
@@ -255,4 +272,93 @@ def dedup_substrings(
 
     return joined.mapInPandas(_rebuild, out_schema).select(
         *out_fields, "n_tokens_removed"
+    )
+
+
+def substring_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", width: int = 50
+) -> DataFrame:
+    """Aggregated fingerprint index ``(h1, h2, n_occ)`` of a KEPT
+    corpus — the persistable state that makes substring dedup
+    incremental (the ``kept_sigs`` pattern from ops/corpus.py applied
+    here).  One token-scale pass, one partial-aggregated shuffle; the
+    output is distinct-fingerprint-scale.  Store it partitioned/bucketed
+    by (h1, h2) so batch probes shuffle only the batch side."""
+    return (
+        window_fingerprints(df, text_col, id_col, width)
+        .groupBy("h1", "h2")
+        .agg(F.count("*").alias("n_occ"))
+    )
+
+
+def dedup_substrings_incremental(
+    index: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Incremental ``dedup_substrings``: clean only the NEW batch
+    against the stored corpus' fingerprint index (``substring_index``)
+    plus the batch itself — history is never re-tokenized.
+
+    Removal rule per batch window: total occurrences (history count +
+    batch count) ≥ ``min_count``, and the occurrence is removed unless
+    it is the canonical keeper.  History always out-ranks the batch
+    (the append contract: batch ids sort after every stored id, as in
+    ``clean_corpus_incremental``), so any batch window whose
+    fingerprint exists in the index is removed outright; a window new
+    to the corpus keeps its min-(id,pos) batch occurrence.
+
+    Equals the full recompute ``dedup_substrings(history ∪ batch)``
+    under the append contract when the stored history text is itself
+    the fixed point (nothing was cut from it — true for corpora that
+    were clean on arrival, and asserted in tests); when history WAS cut
+    in earlier rounds, the stored text is the canonical corpus and the
+    batch is cleaned against it as-is — same "history is immutable"
+    semantics as ``clean_corpus_incremental``.
+
+    Plan: fingerprint the batch only; ONE window-aggregate shuffle over
+    the batch windows; LEFT JOIN the (distinct-fingerprint-scale) index
+    on (h1, h2) — with the index bucketed by (h1, h2) only the batch
+    side shuffles; rebuild touches only affected batch docs."""
+    from pyspark.sql import Window
+
+    bwins = window_fingerprints(batch, text_col, id_col, width)
+    w = Window.partitionBy("h1", "h2")
+    probed = (
+        bwins.withColumn("_bc", F.count("*").over(w))
+        .withColumn("_k", F.min(F.struct("id", "pos")).over(w))
+        .join(index.select("h1", "h2", "n_occ"), ["h1", "h2"], "left")
+    )
+    total = F.col("_bc") + F.coalesce(F.col("n_occ"), F.lit(0))
+    in_history = F.col("n_occ").isNotNull()
+    non_keeper = (F.col("id") != F.col("_k.id")) | (
+        F.col("pos") != F.col("_k.pos")
+    )
+    remove = (
+        probed.filter((total >= min_count) & (in_history | non_keeper))
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("_cut_pos"))
+    )
+    return _apply_cuts(batch, remove, text_col, id_col, width)
+
+
+def update_substring_index(
+    index: DataFrame,
+    cleaned_batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 50,
+) -> DataFrame:
+    """New index = old index + the CLEANED batch's fingerprints
+    (re-fingerprinting the cleaned text, not the raw batch — cut spans
+    must not count as stored occurrences).  One token-scale pass over
+    the batch only; merge is a fingerprint-keyed sum."""
+    delta = substring_index(cleaned_batch, text_col, id_col, width)
+    return (
+        index.unionByName(delta)
+        .groupBy("h1", "h2")
+        .agg(F.sum("n_occ").alias("n_occ"))
     )

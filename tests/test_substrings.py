@@ -144,3 +144,76 @@ def test_schema_passthrough_and_extra_columns(spark):
     rows = {r["doc_id"]: r for r in out.collect()}
     assert rows[1]["tag"] == "keep1" and rows[2]["tag"] == "keep2"
     assert rows[1]["n_tokens_removed"] == 0 and rows[2]["n_tokens_removed"] == 6
+
+
+def _inc_oracle(hist_docs, batch_docs, width, min_count=2):
+    """Full-recompute oracle over history ∪ batch, restricted to the
+    batch rows (the incremental contract: history ids sort first)."""
+    full = _brute(hist_docs + batch_docs, width, min_count)
+    return {i: full[i] for i, _ in batch_docs}
+
+
+def test_incremental_equals_full_recompute(spark):
+    """incremental(index(hist), batch) == full recompute's batch rows
+    when the stored history is its own fixed point (no internal dups)."""
+    span = " ".join(f"q{i}" for i in range(10))
+    hist = [
+        (1, "stored document one holds " + span + " inside its body text"),
+        (2, "another stored doc with fully unique phrasing and words"),
+    ]
+    batch = [
+        (10, "new batch doc reusing " + span + " plus fresh tail words"),
+        (11, "completely novel batch content nothing shared here at all"),
+        (12, span + " appears twice in batch " + span),
+    ]
+    hdf = spark.createDataFrame(hist, "doc_id int, text string")
+    bdf = spark.createDataFrame(batch, "doc_id int, text string")
+    idx = S.substring_index(hdf, width=10)
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens_removed"])
+        for r in S.dedup_substrings_incremental(idx, bdf, width=10).collect()
+    }
+    assert got == _inc_oracle(hist, batch, width=10)
+    # history span out-ranks every batch occurrence: both copies in
+    # doc 12 are gone, doc 10 loses its copy, doc 11 untouched
+    assert "q0" not in got[10][0] and "q0" not in got[12][0]
+    assert got[11][1] == 0
+
+
+def test_incremental_min_count_spans_history_and_batch(spark):
+    span = " ".join(f"m{i}" for i in range(8))
+    hist = [(1, "stored context " + span + " stored tail")]
+    batch = [(10, "batch head " + span + " batch tail")]
+    hdf = spark.createDataFrame(hist, "doc_id int, text string")
+    bdf = spark.createDataFrame(batch, "doc_id int, text string")
+    idx = S.substring_index(hdf, width=8)
+    # total occurrences = 1 hist + 1 batch = 2
+    got2 = S.dedup_substrings_incremental(idx, bdf, width=8, min_count=2)
+    assert got2.collect()[0]["n_tokens_removed"] == 8
+    got3 = S.dedup_substrings_incremental(idx, bdf, width=8, min_count=3)
+    assert got3.collect()[0]["n_tokens_removed"] == 0
+
+
+def test_index_update_rounds(spark):
+    """Three batches through index → update → index: a span stored in
+    round 1 still suppresses copies arriving in round 3, and the
+    UPDATED index counts the CLEANED text (a cut span does not inflate
+    n_occ)."""
+    span = " ".join(f"r{i}" for i in range(8))
+    b1 = [(1, "first round doc with " + span + " inside")]
+    b2 = [(10, "second round doc reusing " + span + " again")]
+    b3 = [(20, "third round doc also reusing " + span + " here")]
+    mk = lambda d: spark.createDataFrame(d, "doc_id int, text string")
+    idx = S.substring_index(mk(b1), width=8)
+    c2 = S.dedup_substrings_incremental(idx, mk(b2), width=8)
+    assert c2.collect()[0]["n_tokens_removed"] == 8
+    idx = S.update_substring_index(idx, c2.select("doc_id", "text"), width=8)
+    c3 = S.dedup_substrings_incremental(idx, mk(b3), width=8)
+    assert c3.collect()[0]["n_tokens_removed"] == 8
+    # the span's fingerprint still counts exactly ONE stored occurrence
+    # (round 2's copy was cut before the index update)
+    stats = {(r["h1"], r["h2"]): r["n_occ"] for r in idx.collect()}
+    hist_wins = S.window_fingerprints(mk(b1), width=8).collect()
+    span_keys = {(r["h1"], r["h2"]) for r in hist_wins}
+    # the pure-span window appears once in b1 and was never re-added
+    assert all(stats[k] == 1 for k in span_keys if k in stats)
