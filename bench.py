@@ -154,6 +154,21 @@ def headline_queries(spark, transcripts):
         d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         return _count(repetition.repetition_filter(d))
 
+    def q_substring_dedup():
+        # r5: exact substring dedup over the bench transcript table —
+        # fingerprint mapInPandas + ONE window-aggregate shuffle +
+        # rebuild of affected docs only (plan CI-asserted)
+        from pdf_ocr_api_spark.ops import substrings
+
+        t2 = transcripts.withColumn(
+            "tid",
+            F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")),
+        )
+        out = substrings.dedup_substrings(
+            t2, text_col="text", id_col="tid", width=25
+        )
+        return _count(out.filter(F.col("n_tokens_removed") >= 0))
+
     def q_training_assembly():
         # r5: the training-set assembly tail — leakage-safe split +
         # sequence packing over the full bench transcript table (one
@@ -181,6 +196,7 @@ def headline_queries(spark, transcripts):
         "quality": q_quality,
         "ann_cosine": q_ann,
         "repetition": q_repetition,
+        "substring_dedup": q_substring_dedup,
         "training_assembly": q_training_assembly,
     }
 

@@ -115,6 +115,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="drop turns failing the Gopher repetition thresholds "
                          "(dup line/para fractions, top n-gram coverage) in the "
                          "clean-corpus modes")
+    ap.add_argument("--dedup-substrings", type=int, default=0, metavar="WIDTH",
+                    help="remove duplicated ≥WIDTH-token spans (Lee et al. exact "
+                         "substring dedup) after near-dup removal; persists an "
+                         "append-only fingerprint index at <output>/substring_index "
+                         "so incremental batches are cleaned against history; "
+                         "use the SAME width on every batch of a store (0 = off)")
     ap.add_argument("--splits", default=None,
                     help='train/val/test weights, e.g. "train=0.98,val=0.01,test=0.01" — '
                          "leakage-safe hash split keyed on conv_id, stored as a split column; "
@@ -197,6 +203,8 @@ def _clean_corpus_job(args) -> int:
     APPENDS the surviving rows plus their signatures — the stored pair
     stays self-consistent, so batches can be chained indefinitely
     (equality contract and divergence classes: ops/corpus docstrings)."""
+    from pyspark.sql import functions as F  # noqa: N812
+
     from .ops import corpus as corpus_ops
     from .sources.io import read_table, sub_target, table_exists, write_table
 
@@ -206,6 +214,61 @@ def _clean_corpus_job(args) -> int:
     corpus_target = sub_target(args.output, "corpus")
     sig_target = sub_target(args.output, "signatures")
     runs_target = sub_target(args.output, "runs")
+    ss_target = sub_target(args.output, "substring_index")
+
+    def _substring_stage(rows, incremental: bool):
+        """Optional exact-substring-dedup stage over the cleaned rows.
+
+        Returns (rows_without_helper_cols, tokens_removed).  The index
+        store is APPEND-ONLY (h1, h2, n_occ, width) deltas — crash-safe
+        like the signature store: a missing/partial index only costs
+        recall on later batches, never corrupts text; probes aggregate
+        on read.  Width is stamped per row and checked on every
+        incremental probe (a mixed-width index would silently match
+        nothing)."""
+        from .ops import corpus as _c
+        from .ops import substrings as _ss
+
+        width = args.dedup_substrings
+        staged = rows.withColumn("_sid", _c.turn_id())
+        if incremental:
+            if not table_exists(spark, ss_target):
+                # store predates the flag → bootstrap the index from the
+                # stored corpus (one token-scale pass, recoverable like
+                # sync_signatures)
+                kept_c = read_table(spark, corpus_target).withColumn(
+                    "_sid", _c.turn_id()
+                )
+                boot = _ss.substring_index(
+                    kept_c, text_col="clean_text", id_col="_sid", width=width
+                ).withColumn("width", F.lit(width))
+                write_table(boot, ss_target, mode="create")
+            raw_idx = read_table(spark, ss_target)
+            widths = [r[0] for r in raw_idx.select("width").distinct().collect()]
+            if widths and widths != [width]:
+                raise SystemExit(
+                    f"--dedup-substrings {width} does not match the stored "
+                    f"index width(s) {widths} at {ss_target}"
+                )
+            idx = raw_idx.groupBy("h1", "h2").agg(F.sum("n_occ").alias("n_occ"))
+            cleaned = _ss.dedup_substrings_incremental(
+                idx, staged, text_col="clean_text", id_col="_sid", width=width
+            )
+        else:
+            cleaned = _ss.dedup_substrings(
+                staged, text_col="clean_text", id_col="_sid", width=width
+            )
+        cleaned = cleaned.localCheckpoint(eager=True)
+        removed = cleaned.agg(F.sum("n_tokens_removed")).collect()[0][0] or 0
+        delta = _ss.substring_index(
+            cleaned, text_col="clean_text", id_col="_sid", width=width
+        ).withColumn("width", F.lit(width))
+        write_table(delta, ss_target, mode="append" if incremental else "create")
+        out = cleaned.drop("_sid", "n_tokens_removed")
+        for attr in ("_dedup_metrics", "_lsh_metrics"):
+            if getattr(rows, attr, None) is not None:
+                setattr(out, attr, getattr(rows, attr))
+        return out, int(removed)
 
     def _log_run(mode: str, rows_kept: int, metrics: dict | None) -> None:
         # one run-summary row per job next to the store: the recall-loss
@@ -255,7 +318,11 @@ def _clean_corpus_job(args) -> int:
         return out
 
     if args.clean_corpus:
-        out = _with_splits(corpus_ops.clean_corpus(batch, **kw))
+        out = corpus_ops.clean_corpus(batch, **kw)
+        ss_removed = 0
+        if args.dedup_substrings:
+            out, ss_removed = _substring_stage(out, incremental=False)
+        out = _with_splits(out)
         write_table(out, corpus_target, mode="create")
         metrics = corpus_ops.dedup_metrics(out)
         # signatures from the STORED table (the scale pattern: never keep
@@ -269,7 +336,10 @@ def _clean_corpus_job(args) -> int:
         # count (0 on the supported re-run/recovery path)
         n = read_table(spark, corpus_target).count()
         _log_run("clean_corpus", n, metrics)
-        print(json.dumps({"mode": "clean_corpus", "rows": n, "dedup_metrics": metrics}))
+        summary = {"mode": "clean_corpus", "rows": n, "dedup_metrics": metrics}
+        if args.dedup_substrings:
+            summary["substring_tokens_removed"] = ss_removed
+        print(json.dumps(summary))
         return 0
 
     if not table_exists(spark, corpus_target):
@@ -280,7 +350,11 @@ def _clean_corpus_job(args) -> int:
     corpus_ops.sync_signatures(spark, corpus_target, sig_target, parallelism=args.buckets)
     kept = read_table(spark, corpus_target)
     sigs = read_table(spark, sig_target)
-    new_rows = _with_splits(corpus_ops.clean_corpus_incremental(kept, batch, kept_sigs=sigs, **kw))
+    new_rows = corpus_ops.clean_corpus_incremental(kept, batch, kept_sigs=sigs, **kw)
+    ss_removed = 0
+    if args.dedup_substrings:
+        new_rows, ss_removed = _substring_stage(new_rows, incremental=True)
+    new_rows = _with_splits(new_rows)
     metrics = corpus_ops.dedup_metrics(new_rows)
     # one computation, two appends: materialize the (batch-sized) result
     new_rows = new_rows.localCheckpoint(eager=True)
@@ -292,11 +366,14 @@ def _clean_corpus_job(args) -> int:
     )
     n_kept = new_rows.count()
     _log_run("clean_incremental", n_kept, metrics)
-    print(json.dumps({
+    summary = {
         "mode": "clean_incremental",
         "new_rows_kept": n_kept,
         "dedup_metrics": metrics,
-    }))
+    }
+    if args.dedup_substrings:
+        summary["substring_tokens_removed"] = ss_removed
+    print(json.dumps(summary))
     return 0
 
 

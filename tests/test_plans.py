@@ -182,3 +182,44 @@ def test_segmented_assembly_no_conversation_window(stored, depara):
     # over (conv_id) at summary grain; a cartesian or NLJ would be a bug
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_ops_shuffle_free(spark):
+    """The Gopher gate and profile are single-map plans in BOTH engines
+    — no Exchange anywhere (the gate must add zero shuffles to any
+    pipeline it sits in)."""
+    from pdf_ocr_api_spark.ops import repetition as R
+
+    d = spark.createDataFrame(
+        [(i, f"line a{i}\nline b{i}") for i in range(50)],
+        "doc_id int, text string",
+    )
+    for q in (
+        R.repetition_filter(d),
+        R.repetition_filter(d, engine="expr"),
+        R.repetition_profile(d),
+        R.repetition_profile(d, engine="expr"),
+    ):
+        assert PI.exchange_count(q) == 0, PI.executed_plan(q)[:2000]
+
+
+def test_substring_dedup_exchange_budget(spark):
+    """dedup_substrings: the token-scale window table crosses exactly
+    ONE exchange (the window aggregate over (h1,h2)); the remaining
+    exchanges only carry per-doc cut lists and the corpus join — 3
+    total, and the fingerprint mapInPandas stage appears ONCE (the
+    bake-off regression guard: the join-back form evaluated it twice)."""
+    from pdf_ocr_api_spark.ops import substrings as S
+
+    span = " ".join(f"z{i}" for i in range(8))
+    d = spark.createDataFrame(
+        [(i, f"head{i} " + span + f" tail{i}") for i in range(40)],
+        "doc_id int, text string",
+    )
+    q = S.dedup_substrings(d, width=8)
+    plan = PI.executed_plan(q)
+    assert PI.exchange_count(q) <= 3, plan[:3000]
+    # the fingerprint UDF stage (first mapInPandas over _th) must not
+    # be duplicated: count FlatMapsInPandas — expect exactly 2 (one
+    # fingerprint pass + one rebuild pass)
+    assert plan.count("FlatMapsInPandas") + plan.count("MapInPandas") == 2, plan[:3000]

@@ -217,3 +217,50 @@ def test_index_update_rounds(spark):
     span_keys = {(r["h1"], r["h2"]) for r in hist_wins}
     # the pure-span window appears once in b1 and was never re-added
     assert all(stats[k] == 1 for k in span_keys if k in stats)
+
+
+def test_runner_dedup_substrings_flag(spark, tmp_path):
+    """CLI surface: --dedup-substrings removes duplicated spans in the
+    full mode (keep-one within the batch), persists the fingerprint
+    index, and the incremental mode cleans the next batch against
+    history; width mismatch on an existing index exits."""
+    from pdf_ocr_api_spark import runner
+
+    span = " ".join(f"cli{i}" for i in range(10))
+    mk = lambda cid, txt: (cid, 0, "user", txt, None)
+    schema = "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING"
+    b1 = spark.createDataFrame(
+        [mk("a0", "first keeper document body holds " + span + " and more"),
+         mk("a1", "second document repeats the block " + span + " again"),
+         mk("a2", "independent unique content with nothing shared at all")],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [mk("b0", "a later batch reusing " + span + " from history"),
+         mk("b1", "fresh unseen batch text entirely its own words here")],
+        schema,
+    )
+    in1, in2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    b1.write.parquet(in1)
+    b2.write.parquet(in2)
+    root = str(tmp_path / "run")
+    knobs = ["--min-quality", "0.3", "--min-tokens", "3", "--dedup-threshold",
+             "0.6", "--buckets", "8", "--dedup-substrings", "10"]
+    assert runner.main(["--clean-corpus", "--input", in1, "--output", root] + knobs) == 0
+    stored = {r.conv_id: r.clean_text for r in spark.read.parquet(f"{root}/corpus").collect()}
+    assert span in stored["a0"]            # keeper (min turn-id)
+    assert "cli0" not in stored["a1"]      # batch-internal repeat cut
+    assert "nothing shared" in stored["a2"]
+    idx = spark.read.parquet(f"{root}/substring_index")
+    assert idx.columns == ["h1", "h2", "n_occ", "width"]
+    assert idx.select("width").distinct().collect()[0][0] == 10
+
+    assert runner.main(["--clean-incremental", "--input", in2, "--output", root] + knobs) == 0
+    stored2 = {r.conv_id: r.clean_text for r in spark.read.parquet(f"{root}/corpus").collect()}
+    assert "cli0" not in stored2["b0"]     # history suppresses the reuse
+    assert "its own words" in stored2["b1"]
+
+    # width mismatch on the stored index is a hard error
+    bad = [k if k != "10" else "12" for k in knobs]
+    with pytest.raises(SystemExit, match="width"):
+        runner.main(["--clean-incremental", "--input", in2, "--output", root] + bad)
