@@ -52,6 +52,9 @@ def _gated_turns(
     decontam_max_ratio=0.0,
     strip_line_repeats=None,
     repetition_gate=False,
+    lm=None,
+    lm_max_ppl=None,
+    lm_order=3,
 ):
     """extract → (optional PII scrub / line-repeat strip) →
     quality/language features → gates → (optional Gopher repetition
@@ -127,6 +130,17 @@ def _gated_turns(
         from . import repetition
 
         gated = repetition.repetition_filter(gated, text_col="clean_text")
+    if lm is not None and lm_max_ppl is not None:
+        from . import lm as lm_ops
+
+        # CCNet-style LM quality gate: a seed-corpus Stupid Backoff LM
+        # (ops/lm.train_ngram_lm, persisted as a plain table) gates
+        # turns by pseudo-perplexity. Seed LMs are vocabulary-scale →
+        # broadcast the joins.
+        gated = lm_ops.perplexity_filter(
+            gated, lm, lm_max_ppl, text_col="clean_text", id_col="_tid",
+            order=lm_order, broadcast_lm=True,
+        )
     if decontam_probes is not None:
         from . import decontam
 
@@ -160,6 +174,9 @@ def clean_corpus(
     decontam_max_ratio: float = 0.0,
     strip_line_repeats: str | None = None,
     repetition_gate: bool = False,
+    lm: DataFrame | None = None,
+    lm_max_ppl: float | None = None,
+    lm_order: int = 3,
 ) -> DataFrame:
     """Raw transcripts → cleaned per-turn corpus.
 
@@ -193,6 +210,7 @@ def clean_corpus(
         scrub_pii=scrub_pii, decontam_probes=decontam_probes,
         decontam_n=decontam_n, decontam_max_ratio=decontam_max_ratio,
         strip_line_repeats=strip_line_repeats, repetition_gate=repetition_gate,
+        lm=lm, lm_max_ppl=lm_max_ppl, lm_order=lm_order,
     )
     # stage 1: EXACT dedup (hash groupBy — one shuffle on uniform md5
     # keys). Template-heavy corpora have huge identical families; running
@@ -268,6 +286,9 @@ def clean_corpus_incremental(
     decontam_max_ratio: float = 0.0,
     strip_line_repeats: str | None = None,
     repetition_gate: bool = False,
+    lm: DataFrame | None = None,
+    lm_max_ppl: float | None = None,
+    lm_order: int = 3,
 ) -> DataFrame:
     """Incremental ``clean_corpus`` — the operational shape for a corpus
     that GROWS: process only the NEW batch of raw transcripts against the
@@ -309,6 +330,7 @@ def clean_corpus_incremental(
         scrub_pii=scrub_pii, decontam_probes=decontam_probes,
         decontam_n=decontam_n, decontam_max_ratio=decontam_max_ratio,
         strip_line_repeats=strip_line_repeats, repetition_gate=repetition_gate,
+        lm=lm, lm_max_ppl=lm_max_ppl, lm_order=lm_order,
     )
     hashed = gated.withColumn("_h", F.md5(dedup.normalized_text(F.col("clean_text"))))
     reps = hashed.groupBy("_h").agg(F.min("_tid").alias("_tid"))

@@ -115,6 +115,19 @@ def main(argv: list[str] | None = None) -> int:
                     help="drop turns failing the Gopher repetition thresholds "
                          "(dup line/para fractions, top n-gram coverage) in the "
                          "clean-corpus modes")
+    ap.add_argument("--train-lm", action="store_true",
+                    help="train a Stupid Backoff n-gram LM on --input transcripts' text "
+                         "and write the (n, gram, cnt) table to --output; use it later "
+                         "via --lm-table in the clean-corpus modes")
+    ap.add_argument("--lm-table", default=None,
+                    help="parquet dir / catalog ident of a trained LM (--train-lm output); "
+                         "with --lm-max-ppl, gates turns by pseudo-perplexity (CCNet-style)")
+    ap.add_argument("--lm-max-ppl", type=float, default=None,
+                    help="max pseudo-perplexity a turn may score against --lm-table")
+    ap.add_argument("--lm-order", type=int, default=3,
+                    help="n-gram order for --train-lm and LM scoring (default 3)")
+    ap.add_argument("--lm-min-count", type=int, default=2,
+                    help="--train-lm: prune n>1 grams below this count (default 2)")
     ap.add_argument("--dedup-substrings", type=int, default=0, metavar="WIDTH",
                     help="remove duplicated ≥WIDTH-token spans (Lee et al. exact "
                          "substring dedup) after near-dup removal; persists an "
@@ -149,6 +162,8 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--input and --output are required (or --selftest)")
     if args.clean_corpus and args.clean_incremental:
         ap.error("--clean-corpus and --clean-incremental are mutually exclusive")
+    if args.train_lm:
+        return _train_lm_job(args)
     if args.clean_corpus or args.clean_incremental:
         return _clean_corpus_job(args)
     if args.records_rows and not args.records:
@@ -191,6 +206,34 @@ def main(argv: list[str] | None = None) -> int:
         from .sources.io import sub_target
 
         write_table(recs, sub_target(args.output, "records"), mode="create")
+    return 0
+
+
+def _train_lm_job(args) -> int:
+    """--train-lm: persist a Stupid Backoff LM (ops/lm) as a plain
+    table.  Trains on ``clean_text`` when the input is a cleaned corpus
+    store (`<root>/corpus`), else on raw ``text`` — CCNet's pattern is
+    an in-domain SEED corpus, so pointing --input at an existing clean
+    store is the intended use."""
+    from .ops import lm as lm_ops
+    from .sources.io import read_table, write_table
+
+    spark = build_session(
+        "pdf-ocr-api-spark-lm", args.master, args.shuffle_partitions, args.driver_memory
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    src = read_table(spark, args.input)
+    text_col = "clean_text" if "clean_text" in src.columns else "text"
+    lm = lm_ops.train_ngram_lm(
+        src, text_col=text_col, order=args.lm_order, min_count=args.lm_min_count
+    )
+    write_table(lm, args.output, mode="create")
+    n = read_table(spark, args.output).count()
+    print(json.dumps({
+        "mode": "train_lm", "lm_rows": n,
+        "order": args.lm_order, "min_count": args.lm_min_count,
+        "text_col": text_col,
+    }))
     return 0
 
 
@@ -295,6 +338,10 @@ def _clean_corpus_job(args) -> int:
     )
     if args.decontam_probes:
         kw["decontam_probes"] = read_table(spark, args.decontam_probes)
+    if args.lm_table and args.lm_max_ppl is not None:
+        kw["lm"] = read_table(spark, args.lm_table)
+        kw["lm_max_ppl"] = args.lm_max_ppl
+        kw["lm_order"] = args.lm_order
     batch = read_table(spark, args.input)
 
     def _with_splits(df):

@@ -143,3 +143,53 @@ def test_perplexity_filter(spark, lm3):
         L.score_lm(docs, lm3, order=0)
     with pytest.raises(ValueError, match="order"):
         L.train_ngram_lm(docs, order=0)
+
+
+def test_runner_train_lm_and_gate(spark, tmp_path):
+    """CLI surface: --train-lm persists the LM table; --lm-table +
+    --lm-max-ppl gates out-of-domain turns in the clean-corpus job
+    while in-domain turns survive."""
+    from pdf_ocr_api_spark import runner
+
+    seed_texts = TRAIN * 3
+    schema = "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING"
+    seed = spark.createDataFrame(
+        [(f"s{i}", 0, "user", t, None) for i, t in enumerate(seed_texts)], schema
+    )
+    seed_in = str(tmp_path / "seed")
+    seed.write.parquet(seed_in)
+    lm_out = str(tmp_path / "lm")
+    assert runner.main(
+        ["--train-lm", "--input", seed_in, "--output", lm_out,
+         "--lm-order", "3", "--lm-min-count", "1"]
+    ) == 0
+    lm_rows = spark.read.parquet(lm_out)
+    assert set(lm_rows.columns) == {"n", "gram", "cnt"}
+
+    batch = spark.createDataFrame(
+        [("a0", 0, "user", "the cat sat on the rug near the garden", None),
+         ("a1", 0, "user", "zq wv xk jj qq pp zz yy ww vv uu tt", None)],
+        schema,
+    )
+    bin_ = str(tmp_path / "batch")
+    batch.write.parquet(bin_)
+    root = str(tmp_path / "run")
+    # pick a cut between the two docs' perplexities via the operator
+    from pdf_ocr_api_spark.ops import lm as L2
+
+    ppl = {
+        r["id"]: r["pseudo_ppl"]
+        for r in L2.score_lm(
+            batch.withColumnRenamed("conv_id", "doc_id"),
+            spark.read.parquet(lm_out),
+            text_col="text", id_col="doc_id",
+        ).collect()
+    }
+    cut = (ppl["a0"] + ppl["a1"]) / 2
+    assert runner.main(
+        ["--clean-corpus", "--input", bin_, "--output", root,
+         "--min-quality", "0.2", "--min-tokens", "3", "--buckets", "8",
+         "--lm-table", lm_out, "--lm-max-ppl", str(cut)]
+    ) == 0
+    stored = {r.conv_id for r in spark.read.parquet(f"{root}/corpus").collect()}
+    assert stored == {"a0"}
