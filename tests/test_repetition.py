@@ -388,3 +388,16 @@ def test_engine_twins_filter(spark, docs):
         R.repetition_filter(both, engine="nope")
     with pytest.raises(ValueError, match="engine"):
         R.repetition_profile(both, engine="nope")
+
+
+def test_with_repetition_join_matches_profile(spark, docs):
+    out = R.with_repetition(docs, "text", "doc_id")
+    assert set(out.columns) == {
+        "doc_id", "text", "n_lines", "n_paras", "dup_line_frac",
+        "dup_line_char_frac", "dup_para_frac", "dup_para_char_frac",
+        "top_2gram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac",
+    }
+    prof = {r["id"]: r["dup_line_frac"] for r in R.repetition_profile(docs).collect()}
+    got = {r["doc_id"]: r["dup_line_frac"] for r in out.collect()}
+    assert got == prof
+    assert out.count() == docs.count()  # 1:1 join, no row loss
