@@ -19,7 +19,9 @@ fraction of the cost, which is exactly what a corpus quality gate
 needs.)
 
 Tokenization matches the rest of the repo (Java ``\\s`` ASCII split,
-lowercased) with ``<s>``/``</s>`` sentence boundary markers; grams are
+lowercased) with control-char BOS/EOS boundary markers (see the
+``_BOS`` comment — printable markers like ``<s>`` collide with real
+web-text tokens); grams are
 space-joined token strings, so every table is human-auditable and a
 pure-Python oracle reproduces scores exactly (tests).
 
@@ -41,8 +43,20 @@ __all__ = ["train_ngram_lm", "score_lm", "perplexity_filter", "ALPHA"]
 #: Stupid Backoff's published back-off multiplier.
 ALPHA = 0.4
 
-_BOS = "<s>"
-_EOS = "</s>"
+# Sentence markers are CONTROL characters, not printable strings like
+# '<s>': a literal whitespace-delimited '<s>' token (the HTML
+# strikethrough tag, common in web text) would otherwise merge with
+# the marker rows — count('<s>') then includes (order-1) markers per
+# document while N excludes them, so a doc containing the literal tag
+# could score S > 1 and deflate its pseudo-perplexity past the gate.
+# Literal marker tokens in text (vanishingly rare — a bare \x02/\x03
+# between whitespace) are escaped with \x1b so they can never equal a
+# marker; the escape is single-level, consistently applied at train
+# AND score time (an adversarial literal '\x1b\x02' token aliasing an
+# escaped '\x02' is the accepted residual).
+_BOS = "\x02"
+_EOS = "\x03"
+_ESC = "\x1b"
 
 
 def _tokens(text_col: str):
@@ -50,23 +64,18 @@ def _tokens(text_col: str):
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
         lambda x: x != "",
     )
-    return toks
+    return F.transform(
+        toks,
+        lambda t: F.when(
+            (t == _BOS) | (t == _EOS), F.concat(F.lit(_ESC), t)
+        ).otherwise(t),
+    )
 
 
 def _marked(text_col: str, order: int):
     """Token array with (order-1) BOS markers and one EOS marker."""
     bos = F.array(*[F.lit(_BOS)] * (order - 1))
     return F.concat(bos, _tokens(text_col), F.array(F.lit(_EOS)))
-
-
-def _grams(toks, n: int):
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
 
 
 def train_ngram_lm(

@@ -284,12 +284,22 @@ def repetition_profile(
             "top_3gram_char_frac", "top_4gram_char_frac",
         ]
 
+        import numpy as np
+
+        def _round6(series):
+            # Spark's F.round on doubles is HALF_UP on the decimal
+            # repr; pandas .round is banker's — a 7th-decimal tie
+            # (e.g. 1/2,000,000) would break the expr-twin parity.
+            # floor(x·1e6 + 0.5)/1e6 is HALF_UP for the non-negative
+            # fractions these signals are.
+            return np.floor(series.to_numpy(dtype=float) * 1e6 + 0.5) / 1e6
+
         def _prof(batches):
             for b in batches:
                 sig = [_py_signals(t)[1:] for t in b[text_col]]
                 out = pd.DataFrame(sig, columns=cols)
                 for c in cols[2:]:
-                    out[c] = out[c].round(6)
+                    out[c] = _round6(out[c])
                 out.insert(0, "id", b[id_col].values)
                 yield out
 
@@ -343,14 +353,15 @@ def repetition_profile(
 def with_repetition(
     df: DataFrame, text_col: str, id_col: str = "doc_id", engine: str = "pandas"
 ) -> DataFrame:
-    """``df`` + the repetition signal columns (equi-join on the id —
-    broadcast-free: the profile rides the same scan, so Catalyst plans
-    this as a self-join only if the caller forces it; prefer
-    ``repetition_filter`` which gates without a join)."""
+    """``df`` + the repetition signal columns (LEFT equi-join on the
+    id, so no input row is ever dropped — a NULL-id row keeps its data
+    with NULL signals; ``id_col`` must be unique per row or the join
+    multiplies rows).  Prefer ``repetition_filter`` which gates
+    without a join."""
     prof = repetition_profile(df, text_col, id_col, engine=engine).withColumnRenamed(
         "id", id_col
     )
-    return df.join(prof, id_col)
+    return df.join(prof, id_col, "left")
 
 
 def repetition_filter(
@@ -414,6 +425,16 @@ def repetition_filter(
         return df.mapInPandas(_gate, df.schema)
     if engine != "expr":
         raise ValueError(f"unknown engine: {engine!r}")
+    reserved = {"_rep_t", "_sl", "_sp", "_toks", "_g2", "_g3", "_g4", "_nsc"}
+    clash = reserved & set(df.columns)
+    if clash:
+        # withColumn would silently OVERWRITE these and the final drop
+        # would delete the user's data — refuse loudly (the pandas
+        # engine has no staging columns and handles any schema)
+        raise ValueError(
+            f"engine='expr' stages columns that collide with input "
+            f"columns {sorted(clash)}; rename them or use engine='pandas'"
+        )
     c = F.coalesce(F.col(text_col), F.lit(""))
     staged = df.withColumn("_rep_t", c)
     lines, paras, toks = _repetition_cols(F.col("_rep_t"))
@@ -466,7 +487,15 @@ def dedup_lines(col, scope: str = "doc"):
     alone.  Lines are compared after trim; blank lines are preserved
     verbatim in both scopes (layout, not content), and trailing
     whitespace differences do not defeat the match — the ORIGINAL line
-    text is what survives.
+    text is what survives.  NULL text stays NULL (pass a plain column
+    reference, not an expensive expression — the null check references
+    ``col`` a second time).
+
+    Complexity note: ``scope='doc'`` is O(L²) in the LINE count per
+    document (``array_position`` scans per line, interpreted HOF) —
+    fine for turn/page-sized documents (the corpus path's shape); for
+    10k-line documents prefer ``strip_boilerplate_lines``'s
+    explode/groupBy shape or a mapInPandas pass.
     """
     raw = F.split(F.regexp_replace(col, "\r\n?", "\n"), "\n")
     trimmed = F.transform(raw, lambda x: F.trim(x))
@@ -489,7 +518,11 @@ def dedup_lines(col, scope: str = "doc"):
         )
     else:
         raise ValueError(f"unknown dedup_lines scope: {scope!r}")
-    return F.concat_ws("\n", kept)
+    # concat_ws ignores null args, so a NULL input would silently
+    # become '' — preserve NULL explicitly
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat_ws("\n", kept)
+    )
 
 
 def strip_boilerplate_lines(
@@ -506,7 +539,13 @@ def strip_boilerplate_lines(
     Returns the input schema with ``text_col`` rewritten plus
     ``n_lines_dropped``.  Documents keep their row (possibly with empty
     text) so downstream joins never lose keys; line order is preserved
-    exactly and non-boilerplate lines keep their original bytes.
+    exactly, and documents that lose NO line keep their original bytes
+    verbatim (only rewritten documents are CRLF-normalized, the same
+    untouched-pass-through contract as ``dedup_substrings``).  A
+    NULL-id document cannot participate (the reassembly join cannot
+    match it) and passes through untouched with ``n_lines_dropped=0``;
+    ``id_col`` must be unique per row — duplicate ids would interleave
+    the duplicate documents' lines into one merged text.
 
     Lines shorter than ``min_line_chars`` after trim never participate:
     "-", "1.", "" are common by virtue of being short, not boilerplate,
@@ -560,8 +599,15 @@ def strip_boilerplate_lines(
     out = df.join(
         rebuilt.withColumnRenamed("_bid", id_col), id_col, "left"
     )
+    # untouched docs (zero lines dropped, or join-miss on a NULL id)
+    # keep their ORIGINAL bytes — only rewritten docs get the
+    # CRLF-normalized reassembly
+    dropped = F.coalesce(F.col("n_lines_dropped"), F.lit(0))
     return out.withColumn(
-        text_col, F.coalesce(F.col("_new_text"), F.lit(""))
+        "n_lines_dropped", dropped
     ).withColumn(
-        "n_lines_dropped", F.coalesce(F.col("n_lines_dropped"), F.lit(0))
+        text_col,
+        F.when(F.col("n_lines_dropped") > 0, F.col("_new_text")).otherwise(
+            F.col(text_col)
+        ),
     ).drop("_new_text")

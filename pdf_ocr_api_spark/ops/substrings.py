@@ -19,12 +19,14 @@ survive by design — ``width`` IS the paper's minimum match length
 
 Plan shape (all keys uniform by construction — no skew surface):
 
-1. tokenize + per-token ``xxhash64`` JVM-side, then ONE vectorized
-   numpy pass per Arrow batch computes stride-1 polynomial rolling
-   hashes over the token-hash array — O(tokens), uint64 ring math
-   (odd multiplier is invertible mod 2^64), TWO independent
-   multipliers → a 128-bit fingerprint, so a false window match needs
-   a simultaneous collision in both rings;
+1. tokenize + TWO independently-seeded per-token ``xxhash64`` streams
+   JVM-side, then ONE vectorized numpy pass per Arrow batch computes
+   stride-1 polynomial rolling hashes over each token-hash array —
+   O(tokens), uint64 ring math (odd multiplier is invertible mod
+   2^64) → a true 128-bit fingerprint: a false window match needs
+   simultaneous collisions in two independent 64-bit token-hash
+   streams (seeding matters — two rings over ONE token-hash stream
+   would share every token-level collision);
 2. ONE shuffle on the fingerprint: occurrence count and the canonical
    keeper ``min (id, pos)`` are WINDOW aggregates over
    ``partitionBy(h1, h2)``, so the token-scale window table streams
@@ -116,20 +118,30 @@ def window_fingerprints(
     tokens emit no rows (they cannot contain a ≥width dup span)."""
     if width < 2:
         raise ValueError("width must be ≥ 2")
+    # the two rings consume INDEPENDENTLY-seeded per-token hashes — if
+    # both rolled the same 64-bit token hash, a single token-level
+    # xxhash64 collision (a few-percent birthday event among 10^9+
+    # distinct tokens) would defeat both rings at once and delete a
+    # never-duplicated span; with separate seeds a false window match
+    # needs simultaneous collisions in two independent 64-bit streams
     toks = df.select(
         F.col(id_col).alias("id"),
         F.transform(_tokens_col(text_col), lambda t: F.xxhash64(t)).alias("_th"),
+        F.transform(
+            _tokens_col(text_col), lambda t: F.xxhash64(t, F.lit(0x5EED))
+        ).alias("_th2"),
     )
 
     def _fp(batches):
         for b in batches:
             ids, poss, h1s, h2s = [], [], [], []
-            for i, th_list in zip(b["id"], b["_th"]):
+            for i, th_list, th2_list in zip(b["id"], b["_th"], b["_th2"]):
                 th = np.asarray(th_list, dtype=np.int64).view(np.uint64)
                 w1 = _rolling(th, width, _A1)
                 if len(w1) == 0:
                     continue
-                w2 = _rolling(th, width, _A2)
+                th2 = np.asarray(th2_list, dtype=np.int64).view(np.uint64)
+                w2 = _rolling(th2, width, _A2)
                 ids.append(np.full(len(w1), i, dtype=object))
                 poss.append(np.arange(len(w1), dtype=np.int64))
                 h1s.append(w1.view(np.int64))
@@ -188,9 +200,10 @@ def dedup_substrings(
     rewritten plus ``n_tokens_removed``.
 
     The kept occurrence is deterministic and layout-independent: the
-    minimum ``(id, pos)`` per window fingerprint.  Every document keeps
-    its row (a fully-duplicated non-keeper document becomes empty
-    text).  Documents with nothing to remove keep their ORIGINAL bytes;
+    minimum ``(id, pos)`` per window fingerprint.  ``id_col`` must be
+    unique per row (duplicate ids would merge the duplicates' cut
+    lists and apply them to every copy).  Every document keeps its row
+    (a fully-duplicated non-keeper document becomes empty text).  Documents with nothing to remove keep their ORIGINAL bytes;
     rewritten documents are re-joined with single spaces
     (whitespace-token-normalized — the same contract as the paper's
     token-level operation).

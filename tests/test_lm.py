@@ -14,13 +14,14 @@ _WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def _tok(t):
-    return [w for w in _WS.split((t or "").lower()) if w]
+    toks = [w for w in _WS.split((t or "").lower()) if w]
+    return [(L._ESC + w) if w in (L._BOS, L._EOS) else w for w in toks]
 
 
 def _py_train(texts, order, min_count=1):
     counts = Counter()
     for t in texts:
-        mt = ["<s>"] * (order - 1) + _tok(t) + ["</s>"]
+        mt = [L._BOS] * (order - 1) + _tok(t) + [L._EOS]
         for n in range(1, order + 1):
             for i in range(len(mt) - n + 1):
                 counts[(n, " ".join(mt[i : i + n]))] += 1
@@ -28,12 +29,12 @@ def _py_train(texts, order, min_count=1):
         counts = Counter(
             {k: v for k, v in counts.items() if k[0] == 1 or v >= min_count}
         )
-    big_n = sum(v for (n, g), v in counts.items() if n == 1 and g != "<s>")
+    big_n = sum(v for (n, g), v in counts.items() if n == 1 and g != L._BOS)
     return counts, big_n
 
 
 def _py_score(text, counts, big_n, order, alpha=L.ALPHA):
-    mt = ["<s>"] * (order - 1) + _tok(text) + ["</s>"]
+    mt = [L._BOS] * (order - 1) + _tok(text) + [L._EOS]
     logs = []
     for i in range(len(mt) - order + 1):
         end = i + order
@@ -193,3 +194,29 @@ def test_runner_train_lm_and_gate(spark, tmp_path):
     ) == 0
     stored = {r.conv_id for r in spark.read.parquet(f"{root}/corpus").collect()}
     assert stored == {"a0"}
+
+
+def test_literal_marker_tokens_cannot_collide(spark):
+    """Review regression: a literal whitespace-delimited '<s>' (HTML
+    tag) or bare control char in TEXT must not merge with the BOS/EOS
+    marker rows or yield unigram scores > 1 (log-score > 0)."""
+    tr = spark.createDataFrame(
+        [("<s> tagged text here",), ("\x02 raw control char",)]
+        + [(t,) for t in TRAIN],
+        "text string",
+    )
+    lm = L.train_ngram_lm(tr, order=3)
+    rows = {(r["n"], r["gram"]): r["cnt"] for r in lm.collect()}
+    # marker rows count ONLY the synthetic markers: (order-1) per doc
+    n_docs = 2 + len(TRAIN)
+    assert rows[(1, L._BOS)] == 2 * n_docs
+    assert rows[(1, L._EOS)] == n_docs
+    # the literal '<s>' is its own unigram; the literal \x02 is escaped
+    assert rows[(1, "<s>")] == 1
+    assert rows[(1, L._ESC + L._BOS)] == 1
+    docs = spark.createDataFrame(
+        [(1, "<s> tagged text here"), (2, "\x02 raw control char")],
+        "doc_id int, text string",
+    )
+    scored = L.score_lm(docs, lm, order=3).collect()
+    assert all(r["logscore_per_token"] <= 0.0 for r in scored)

@@ -180,7 +180,8 @@ def test_dedup_lines_doc_scope(spark):
     # first occurrence's ORIGINAL bytes kept, blank lines preserved
     assert out[1] == "keep me\nand me\n"
     assert out[2] == "a\nb"
-    assert out[3] == ""
+    assert out[3] is None  # NULL preserved (review fix: concat_ws
+    # would silently turn NULL into '')
 
 
 def test_dedup_lines_consecutive_scope(spark):
@@ -235,7 +236,8 @@ def test_strip_boilerplate_lines(spark):
     assert out[3] == ("real content 3", 2)
     # all-boilerplate doc keeps its row, text emptied
     assert out[100] == ("", 1)
-    assert out[101] == ("", 0)
+    # NULL text / NULL-signal pass-through keeps ORIGINAL value
+    assert out[101] == (None, 0)
     # "real content 3" appears in only 2 docs < min_docs → untouched
     assert out[102] == ("real content 3", 0)
     assert len(out) == 15
@@ -401,3 +403,42 @@ def test_with_repetition_join_matches_profile(spark, docs):
     got = {r["doc_id"]: r["dup_line_frac"] for r in out.collect()}
     assert got == prof
     assert out.count() == docs.count()  # 1:1 join, no row loss
+
+
+def test_strip_boilerplate_untouched_docs_keep_bytes(spark):
+    """Review regression: a doc that loses NO line keeps its original
+    bytes (CRLF endings included); NULL-id docs pass through."""
+    rows = [(i, f"BANNER LINE HERE\r\nbody {i}\r\nmore {i}") for i in range(10)]
+    rows.append((100, "clean\r\nuntouched\r\ndoc"))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: (r["text"], r["n_lines_dropped"])
+        for r in R.strip_boilerplate_lines(df, min_docs=10).collect()
+    }
+    # rewritten docs are CRLF-normalized; untouched doc keeps \r\n
+    assert out[0] == ("body 0\nmore 0", 1)
+    assert out[100] == ("clean\r\nuntouched\r\ndoc", 0)
+    # NULL-id doc passes through untouched
+    df2 = spark.createDataFrame(
+        [(None, "null id original\r\nbytes"), (1, "other doc body here")],
+        "doc_id int, text string",
+    )
+    out2 = R.strip_boilerplate_lines(df2, min_docs=2).collect()
+    got = {r["doc_id"]: (r["text"], r["n_lines_dropped"]) for r in out2}
+    assert got[None] == ("null id original\r\nbytes", 0)
+
+
+def test_expr_engine_reserved_column_guard(spark):
+    df = spark.createDataFrame([(1, "a b", 5)], "doc_id int, text string, _toks int")
+    with pytest.raises(ValueError, match="_toks"):
+        R.repetition_filter(df, engine="expr")
+    # the pandas engine has no staging columns — any schema works
+    assert R.repetition_filter(df).count() == 1
+
+
+def test_with_repetition_left_join_keeps_null_id(spark):
+    df = spark.createDataFrame(
+        [(None, "some text body"), (1, "other text")], "doc_id int, text string"
+    )
+    out = R.with_repetition(df, "text", "doc_id")
+    assert out.count() == 2  # NULL-id row not dropped (left join)
