@@ -390,13 +390,6 @@ def q_o3_select_turns(spark, sf_dir):
     return turnops.select_turns(_pseudo_turns(spark, sf_dir), 2, 6)
 
 
-def q_u2_delete_turns(spark, sf_dir):
-    """U2 — delete-pages analogue: anti-range + renumber."""
-    from pdf_ocr_api_spark.operators import turnops
-
-    return turnops.delete_turns(_pseudo_turns(spark, sf_dir), 1, 3)
-
-
 def q_training_split(spark, sf_dir):
     """Training-set assembly (ops/training, r5): leakage-safe hash
     splits + deterministic mixture weighting over documents. Every
@@ -419,51 +412,149 @@ def q_training_split(spark, sf_dir):
     return out.select("doc_id", "split", "mix_copy")
 
 
-def q_u4_insert_turns(spark, sf_dir):
-    """U4 — insert-pages analogue: conversation B's turns spliced into A
-    at position 3, dense renumber (ref insert-pdf-pages.js:111-116)."""
+def q_u_turn_edits(spark, sf_dir):
+    """U2/U3/U4 — delete / replace / insert turn edits, one union entry
+    tagged by ``variant`` (r5 consolidation: the driver evaluates at
+    most 50 entries, and the three edits share one output schema —
+    merging them frees two cap slots for the r5-late operator families;
+    each operator keeps its own dedicated tests in test_turnops).
+
+    delete: anti-range + renumber (ref delete-pdf-pages.js);
+    replace: turns [2,5] of A replaced by B's turns, dense renumber
+    (ref replace-pdf-pages.js:112-117);
+    insert: B's turns spliced into A at position 3, dense renumber
+    (ref insert-pdf-pages.js:111-116)."""
     from pdf_ocr_api_spark.operators import turnops
 
     pt = _pseudo_turns(spark, sf_dir)
     base = pt.filter(F.col("conv_id") == "doc-conv-0000")
-    ins = pt.filter(F.col("conv_id") == "doc-conv-0001")
-    return turnops.insert_turns(base, ins, at=3, into_conv="doc-conv-0000")
-
-
-def q_u3_replace_turns(spark, sf_dir):
-    """U3 — replace-pages analogue: turns [2,5] of A replaced by B's
-    turns, dense renumber (ref replace-pdf-pages.js:112-117)."""
-    from pdf_ocr_api_spark.operators import turnops
-
-    pt = _pseudo_turns(spark, sf_dir)
-    base = pt.filter(F.col("conv_id") == "doc-conv-0000")
-    rep = pt.filter(F.col("conv_id") == "doc-conv-0001")
-    return turnops.replace_turns(base, rep, 2, 5, into_conv="doc-conv-0000")
-
-
-def q_x6_split_by_count(spark, sf_dir):
-    """X6 — split-by-number-of-pages: chunk id per fixed turn count."""
-    from pdf_ocr_api_spark.operators import turnops
-
-    return turnops.split_by_count(_pseudo_turns(spark, sf_dir), 4, tie=["doc_id"])
-
-
-def q_x6_split_into_n(spark, sf_dir):
-    """X6 — split-into-number-of-files: per-conversation ntile chunks
-    (ref split-pdf-into-number-of-files.js:50-52)."""
-    from pdf_ocr_api_spark.operators import turnops
-
-    return turnops.split_into_n(_pseudo_turns(spark, sf_dir), 3, tie=["doc_id"])
-
-
-def q_x6_split_by_ranges(spark, sf_dir):
-    """X6 — split-by-page-ranges: two ranges → two renumbered chunks
-    (ref split-pdf-by-page-ranges.js:93-98)."""
-    from pdf_ocr_api_spark.operators import turnops
-
-    return turnops.split_by_ranges(
-        _pseudo_turns(spark, sf_dir), [(0, 2), (5, 8)], tie=["doc_id"]
+    other = pt.filter(F.col("conv_id") == "doc-conv-0001")
+    dele = turnops.delete_turns(pt, 1, 3).withColumn(
+        "variant", F.lit("delete")
     )
+    repl = turnops.replace_turns(
+        base, other, 2, 5, into_conv="doc-conv-0000"
+    ).withColumn("variant", F.lit("replace"))
+    ins = turnops.insert_turns(
+        base, other, at=3, into_conv="doc-conv-0000"
+    ).withColumn("variant", F.lit("insert"))
+    return dele.unionByName(repl).unionByName(ins)
+
+
+def q_x6_split_family(spark, sf_dir):
+    """X6 — the three split modes (by-count / into-N / by-ranges), one
+    union entry tagged by ``variant`` (r5 consolidation — same
+    50-entry-cap motivation as q_u_turn_edits; the operators keep their
+    dedicated tie-break/renumber tests in test_turnops).
+
+    by_count: chunk per fixed turn count (split-pdf-by-number-of-pages
+    .js:51-52); into_n: per-conversation ntile chunks
+    (split-pdf-into-number-of-files.js:50-52); by_ranges: two inclusive
+    ranges → two renumbered chunks (split-pdf-by-page-ranges.js:93-98)."""
+    from pdf_ocr_api_spark.operators import turnops
+
+    pt = _pseudo_turns(spark, sf_dir)
+    a = turnops.split_by_count(pt, 4, tie=["doc_id"]).withColumn(
+        "variant", F.lit("by_count")
+    )
+    b = turnops.split_into_n(pt, 3, tie=["doc_id"]).withColumn(
+        "variant", F.lit("into_n")
+    )
+    c = turnops.split_by_ranges(
+        pt, [(0, 2), (5, 8)], tie=["doc_id"]
+    ).withColumn("variant", F.lit("by_ranges"))
+    return a.unionByName(b).unionByName(c)
+
+
+def _lined_docs(spark, sf_dir):
+    """documents reshaped into deterministic MULTI-LINE text (the
+    fixture text is single-line word soup): literal, sequential
+    replaces — ``' value '`` → newline, then ``' table '`` → blank line
+    — so lines and paragraphs exist.  Literal (non-regex) replace is
+    left-to-right non-overlapping in both the JVM and DuckDB, so the
+    oracle reproduces the reshape byte-for-byte."""
+    d = _t(spark, sf_dir, "documents")
+    lined = F.replace(
+        F.replace(F.col("text"), F.lit(" value "), F.lit("\n")),
+        F.lit(" table "),
+        F.lit("\n\n"),
+    )
+    return d, lined
+
+
+def q_rep_signals(spark, sf_dir):
+    """Gopher repetition signal family (ops/repetition.py, r5):
+    dup-line/paragraph fractions + top-n-gram character fractions over
+    multi-line reshaped documents; every fourth document gets an
+    injected duplicated line so dup_line_frac varies.  The pandas
+    engine (the production default) is what runs here; the DuckDB
+    oracle recomputes every signal from first principles — so the gate
+    also re-proves the Python/Catalyst/SQL three-way equivalence the
+    unit tests assert pairwise."""
+    from pdf_ocr_api_spark.ops import repetition
+
+    d, lined = _lined_docs(spark, sf_dir)
+    txt = F.concat(
+        lined,
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit("\nrepeat line alpha\nrepeat line alpha"),
+        ).otherwise(F.lit("")),
+    )
+    staged = d.select("doc_id", txt.alias("text"))
+    return repetition.repetition_profile(staged, "text", "doc_id")
+
+
+def q_strip_boilerplate(spark, sf_dir):
+    """Corpus-level boilerplate line removal (CCNet/C4 style,
+    ops/repetition.py r5): a nav header injected into every document
+    and a cookie banner into every third are dropped (≥ min_docs
+    distinct docs); the per-document footer line survives.  Oracle
+    recomputes the occurrence counts and the line-preserving rebuild
+    in SQL."""
+    from pdf_ocr_api_spark.ops import repetition
+
+    d, lined = _lined_docs(spark, sf_dir)
+    txt = F.concat(
+        F.lit("nav home menu contact about\n"),
+        lined,
+        F.lit("\n"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("cookie consent banner accept all"),
+        ).otherwise(
+            F.concat(F.lit("doc footer "), F.col("doc_id").cast("string"))
+        ),
+    )
+    staged = d.select("doc_id", txt.alias("text"))
+    out = repetition.strip_boilerplate_lines(staged, min_docs=10)
+    return out.select("doc_id", "text", "n_lines_dropped")
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Exact substring dedup (Lee et al. 2021, ops/substrings.py r5):
+    every duplicated ≥4-token span loses all but its min-(id,pos)
+    occurrence corpus-wide.  The engine fingerprints windows with
+    two independent rolling-hash rings; the oracle needs NO hashes —
+    it groups the actual window STRINGS, so a full hash-match also
+    certifies the fingerprint path collision-free on this corpus.
+    width=4 on the sf fixtures cuts ~3k windows across ~370 of 500
+    docs (measured) — substantial removal with most text surviving."""
+    from pdf_ocr_api_spark.ops import substrings
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return substrings.dedup_substrings(d, width=4)
+
+
+def q_lm_train(spark, sf_dir):
+    """Stupid Backoff n-gram LM training (ops/lm.py, r5): the full
+    order-2 count table from ONE tagged explode over the corpus —
+    (n, gram, cnt) rows for n ∈ {1, 2} plus the reserved (0, '', N)
+    total-mass row.  Oracle regenerates the same counts (control-char
+    BOS/EOS markers and the literal-marker escape included) in SQL."""
+    from pdf_ocr_api_spark.ops import lm
+
+    return lm.train_ngram_lm(_t(spark, sf_dir, "documents"), order=2)
 
 
 def q_s7_header_rules(spark, sf_dir):
@@ -857,15 +948,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_split_explode": q_x_split_explode,
         "x6_ntile": q_x6_ntile,
         "agg_pricing_summary": q_agg_pricing_summary,
-        # turn-axis page-operation analogues (SURVEY §2.5/2.6/2.9)
+        # turn-axis page-operation analogues (SURVEY §2.5/2.6/2.9).
+        # r5 consolidation: u2/u3/u4 share one union entry and the three
+        # x6 split modes share another (same 50-entry driver cap move as
+        # the r4 ann/mm merges) — the four slots freed carry the r5-late
+        # operator families below (rep_signals, strip_boilerplate,
+        # substring_dedup, lm_train), all fully oracled
         "o3_select_turns": q_o3_select_turns,
-        "u2_delete_turns": q_u2_delete_turns,
-        "u3_replace_turns": q_u3_replace_turns,
-        "u4_insert_turns": q_u4_insert_turns,
+        "u_turn_edits": q_u_turn_edits,
         "training_split": q_training_split,
-        "x6_split_by_count": q_x6_split_by_count,
-        "x6_split_into_n": q_x6_split_into_n,
-        "x6_split_by_ranges": q_x6_split_by_ranges,
+        "x6_split_family": q_x6_split_family,
         "s7_header_rules": q_s7_header_rules,
         "extract_metadata": q_extract_metadata,
         # training-data pipeline
@@ -883,6 +975,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textstats_profile": q_textstats_profile,
         "decontam_ngram": q_decontam_ngram,
         "lang_id": q_lang_id,
+        # r5-late LLM-pipeline operator families (SURVEY §2.11)
+        "rep_signals": q_rep_signals,
+        "strip_boilerplate": q_strip_boilerplate,
+        "substring_dedup": q_substring_dedup,
+        "lm_train": q_lm_train,
         "ann_brute_cosine": q_ann_brute_cosine,
         # r4 consolidation: the driver evaluates at most 50 entries — the
         # four single-query approximate indexes (lsh/ivf/pq/ivfpq) share
@@ -1022,23 +1119,12 @@ def oracle_sql() -> dict[str, str]:
                    doc_id
             FROM pt WHERE turn_idx BETWEEN 2 AND 6
         """,
-        "u2_delete_turns": """
+        "u_turn_edits": """
             WITH pt AS (
               SELECT printf('doc-conv-%04d', CAST(doc_id % 50 AS INT)) AS conv_id,
                      CAST(doc_id // 50 AS INT) AS turn_idx, doc_id
               FROM documents
-            )
-            SELECT conv_id,
-                   CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS INT) AS turn_idx,
-                   doc_id
-            FROM pt WHERE turn_idx NOT BETWEEN 1 AND 3
-        """,
-        "u4_insert_turns": """
-            WITH pt AS (
-              SELECT printf('doc-conv-%04d', CAST(doc_id % 50 AS INT)) AS conv_id,
-                     CAST(doc_id // 50 AS INT) AS turn_idx, doc_id
-              FROM documents
-            ), u AS (
+            ), ins AS (
               SELECT conv_id, turn_idx, doc_id,
                      CASE WHEN turn_idx < 3 THEN turn_idx ELSE turn_idx + 1000000 END AS ord,
                      0 AS src
@@ -1046,18 +1132,7 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'doc-conv-0000' AS conv_id, turn_idx, doc_id, 3 AS ord, 1 AS src
               FROM pt WHERE conv_id = 'doc-conv-0001'
-            )
-            SELECT conv_id,
-                   CAST(row_number() OVER (PARTITION BY conv_id ORDER BY ord, src, turn_idx) - 1 AS INT) AS turn_idx,
-                   doc_id
-            FROM u
-        """,
-        "u3_replace_turns": """
-            WITH pt AS (
-              SELECT printf('doc-conv-%04d', CAST(doc_id % 50 AS INT)) AS conv_id,
-                     CAST(doc_id // 50 AS INT) AS turn_idx, doc_id
-              FROM documents
-            ), u AS (
+            ), repl AS (
               SELECT conv_id, turn_idx, doc_id,
                      CASE WHEN turn_idx < 2 THEN turn_idx ELSE turn_idx + 1000000 END AS ord,
                      0 AS src
@@ -1067,44 +1142,27 @@ def oracle_sql() -> dict[str, str]:
               FROM pt WHERE conv_id = 'doc-conv-0001'
             )
             SELECT conv_id,
+                   CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS INT) AS turn_idx,
+                   doc_id, 'delete' AS variant
+            FROM pt WHERE turn_idx NOT BETWEEN 1 AND 3
+            UNION ALL
+            SELECT conv_id,
                    CAST(row_number() OVER (PARTITION BY conv_id ORDER BY ord, src, turn_idx) - 1 AS INT) AS turn_idx,
-                   doc_id
-            FROM u
+                   doc_id, 'replace' AS variant
+            FROM repl
+            UNION ALL
+            SELECT conv_id,
+                   CAST(row_number() OVER (PARTITION BY conv_id ORDER BY ord, src, turn_idx) - 1 AS INT) AS turn_idx,
+                   doc_id, 'insert' AS variant
+            FROM ins
         """,
         "training_split": _training_split_sql(),
-        "x6_split_by_count": """
+        "x6_split_family": """
             WITH pt AS (
               SELECT printf('doc-conv-%04d', CAST(doc_id % 50 AS INT)) AS conv_id,
                      CAST(doc_id // 50 AS INT) AS turn_idx, doc_id
               FROM documents
-            )
-            SELECT conv_id,
-                   CAST(row_number() OVER (PARTITION BY conv_id, CAST(turn_idx // 4 AS INT)
-                                           ORDER BY turn_idx, doc_id) - 1 AS INT) AS turn_idx,
-                   doc_id, CAST(turn_idx // 4 AS INT) AS chunk
-            FROM pt
-        """,
-        "x6_split_into_n": """
-            WITH pt AS (
-              SELECT printf('doc-conv-%04d', CAST(doc_id % 50 AS INT)) AS conv_id,
-                     CAST(doc_id // 50 AS INT) AS turn_idx, doc_id
-              FROM documents
-            )
-            SELECT conv_id,
-                   CAST(row_number() OVER (PARTITION BY conv_id, chunk ORDER BY turn_idx, doc_id) - 1 AS INT) AS turn_idx,
-                   doc_id, chunk
-            FROM (
-              SELECT conv_id, turn_idx, doc_id,
-                     ntile(3) OVER (PARTITION BY conv_id ORDER BY turn_idx, doc_id) - 1 AS chunk
-              FROM pt
-            )
-        """,
-        "x6_split_by_ranges": """
-            WITH pt AS (
-              SELECT printf('doc-conv-%04d', CAST(doc_id % 50 AS INT)) AS conv_id,
-                     CAST(doc_id // 50 AS INT) AS turn_idx, doc_id
-              FROM documents
-            ), tagged AS (
+            ), ranged AS (
               SELECT conv_id, turn_idx, doc_id,
                      CASE WHEN turn_idx BETWEEN 0 AND 2 THEN 0
                           WHEN turn_idx BETWEEN 5 AND 8 THEN 1
@@ -1112,9 +1170,213 @@ def oracle_sql() -> dict[str, str]:
               FROM pt
             )
             SELECT conv_id,
+                   CAST(row_number() OVER (PARTITION BY conv_id, CAST(turn_idx // 4 AS INT)
+                                           ORDER BY turn_idx, doc_id) - 1 AS INT) AS turn_idx,
+                   doc_id, CAST(turn_idx // 4 AS INT) AS chunk, 'by_count' AS variant
+            FROM pt
+            UNION ALL
+            SELECT conv_id,
                    CAST(row_number() OVER (PARTITION BY conv_id, chunk ORDER BY turn_idx, doc_id) - 1 AS INT) AS turn_idx,
-                   doc_id, chunk
-            FROM tagged WHERE chunk IS NOT NULL
+                   doc_id, chunk, 'into_n' AS variant
+            FROM (
+              SELECT conv_id, turn_idx, doc_id,
+                     ntile(3) OVER (PARTITION BY conv_id ORDER BY turn_idx, doc_id) - 1 AS chunk
+              FROM pt
+            )
+            UNION ALL
+            SELECT conv_id,
+                   CAST(row_number() OVER (PARTITION BY conv_id, chunk ORDER BY turn_idx, doc_id) - 1 AS INT) AS turn_idx,
+                   doc_id, chunk, 'by_ranges' AS variant
+            FROM ranged WHERE chunk IS NOT NULL
+        """,
+        # Gopher repetition signals recomputed from first principles:
+        # same reshape (literal replaces), same tokenizer (Java-\s ASCII
+        # class), trim = 0x20 only, same HALF_UP 6-decimal rounding
+        # (floor(x*1e6+0.5)/1e6 — both engines compute the identical
+        # float64 op sequence). Top-gram winner = lexically-smallest
+        # space-joined gram among the max-count grams (ties).
+        "rep_signals": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     replace(replace(text, ' value ', chr(10)), ' table ', chr(10) || chr(10))
+                     || CASE WHEN doc_id % 4 = 0
+                             THEN chr(10) || 'repeat line alpha' || chr(10) || 'repeat line alpha'
+                             ELSE '' END AS t
+              FROM documents
+            ),
+            lines AS (
+              SELECT x.doc_id, trim(u.ln, ' ') AS ln
+              FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d) x,
+                   unnest(x.ls) AS u(ln)
+              WHERE trim(u.ln, ' ') != ''
+            ),
+            lstat AS (
+              SELECT doc_id, SUM(c) AS n,
+                     SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_n,
+                     SUM(L * c) AS tc,
+                     SUM(CASE WHEN c > 1 THEN L * c ELSE 0 END) AS dc
+              FROM (SELECT doc_id, ln, count(*) AS c, length(ln) AS L FROM lines GROUP BY 1, 2)
+              GROUP BY 1
+            ),
+            paras AS (
+              SELECT x.doc_id, trim(u.p, ' ') AS p
+              FROM (SELECT doc_id, regexp_split_to_array(t, '\n{2,}') AS ps FROM d) x,
+                   unnest(x.ps) AS u(p)
+              WHERE trim(u.p, ' ') != ''
+            ),
+            pstat AS (
+              SELECT doc_id, SUM(c) AS n,
+                     SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_n,
+                     SUM(L * c) AS tc,
+                     SUM(CASE WHEN c > 1 THEN L * c ELSE 0 END) AS dc
+              FROM (SELECT doc_id, p, count(*) AS c, length(p) AS L FROM paras GROUP BY 1, 2)
+              GROUP BY 1
+            ),
+            tks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(t), '[ \t\n\x0b\f\r]+'), x -> x != '') AS tk
+              FROM d
+            ),
+            tstat AS (
+              SELECT doc_id, len(tk) AS n_toks,
+                     coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS nsc
+              FROM tks
+            ),
+            g2 AS (SELECT doc_id, array_to_string(tk[i+1:i+2], ' ') AS g
+                   FROM tks, unnest(range(0, greatest(len(tk) - 1, 0))) AS u(i)),
+            g3 AS (SELECT doc_id, array_to_string(tk[i+1:i+3], ' ') AS g
+                   FROM tks, unnest(range(0, greatest(len(tk) - 2, 0))) AS u(i)),
+            g4 AS (SELECT doc_id, array_to_string(tk[i+1:i+4], ' ') AS g
+                   FROM tks, unnest(range(0, greatest(len(tk) - 3, 0))) AS u(i)),
+            t2 AS (SELECT doc_id, c * length(replace(g, ' ', '')) AS cov
+                   FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+                   QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1),
+            t3 AS (SELECT doc_id, c * length(replace(g, ' ', '')) AS cov
+                   FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+                   QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1),
+            t4 AS (SELECT doc_id, c * length(replace(g, ' ', '')) AS cov
+                   FROM (SELECT doc_id, g, count(*) AS c FROM g4 GROUP BY 1, 2)
+                   QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1)
+            SELECT d.doc_id AS id,
+                   CAST(coalesce(l.n, 0) AS INT) AS n_lines,
+                   CAST(coalesce(p.n, 0) AS INT) AS n_paras,
+                   floor((CASE WHEN coalesce(l.n, 0) > 0 THEN l.dup_n / l.n ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS dup_line_frac,
+                   floor((CASE WHEN coalesce(l.tc, 0) > 0 THEN l.dc / l.tc ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS dup_line_char_frac,
+                   floor((CASE WHEN coalesce(p.n, 0) > 0 THEN p.dup_n / p.n ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS dup_para_frac,
+                   floor((CASE WHEN coalesce(p.tc, 0) > 0 THEN p.dc / p.tc ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS dup_para_char_frac,
+                   floor((CASE WHEN ts.n_toks >= 2 AND ts.nsc > 0 THEN least(t2.cov / ts.nsc, 1.0) ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS top_2gram_char_frac,
+                   floor((CASE WHEN ts.n_toks >= 3 AND ts.nsc > 0 THEN least(t3.cov / ts.nsc, 1.0) ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS top_3gram_char_frac,
+                   floor((CASE WHEN ts.n_toks >= 4 AND ts.nsc > 0 THEN least(t4.cov / ts.nsc, 1.0) ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS top_4gram_char_frac
+            FROM d
+            LEFT JOIN lstat l USING (doc_id)
+            LEFT JOIN pstat p USING (doc_id)
+            LEFT JOIN tstat ts USING (doc_id)
+            LEFT JOIN t2 USING (doc_id)
+            LEFT JOIN t3 USING (doc_id)
+            LEFT JOIN t4 USING (doc_id)
+        """,
+        # Boilerplate line removal: occurrence counted on the TRIMMED
+        # line (md5 in the engine is just a join key — equality of
+        # hashes ⇔ equality of lines), short lines never participate,
+        # untouched docs keep their original bytes.
+        "strip_boilerplate": """
+            WITH d AS (
+              SELECT doc_id,
+                     'nav home menu contact about' || chr(10)
+                     || replace(replace(text, ' value ', chr(10)), ' table ', chr(10) || chr(10)) || chr(10)
+                     || CASE WHEN doc_id % 3 = 0 THEN 'cookie consent banner accept all'
+                             ELSE 'doc footer ' || doc_id END AS text
+              FROM documents
+            ),
+            lines AS (
+              SELECT x.doc_id, i AS pos, x.ls[i + 1] AS line, trim(x.ls[i + 1], ' ') AS t
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d) x,
+                   unnest(range(0, len(x.ls))) AS u(i)
+            ),
+            boiler AS (
+              SELECT t FROM lines WHERE length(t) >= 6
+              GROUP BY t HAVING count(DISTINCT doc_id) >= 10
+            ),
+            marked AS (
+              SELECT l.doc_id, l.pos, l.line, (b.t IS NOT NULL) AS dropped
+              FROM lines l LEFT JOIN boiler b ON l.t = b.t
+            ),
+            reb AS (
+              SELECT doc_id,
+                     coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT dropped), '') AS new_text,
+                     CAST(count(*) FILTER (WHERE dropped) AS BIGINT) AS n_lines_dropped
+              FROM marked GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN r.n_lines_dropped > 0 THEN r.new_text ELSE d.text END AS text,
+                   r.n_lines_dropped
+            FROM d JOIN reb r USING (doc_id)
+        """,
+        # Exact substring dedup recomputed WITHOUT hashes: duplicated
+        # width-4 windows grouped by their actual token STRINGS, keeper
+        # = global min (doc_id, pos), covered tokens dropped. A full
+        # hash-match therefore also certifies the engine's rolling-hash
+        # fingerprints collision-free on this corpus.
+        "substring_dedup": r"""
+            WITH d AS (SELECT doc_id, text FROM documents),
+            tks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(coalesce(text, ''), '[ \t\n\x0b\f\r]+'), x -> x != '') AS tk
+              FROM d
+            ),
+            wins AS (
+              SELECT doc_id, i AS pos, array_to_string(tk[i+1:i+4], ' ') AS g
+              FROM tks, unnest(range(0, greatest(len(tk) - 3, 0))) AS u(i)
+            ),
+            cuts AS (
+              SELECT doc_id, pos FROM wins
+              QUALIFY count(*) OVER (PARTITION BY g) >= 2
+                  AND row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) > 1
+            ),
+            covered AS (
+              SELECT DISTINCT doc_id, pos + j AS tpos
+              FROM cuts, unnest(range(0, 4)) AS u(j)
+            ),
+            toklist AS (
+              SELECT t.doc_id, t.tk[i + 1] AS tok, i AS tpos
+              FROM tks t, unnest(range(0, len(t.tk))) AS u(i)
+            ),
+            reb AS (
+              SELECT tl.doc_id,
+                     coalesce(string_agg(tl.tok, ' ' ORDER BY tl.tpos) FILTER (WHERE c.doc_id IS NULL), '') AS new_text,
+                     CAST(count(c.doc_id) AS BIGINT) AS n_removed
+              FROM toklist tl
+              LEFT JOIN covered c ON tl.doc_id = c.doc_id AND tl.tpos = c.tpos
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CASE WHEN coalesce(r.n_removed, 0) > 0 THEN r.new_text ELSE d.text END AS text,
+                   CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_tokens_removed
+            FROM d LEFT JOIN reb r USING (doc_id)
+        """,
+        # Order-2 Stupid Backoff count table: control-char BOS/EOS
+        # markers (chr(2)/chr(3)), literal-marker escape (chr(27)),
+        # the reserved (0, '', N) total-mass row.
+        "lm_train": r"""
+            WITH toks AS (
+              SELECT list_transform(
+                       list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[ \t\n\x0b\f\r]+'), x -> x != ''),
+                       x -> CASE WHEN x = chr(2) OR x = chr(3) THEN chr(27) || x ELSE x END) AS tk
+              FROM documents
+            ),
+            marked AS (
+              SELECT list_concat(list_concat([chr(2)], tk), [chr(3)]) AS mt FROM toks
+            ),
+            grams AS (
+              SELECT 1 AS n, g AS gram FROM marked, unnest(mt) AS u(g)
+              UNION ALL
+              SELECT 2 AS n, mt[i + 1] || ' ' || mt[i + 2] AS gram
+              FROM marked, unnest(range(0, len(mt) - 1)) AS u(i)
+            )
+            SELECT CAST(n AS INT) AS n, gram, CAST(count(*) AS BIGINT) AS cnt
+            FROM grams GROUP BY 1, 2
+            UNION ALL
+            SELECT 0 AS n, '' AS gram, CAST(sum(len(mt) - 1) AS BIGINT) AS cnt FROM marked
         """,
         "s7_header_rules": r"""
             SELECT doc_id,
