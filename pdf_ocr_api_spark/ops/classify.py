@@ -1,0 +1,240 @@
+"""Model-based quality classification (the CCNet / GPT-3 filter stage).
+
+Web-scale pipelines gate crawl text with a lightweight classifier
+trained on labeled seed corpora — GPT-3 (Brown et al. 2020,
+arXiv:2005.14165 §A) scored pages with a linear classifier against
+WebText-like positives; CCNet (Wenzek et al. 2020, arXiv:1911.00359)
+used per-language model scores; LLaMA kept pages a classifier judged
+"reference-like".  This module is the distributed form: a multinomial
+Naive Bayes over word tokens whose MODEL IS A DATAFRAME — the same
+engine-native contract as ops/lm.py (train once on seed data, persist
+as a plain table, broadcast-join at gate time; no driver-side model
+object, no pickled state).
+
+Naive Bayes rather than SGD-trained logistic regression because the
+sufficient statistics are pure aggregations: training is ONE tagged
+corpus scan + one groupBy — embarrassingly parallel at 100 TB, no
+iteration, no learning-rate state, deterministic.  Accuracy on the
+"reference-like vs crawl-like" gate task is comparable in published
+ablations; any engine-portable scorer can replace it behind the same
+model-table contract.
+
+Tokenization matches the repo convention (lowercased Java-``\\s`` ASCII
+split — the same tokens ops/lm.py and ops/textstats.py see).
+
+Model table layout (``kind``-tagged rows — explicit, no reserved-token
+collisions, human-auditable):
+
+    kind='tok'    (tok, label, cnt)   token occurrences per class
+    kind='total'  ('',  label, cnt)   retained token mass per class
+    kind='docs'   ('',  label, cnt)   training docs per class
+    kind='vocab'  ('',  '',    cnt)   retained vocabulary size
+
+``min_count`` pruning recomputes totals and vocabulary AFTER the prune,
+so the persisted model is self-consistent (pruned tokens score exactly
+like unseen ones).
+
+Scoring: log P(l | doc) ∝ log(D_l/ΣD) + Σ_tok log(c_{tok,l} + α)
+− n_toks·log(T_l + α·V) — per-token Laplace smoothing, unknown tokens
+contribute log α (never −inf, one OOV token cannot veto a document).
+
+Reference provenance: no classifier exists in the reference engine
+(its corpus is per-invoice PDFs); this belongs to the LLM-training-
+data operator family the build brief adds (like ops/lm.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["train_nb", "score_nb", "classify_filter"]
+
+
+def _tokens(text_col: str):
+    return F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+
+
+def train_nb(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    min_count: int = 1,
+) -> DataFrame:
+    """Train the NB model: ``(kind, tok, label, cnt)`` (layout above).
+
+    One corpus scan (explode) + one ``(tok, label)`` groupBy with
+    map-side partial aggregation; the total/docs/vocab rows are
+    aggregates of the (distinct-vocabulary-scale) count table, never a
+    second corpus pass.  Rows with a NULL label are rejected loudly —
+    a silently dropped label would skew the priors."""
+    if min_count < 1:
+        raise ValueError("min_count must be ≥ 1")
+    # NULL labels fail INLINE (raise_error inside the projection — no
+    # separate validation scan of a 100 TB frame)
+    checked = F.when(F.col(label_col).isNotNull(), F.col(label_col)).otherwise(
+        F.raise_error(F.lit("train_nb: NULL label in the training frame"))
+    )
+    base = df.select(checked.alias("label"), _tokens(text_col).alias("_tk"))
+    counts = (
+        base.select("label", F.explode("_tk").alias("tok"))
+        .groupBy("tok", "label")
+        .agg(F.count("*").alias("cnt"))
+    )
+    if min_count > 1:
+        counts = counts.filter(F.col("cnt") >= min_count)
+    docs = base.groupBy("label").agg(F.count("*").alias("cnt"))
+    totals = counts.groupBy("label").agg(F.sum("cnt").alias("cnt"))
+    vocab = counts.select("tok").distinct().agg(F.count("*").alias("cnt"))
+    model = (
+        counts.select(F.lit("tok").alias("kind"), "tok", "label", "cnt")
+        .unionByName(
+            totals.select(
+                F.lit("total").alias("kind"), F.lit("").alias("tok"), "label", "cnt"
+            )
+        )
+        .unionByName(
+            docs.select(
+                F.lit("docs").alias("kind"), F.lit("").alias("tok"), "label", "cnt"
+            )
+        )
+        .unionByName(
+            vocab.select(
+                F.lit("vocab").alias("kind"),
+                F.lit("").alias("tok"),
+                F.lit("").alias("label"),
+                "cnt",
+            )
+        )
+    )
+    return model
+
+
+def score_nb(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document class log-posteriors: ``(id, n_toks, logp_<label>
+    per class, pred, margin)``.  ``pred`` is the argmax label (ties →
+    lexically-first, deterministic); ``margin`` is best − runner-up in
+    mean-per-token log space (length-normalized, so one threshold works
+    across document lengths; 0.0 for single-class models).
+
+    Plan: the class metadata (docs/total/vocab rows — label-cardinality
+    scale) is collected to the driver as plan CONSTANTS; the token
+    table is pivoted wide (one row per vocab token) and broadcast by
+    default (seed-corpus vocabularies fit executors; pass
+    ``broadcast_model=False`` to shuffle-join a giant model).  ONE
+    explode + ONE join + ONE per-doc aggregate."""
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    meta = {
+        (r["kind"], r["label"]): r["cnt"]
+        for r in model.filter(F.col("kind") != "tok").collect()
+    }
+    labels = sorted(l for (k, l) in meta if k == "docs")
+    if not labels:
+        raise ValueError("model has no 'docs' rows — not a train_nb output?")
+    v = meta.get(("vocab", ""), 0)
+    d_total = sum(meta[("docs", l)] for l in labels)
+    prior = {l: math.log(meta[("docs", l)] / d_total) for l in labels}
+    denom = {l: math.log(meta.get(("total", l), 0) + alpha * v) for l in labels}
+
+    wide = (
+        model.filter(F.col("kind") == "tok")
+        .groupBy("tok")
+        .pivot("label", labels)
+        .sum("cnt")
+    )
+    if broadcast_model:
+        wide = F.broadcast(wide)
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(_tokens(text_col)).alias("tok")
+    )
+    joined = toks.join(wide, "tok", "left")
+    # per-token smoothed log-likelihood; the explode_outer NULL row
+    # (empty doc) contributes nothing but keeps the document's row
+    per_tok = [
+        F.sum(
+            F.when(
+                F.col("tok").isNotNull(),
+                F.log(F.coalesce(F.col(l), F.lit(0)).cast("double") + F.lit(alpha)),
+            ).otherwise(F.lit(0.0))
+        ).alias(f"_s_{i}")
+        for i, l in enumerate(labels)
+    ]
+    agg = joined.groupBy("id").agg(
+        F.count(F.col("tok")).alias("n_toks"), *per_tok
+    )
+    logps = [
+        (
+            F.lit(prior[l])
+            + F.col(f"_s_{i}")
+            - F.col("n_toks") * F.lit(denom[l])
+        ).alias(f"logp_{l}")
+        for i, l in enumerate(labels)
+    ]
+    scored = agg.select("id", "n_toks", *logps)
+    # argmax + margin over a fixed, plan-time label list: pred is the
+    # FIRST (lexically-smallest) label equal to the max — deterministic
+    # on exact ties
+    if len(labels) > 1:
+        best = F.greatest(*[F.col(f"logp_{l}") for l in labels])
+    else:
+        best = F.col(f"logp_{labels[0]}")
+    pred = None
+    for l in labels:
+        cond = F.col(f"logp_{l}") == best
+        pred = F.when(cond, F.lit(l)) if pred is None else pred.when(cond, F.lit(l))
+    if len(labels) > 1:
+        # runner-up = max over the labels NOT equal to best; if several
+        # labels tie at the max, the runner-up IS the max (margin 0)
+        others = [
+            F.when(F.col(f"logp_{l}") == best, F.lit(None)).otherwise(
+                F.col(f"logp_{l}")
+            )
+            for l in labels
+        ]
+        runner = F.coalesce(
+            F.greatest(*others) if len(others) > 2 else F.coalesce(*others),
+            best,
+        )
+        margin = F.when(
+            F.col("n_toks") > 0, (best - runner) / F.col("n_toks")
+        ).otherwise(F.lit(0.0))
+    else:
+        margin = F.lit(0.0)
+    return scored.select(
+        "id", "n_toks", *[f"logp_{l}" for l in labels],
+        pred.alias("pred"), margin.alias("margin"),
+    )
+
+
+def classify_filter(
+    df: DataFrame,
+    model: DataFrame,
+    keep_label: str,
+    min_margin: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Keep only documents the model assigns to ``keep_label`` with at
+    least ``min_margin`` mean-per-token log-odds over the runner-up
+    class (0.0 = any win).  ``id_col`` must be unique and non-null.
+    Returns the input schema unchanged (semi join on the id)."""
+    scored = score_nb(df, model, text_col, id_col, alpha=alpha)
+    kept = scored.filter(
+        (F.col("pred") == keep_label) & (F.col("margin") >= min_margin)
+    ).select(F.col("id").alias(id_col))
+    return df.join(kept, id_col, "left_semi")

@@ -55,6 +55,9 @@ def _gated_turns(
     lm=None,
     lm_max_ppl=None,
     lm_order=3,
+    classifier=None,
+    classifier_keep=None,
+    classifier_min_margin=0.0,
 ):
     """extract → (optional PII scrub / line-repeat strip) →
     quality/language features → gates → (optional Gopher repetition
@@ -141,6 +144,17 @@ def _gated_turns(
             gated, lm, lm_max_ppl, text_col="clean_text", id_col="_tid",
             order=lm_order, broadcast_lm=True,
         )
+    if classifier is not None and classifier_keep is not None:
+        from . import classify
+
+        # GPT-3/CCNet-style model-based quality gate: a seed-trained
+        # Naive Bayes model (ops/classify.train_nb, persisted as a
+        # plain table) keeps only turns it assigns to classifier_keep
+        # with at least classifier_min_margin mean-per-token log-odds.
+        gated = classify.classify_filter(
+            gated, classifier, classifier_keep, classifier_min_margin,
+            text_col="clean_text", id_col="_tid",
+        )
     if decontam_probes is not None:
         from . import decontam
 
@@ -177,6 +191,9 @@ def clean_corpus(
     lm: DataFrame | None = None,
     lm_max_ppl: float | None = None,
     lm_order: int = 3,
+    classifier: DataFrame | None = None,
+    classifier_keep: str | None = None,
+    classifier_min_margin: float = 0.0,
 ) -> DataFrame:
     """Raw transcripts → cleaned per-turn corpus.
 
@@ -211,6 +228,8 @@ def clean_corpus(
         decontam_n=decontam_n, decontam_max_ratio=decontam_max_ratio,
         strip_line_repeats=strip_line_repeats, repetition_gate=repetition_gate,
         lm=lm, lm_max_ppl=lm_max_ppl, lm_order=lm_order,
+        classifier=classifier, classifier_keep=classifier_keep,
+        classifier_min_margin=classifier_min_margin,
     )
     # stage 1: EXACT dedup (hash groupBy — one shuffle on uniform md5
     # keys). Template-heavy corpora have huge identical families; running
@@ -289,6 +308,9 @@ def clean_corpus_incremental(
     lm: DataFrame | None = None,
     lm_max_ppl: float | None = None,
     lm_order: int = 3,
+    classifier: DataFrame | None = None,
+    classifier_keep: str | None = None,
+    classifier_min_margin: float = 0.0,
 ) -> DataFrame:
     """Incremental ``clean_corpus`` — the operational shape for a corpus
     that GROWS: process only the NEW batch of raw transcripts against the
@@ -331,6 +353,8 @@ def clean_corpus_incremental(
         decontam_n=decontam_n, decontam_max_ratio=decontam_max_ratio,
         strip_line_repeats=strip_line_repeats, repetition_gate=repetition_gate,
         lm=lm, lm_max_ppl=lm_max_ppl, lm_order=lm_order,
+        classifier=classifier, classifier_keep=classifier_keep,
+        classifier_min_margin=classifier_min_margin,
     )
     hashed = gated.withColumn("_h", F.md5(dedup.normalized_text(F.col("clean_text"))))
     reps = hashed.groupBy("_h").agg(F.min("_tid").alias("_tid"))

@@ -128,6 +128,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="n-gram order for --train-lm and LM scoring (default 3)")
     ap.add_argument("--lm-min-count", type=int, default=2,
                     help="--train-lm: prune n>1 grams below this count (default 2)")
+    ap.add_argument("--classifier-table", default=None,
+                    help="parquet dir / catalog ident of a trained NB quality model "
+                         "(ops/classify.train_nb output); with --classifier-keep, gates "
+                         "turns by model class (GPT-3/CCNet-style quality filter)")
+    ap.add_argument("--classifier-keep", default=None,
+                    help="model label a turn must be assigned to survive (e.g. 'good')")
+    ap.add_argument("--classifier-min-margin", type=float, default=0.0,
+                    help="min mean-per-token log-odds over the runner-up class (default 0.0)")
     ap.add_argument("--dedup-substrings", type=int, default=0, metavar="WIDTH",
                     help="remove duplicated ≥WIDTH-token spans (Lee et al. exact "
                          "substring dedup) after near-dup removal; persists an "
@@ -342,6 +350,10 @@ def _clean_corpus_job(args) -> int:
         kw["lm"] = read_table(spark, args.lm_table)
         kw["lm_max_ppl"] = args.lm_max_ppl
         kw["lm_order"] = args.lm_order
+    if args.classifier_table and args.classifier_keep:
+        kw["classifier"] = read_table(spark, args.classifier_table)
+        kw["classifier_keep"] = args.classifier_keep
+        kw["classifier_min_margin"] = args.classifier_min_margin
     batch = read_table(spark, args.input)
 
     def _with_splits(df):
