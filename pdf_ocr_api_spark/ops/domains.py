@@ -53,6 +53,7 @@ __all__ = [
     "domain_stats",
     "filter_domains",
     "cap_per_domain",
+    "cap_per_domain_incremental",
 ]
 
 #: Common multi-label public suffixes ("co.uk" is a suffix, so
@@ -237,3 +238,78 @@ def cap_per_domain(
         .select(F.col("_k").alias(key_col))
     )
     return df.join(kept, key_col, "left_semi")
+
+
+def cap_per_domain_incremental(
+    index: DataFrame,
+    batch: DataFrame,
+    n: int,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "domain-cap-v1",
+) -> DataFrame:
+    """Incremental ``cap_per_domain`` for a corpus that GROWS: admit
+    from the NEW batch only as many documents per domain as the stored
+    corpus has quota left, without re-reading history — the same
+    "history is immutable" append contract as
+    ``corpus.clean_corpus_incremental`` and the substring index.
+
+    ``index`` is the per-domain stored count, ``(domain, n_docs)`` —
+    exactly ``domain_stats(kept, text_col=None)``'s shape (persist it;
+    update after each append with the admitted batch's own
+    ``domain_stats``).  Domains absent from the index have full quota.
+
+    Documented divergence from the full recompute (standard for
+    streaming caps): a recompute over history ∪ batch re-draws the n
+    smallest hashes OVERALL and could evict stored docs in favor of
+    smaller-hash batch docs; the incremental form never evicts — it
+    fills remaining slots with the batch's smallest hashes.  Both are
+    deterministic; under the append contract the stored corpus never
+    exceeds n per domain either way.
+
+    Plan: the same partial-top-n shape as ``cap_per_domain`` (``n`` is
+    a valid upper bound for every domain's remaining quota), then the
+    global rank joins the (domain-cardinality-scale) index to apply
+    each domain's actual remainder.
+
+    NULL-domain rows always see full quota here (an equi-join cannot
+    match a NULL index row) — attribute unattributable docs to a
+    sentinel domain string before capping if they must share one
+    budget across batches."""
+    if n < 1:
+        raise ValueError("n must be ≥ 1")
+    from pyspark.sql import Window
+
+    key_t = batch.schema[key_col].dataType.simpleString()
+    h = portable_hash(
+        F.concat_ws(chr(0x1F), F.col(domain_col), F.col(key_col).cast("string")),
+        salt,
+    )
+    narrow = batch.select(
+        F.col(domain_col).alias("_d"), F.col(key_col).alias("_k"), h.alias("_h")
+    )
+
+    def _partial(batches):
+        for b in batches:
+            yield (
+                b.sort_values(["_d", "_h", "_k"])
+                .groupby("_d", dropna=False)
+                .head(n)
+            )
+
+    survivors = narrow.mapInPandas(
+        _partial,
+        f"_d {batch.schema[domain_col].dataType.simpleString()}, _k {key_t}, _h long",
+    )
+    quota = index.select(
+        F.col("domain").alias("_d"),
+        (F.lit(n) - F.col("n_docs")).alias("_left"),
+    )
+    w = Window.partitionBy("_d").orderBy("_h", "_k")
+    kept = (
+        survivors.withColumn("_rn", F.row_number().over(w))
+        .join(quota, "_d", "left")
+        .filter(F.col("_rn") <= F.greatest(F.coalesce("_left", F.lit(n)), F.lit(0)))
+        .select(F.col("_k").alias(key_col))
+    )
+    return batch.join(kept, key_col, "left_semi")

@@ -152,3 +152,61 @@ def test_cap_per_domain_null_domain_group(spark):
     assert per == {"d1": 3, None: 3}
     with pytest.raises(ValueError, match="≥ 1"):
         D.cap_per_domain(df, 0)
+
+
+def test_cap_incremental_empty_index_equals_full(spark, docs):
+    empty = spark.createDataFrame([], "domain string, n_docs long")
+    a = sorted(
+        r["doc_id"]
+        for r in D.cap_per_domain_incremental(empty, docs, 7, salt="t-v1")
+        .select("doc_id")
+        .collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in D.cap_per_domain(docs, 7, salt="t-v1").select("doc_id").collect()
+    )
+    assert a == b
+
+
+def test_cap_incremental_chained_batches(spark, docs):
+    """Batch 2 fills only the quota batch 1 left; totals never exceed n;
+    admitted docs are the batch's smallest hashes; full domains admit 0."""
+    n = 8
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    kept1 = D.cap_per_domain(b1, n)
+    idx = D.domain_stats(kept1, text_col=None)
+    kept2 = D.cap_per_domain_incremental(idx, b2, n)
+    per1 = {r["domain"]: r["n_docs"] for r in idx.collect()}
+    per2 = {
+        r["source"]: r["c"]
+        for r in kept2.groupBy("source").agg(F.count("*").alias("c")).collect()
+    }
+    for d, c in per2.items():
+        assert per1.get(d, 0) + c <= n
+    # every domain with batch-2 supply ends exactly at n (25 docs/domain
+    # per batch here, quota always fillable)
+    total = {d: per1.get(d, 0) + per2.get(d, 0) for d in per1}
+    assert all(v == n for v in total.values())
+    # admitted = the smallest-(hash,key) batch docs within the remainder
+    from pdf_ocr_api_spark.ops.training import portable_hash
+
+    ranked = b2.withColumn(
+        "_h",
+        portable_hash(
+            F.concat_ws(chr(0x1F), F.col("source"), F.col("doc_id").cast("string")),
+            "domain-cap-v1",
+        ),
+    )
+    got = {r["doc_id"] for r in kept2.collect()}
+    for d in per1:
+        rows = sorted(
+            (r["_h"], r["doc_id"])
+            for r in ranked.filter(F.col("source") == d).collect()
+        )
+        want = {k for _, k in rows[: n - per1.get(d, 0)]}
+        assert {k for k in got if k in {x[1] for x in rows}} == want
+    # a saturated index admits nothing
+    full = D.domain_stats(docs, text_col=None)
+    assert D.cap_per_domain_incremental(full, b2, 8).count() == 0
