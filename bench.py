@@ -185,6 +185,38 @@ def headline_queries(spark, transcripts):
         )
         return _count(packed)
 
+    def q_domain_quality():
+        # r5 late-2: the web-pipeline admission pair — Gopher per-domain
+        # cap (partial top-n, no giant-domain sort) then the NB quality
+        # gate (one explode + pivoted broadcast join) over the bench
+        # transcript table; domains derived deterministically from the
+        # conversation key
+        from pdf_ocr_api_spark.ops import classify, domains
+        from pdf_ocr_api_spark.ops.training import portable_hash
+
+        t = transcripts.select(
+            F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("tid"),
+            F.concat(
+                F.lit("site"),
+                (portable_hash(F.col("conv_id"), "dom") % 500).cast("string"),
+            ).alias("source"),
+            "text",
+        )
+        # deterministic hash-sampled seed (limit() would be
+        # partition-order dependent — a non-reproducible model)
+        seed = t.filter(portable_hash(F.col("tid"), "seed") % 29 == 0).select(
+            F.when(F.length("text") > 200, "good").otherwise("bad").alias("label"),
+            "text",
+        )
+        model = classify.train_nb(seed)
+        # materialize between stages (the clean_corpus _cut pattern):
+        # classify_filter's gate + join-back would otherwise recompute
+        # the cap's window twice
+        capped = domains.cap_per_domain(t, 100, key_col="tid").localCheckpoint(
+            eager=True
+        )
+        return _count(classify.classify_filter(capped, model, "good", id_col="tid"))
+
     return {
         "extract": q_extract,
         "extract_text_only": q_extract_text_only,
@@ -198,6 +230,7 @@ def headline_queries(spark, transcripts):
         "repetition": q_repetition,
         "substring_dedup": q_substring_dedup,
         "training_assembly": q_training_assembly,
+        "domain_quality": q_domain_quality,
     }
 
 

@@ -65,14 +65,23 @@ def train_nb(
     text_col: str = "text",
     label_col: str = "label",
     min_count: int = 1,
+    reliable_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Train the NB model: ``(kind, tok, label, cnt)`` (layout above).
 
     One corpus scan (explode) + one ``(tok, label)`` groupBy with
-    map-side partial aggregation; the total/docs/vocab rows are
-    aggregates of the (distinct-vocabulary-scale) count table, never a
-    second corpus pass.  Rows with a NULL label are rejected loudly —
-    a silently dropped label would skew the priors."""
+    map-side partial aggregation, MATERIALIZED once (localCheckpoint,
+    or reliable checkpoint under ``reliable_checkpoint_dir`` — the
+    dedup-family option): the total/vocab rows and the returned model
+    all consume the count table, and without the cut each consumer
+    re-executes the corpus explode+shuffle (the same multi-consumption
+    trap ops/lm.py documents for its N row; measured 4× lineage here).
+    The count table is distinct-vocabulary scale — cheap to pin.
+    ``docs`` priors are a separate NARROW pass (no explode).  Rows with
+    a NULL label are rejected loudly — a silently dropped label would
+    skew the priors."""
+    from .dedup import _materialize
+
     if min_count < 1:
         raise ValueError("min_count must be ≥ 1")
     # NULL labels fail INLINE (raise_error inside the projection — no
@@ -88,7 +97,8 @@ def train_nb(
     )
     if min_count > 1:
         counts = counts.filter(F.col("cnt") >= min_count)
-    docs = base.groupBy("label").agg(F.count("*").alias("cnt"))
+    counts = _materialize(counts, reliable_checkpoint_dir)
+    docs = base.select("label").groupBy("label").agg(F.count("*").alias("cnt"))
     totals = counts.groupBy("label").agg(F.sum("cnt").alias("cnt"))
     vocab = counts.select("tok").distinct().agg(F.count("*").alias("cnt"))
     model = (
