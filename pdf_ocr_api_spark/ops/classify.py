@@ -54,10 +54,9 @@ __all__ = ["train_nb", "score_nb", "classify_filter"]
 
 
 def _tokens(text_col: str):
-    return F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda x: x != "",
-    )
+    from .textstats import ws_tokens
+
+    return ws_tokens(F.col(text_col))
 
 
 def train_nb(
@@ -155,6 +154,12 @@ def score_nb(
     if not labels:
         raise ValueError("model has no 'docs' rows — not a train_nb output?")
     v = meta.get(("vocab", ""), 0)
+    if v <= 0:
+        raise ValueError(
+            "model has zero retained vocabulary (min_count pruned every "
+            "token, or the training text was all empty/whitespace) — "
+            "every document would score identically; retrain"
+        )
     d_total = sum(meta[("docs", l)] for l in labels)
     prior = {l: math.log(meta[("docs", l)] / d_total) for l in labels}
     denom = {l: math.log(meta.get(("total", l), 0) + alpha * v) for l in labels}
@@ -207,18 +212,23 @@ def score_nb(
         cond = F.col(f"logp_{l}") == best
         pred = F.when(cond, F.lit(l)) if pred is None else pred.when(cond, F.lit(l))
     if len(labels) > 1:
-        # runner-up = max over the labels NOT equal to best; if several
-        # labels tie at the max, the runner-up IS the max (margin 0)
+        # runner-up = max over the labels NOT at the max; if SEVERAL
+        # labels tie at the max the runner-up IS the max (margin 0 — a
+        # zero-confidence prediction must not clear a margin gate; the
+        # naive null-the-best-and-take-greatest form nulled ALL tied
+        # labels and fell through to a lower class, r5 review finding)
+        tie_n = None
+        for l in labels:
+            one = F.when(F.col(f"logp_{l}") == best, 1).otherwise(0)
+            tie_n = one if tie_n is None else tie_n + one
         others = [
             F.when(F.col(f"logp_{l}") == best, F.lit(None)).otherwise(
                 F.col(f"logp_{l}")
             )
             for l in labels
         ]
-        runner = F.coalesce(
-            F.greatest(*others) if len(others) > 2 else F.coalesce(*others),
-            best,
-        )
+        runner_raw = F.greatest(*others) if len(others) > 2 else F.coalesce(*others)
+        runner = F.when(tie_n > 1, best).otherwise(runner_raw)
         margin = F.when(
             F.col("n_toks") > 0, (best - runner) / F.col("n_toks")
         ).otherwise(F.lit(0.0))

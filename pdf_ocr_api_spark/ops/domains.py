@@ -91,7 +91,12 @@ def registered_domain(col, suffixes: tuple[str, ...] = MULTI_LABEL_SUFFIXES):
     host = F.lower(
         F.regexp_extract(
             F.regexp_replace(
-                F.regexp_replace(col, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", ""),
+                # optional-scheme form also strips protocol-relative
+                # '//host/...' hrefs (ubiquitous in crawl data — the
+                # anchored host extract would otherwise return '' and
+                # every such URL would evade blocklists in one giant
+                # pseudo-domain, r5 review finding)
+                F.regexp_replace(col, r"^([a-zA-Z][a-zA-Z0-9+.\-]*:)?//", ""),
                 r"^[^/@?#]*@",
                 "",
             ),
@@ -134,12 +139,9 @@ def domain_stats(
     domain key; with ``text_col=None`` only ``n_docs`` is computed."""
     aggs = [F.count("*").alias("n_docs")]
     if text_col is not None:
-        toks = F.size(
-            F.filter(
-                F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-                lambda x: x != "",
-            )
-        )
+        from .textstats import ws_tokens
+
+        toks = F.size(ws_tokens(F.col(text_col), lower=False))
         aggs += [
             F.sum(F.length(F.coalesce(F.col(text_col), F.lit("")))).alias("n_chars"),
             F.sum(toks).alias("n_tokens"),

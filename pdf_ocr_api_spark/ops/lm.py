@@ -60,10 +60,9 @@ _ESC = "\x1b"
 
 
 def _tokens(text_col: str):
-    toks = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda x: x != "",
-    )
+    from .textstats import ws_tokens
+
+    toks = ws_tokens(F.col(text_col))
     return F.transform(
         toks,
         lambda t: F.when(

@@ -242,9 +242,11 @@ def _repetition_cols(text):
     Staged-projection discipline (the repo's standing expression
     pitfall): callers must pass a plain column REFERENCE (`F.col`),
     never an expensive expression — every signal re-references it."""
+    from .textstats import ws_tokens
+
     lines = _split_lines(text)
     paras = _split_paragraphs(text)
-    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+    toks = ws_tokens(text)
     return lines, paras, toks
 
 

@@ -102,11 +102,11 @@ def _rolling(th: np.ndarray, width: int, a: np.uint64) -> np.ndarray:
 
 
 def _tokens_col(text_col: str):
-    """Case-preserving Java-\\s tokenizer (array<string>, empties out)."""
-    return F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-        lambda x: x != "",
-    )
+    """Case-preserving repo-convention tokenizer (exact substring dedup
+    means exact — no lowercasing)."""
+    from .textstats import ws_tokens
+
+    return ws_tokens(F.col(text_col), lower=False)
 
 
 def window_fingerprints(

@@ -52,6 +52,20 @@ def tokens(col):
     return F.split(normalized_text(col), " ")
 
 
+def ws_tokens(col, lower: bool = True):
+    """THE repo-convention whitespace tokenizer (Java ``\\s`` = the
+    ASCII class ``[ \\t\\n\\x0b\\f\\r]``): NULL-safe, empties filtered,
+    lowercased by default.  ``lower=False`` for case-exact operators
+    (substring dedup).  ops/lm, ops/classify, ops/domains,
+    ops/repetition and ops/substrings all build their token streams on
+    this ONE expression — a tokenization change lands everywhere at
+    once instead of silently diverging per module (r5 review finding)."""
+    base = F.coalesce(col, F.lit(""))
+    if lower:
+        base = F.lower(base)
+    return F.filter(F.split(base, r"\s+"), lambda x: x != "")
+
+
 def token_count(col):
     """Whitespace token count (0 for empty AND null — a null-text row
     must not leak size()'s -1/null through a quality metric)."""

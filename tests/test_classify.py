@@ -244,3 +244,31 @@ def test_runner_classifier_gate_cli(spark, tmp_path):
     ) == 0
     kept = {r["conv_id"] for r in spark.read.parquet(f"{root}/corpus").collect()}
     assert kept == {"c0"}
+
+
+def test_margin_zero_on_partial_tie_three_labels(spark):
+    """Review regression: with 3+ labels, two tying at the max must
+    yield margin 0 (zero-confidence), not best-minus-third."""
+    tr = spark.createDataFrame(
+        [("a", "same text here"), ("b", "same text here"), ("c", "other words entirely")],
+        "label string, text string",
+    )
+    m = C.train_nb(tr)
+    df = spark.createDataFrame([(0, "same text here")], "doc_id int, text string")
+    r = C.score_nb(df, m, id_col="doc_id").collect()[0]
+    assert r["logp_a"] == r["logp_b"] and r["logp_a"] > r["logp_c"]
+    assert r["pred"] == "a"  # lexically-first of the tied pair
+    assert r["margin"] == 0.0
+    # and a margin gate refuses the zero-confidence doc
+    assert C.classify_filter(df, m, "a", min_margin=0.01).count() == 0
+
+
+def test_zero_vocab_model_raises(spark):
+    tr = spark.createDataFrame(
+        [("good", "rare words only"), ("bad", "other rare tokens")],
+        "label string, text string",
+    )
+    m = C.train_nb(tr, min_count=5)  # prunes every token
+    df = spark.createDataFrame([(0, "x")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="zero retained vocabulary"):
+        C.score_nb(df, m, id_col="doc_id")

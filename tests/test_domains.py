@@ -210,3 +210,15 @@ def test_cap_incremental_chained_batches(spark, docs):
     # a saturated index admits nothing
     full = D.domain_stats(docs, text_col=None)
     assert D.cap_per_domain_incremental(full, b2, 8).count() == 0
+
+
+def test_registered_domain_protocol_relative(spark):
+    """Review regression: scheme-relative '//host/path' hrefs must
+    resolve to the host's domain, not the '' pseudo-domain."""
+    cases = {
+        "//cdn.example.com/lib.js": "example.com",
+        "//bad.co.uk/page?x=1": "bad.co.uk",
+        "//192.168.10.1/x": "192.168.10.1",
+    }
+    got = _rd(spark, list(cases))
+    assert got == list(cases.values())
