@@ -1,0 +1,191 @@
+"""Corpus report: the datasheet a training-data release ships with.
+
+Every published corpus pipeline ends in a stats card — C4/Gopher/Pile
+papers tabulate language mix, length distributions, domain
+concentration and filter rates.  ``corpus_report`` computes that card
+as ONE tidy DataFrame (``section, key, metric, value``) so it can be
+written next to the corpus, diffed between releases, joined in SQL,
+and rendered by any tool — the same "state is a table" contract as the
+signature index, the LM and the NB model.
+
+Sections:
+
+* ``global``  — doc/token/char totals, tokens-per-doc mean and
+  approx-p50/p95 (mergeable Greenwald-Khanna sketch — an EXACT
+  percentile over 10^9 per-doc values would hold per-distinct-value
+  state in one aggregator; the sketch is the scale-safe choice and its
+  error bound is the documented ``percentile_approx`` contract).
+* ``lang``    — per-language doc counts and token share.
+* ``quality`` — 10-bucket histogram of the quality score.
+* ``domain``  — top-N domain doc counts, top-1/top-10 shares, and the
+  Herfindahl–Hirschman concentration index (Σ share² — the alarm
+  metric for "one site dominates the mix"; per-domain caps exist to
+  push it down).
+
+Plan shape: ONE full-scan aggregate (global totals and the quality
+histogram ride the same pass; its single row is collected and reused
+as literals — without that cut every derived row would re-run the
+scan), plus one small-key groupBy per keyed section (lang, domain).
+The domain concentration metrics aggregate the domain-cardinality-
+scale count table, never the corpus.  Nothing corpus-scale is
+collected.
+
+Reference provenance: no reporting stage exists in the reference
+engine; LLM-training-data operator family (build brief), like
+ops/domains.py and ops/classify.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import ws_tokens
+
+__all__ = ["corpus_report"]
+
+_OUT_SCHEMA = "section string, key string, metric string, value double"
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "clean_text",
+    lang_col: str | None = "lang",
+    quality_col: str | None = "quality_score",
+    domain_col: str | None = None,
+    top_domains: int = 20,
+) -> DataFrame:
+    """The corpus datasheet as a tidy ``(section, key, metric, value)``
+    frame (all-scalar — driver/report-tool safe).  Pass ``None`` for
+    any column the corpus lacks to skip its section; ``value`` is
+    DOUBLE throughout (counts are exact integers in double — safe to
+    2^53, far beyond any corpus row count).  NULL lang/domain keys
+    report under ``'∅'``."""
+    spark = df.sparkSession
+    staged = df.select(
+        F.size(ws_tokens(F.col(text_col), lower=False)).alias("_nt"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("_nc"),
+        *([F.col(lang_col).alias("_lang")] if lang_col else []),
+        *([F.col(quality_col).alias("_q")] if quality_col else []),
+        *([F.col(domain_col).alias("_dom")] if domain_col else []),
+    )
+
+    # global + quality histogram: ONE full-scan aggregate, one row out
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+        F.sum("_nc").alias("n_chars"),
+        F.avg("_nt").alias("mean_tokens"),
+        F.percentile_approx("_nt", 0.5).alias("p50_tokens"),
+        F.percentile_approx("_nt", 0.95).alias("p95_tokens"),
+    ]
+    if quality_col:
+        # bucket k covers [k/10, (k+1)/10); scores clamped into [0, 9]
+        bucket = F.least(
+            F.greatest(F.floor(F.col("_q") * 10), F.lit(0)), F.lit(9)
+        )
+        aggs += [
+            F.sum(F.when(bucket == k, 1).otherwise(0)).alias(f"q_{k}")
+            for k in range(10)
+        ]
+    g = staged.agg(*aggs).collect()[0].asDict()
+
+    def _f(v):
+        # sums/percentiles over an EMPTY corpus come back NULL
+        return float(v) if v is not None else None
+
+    rows: list[tuple] = [
+        ("global", "", m, _f(g[m]))
+        for m in (
+            "n_docs", "n_tokens", "n_chars",
+            "mean_tokens", "p50_tokens", "p95_tokens",
+        )
+    ]
+    if quality_col:
+        rows += [
+            (
+                "quality",
+                f"{k / 10:.1f}-{(k + 1) / 10:.1f}",
+                "n_docs",
+                _f(g[f"q_{k}"]),
+            )
+            for k in range(10)
+        ]
+    scalar = spark.createDataFrame(rows, _OUT_SCHEMA)
+
+    parts = [scalar]
+    total_tokens = float(g["n_tokens"] or 0.0)
+    total_docs = float(g["n_docs"] or 0.0)
+
+    if lang_col:
+        langs = staged.groupBy(
+            F.coalesce(F.col("_lang"), F.lit("∅")).alias("_k")
+        ).agg(F.count("*").alias("_n"), F.sum("_nt").alias("_t"))
+        parts.append(
+            langs.select(
+                F.lit("lang").alias("section"),
+                F.col("_k").alias("key"),
+                F.lit("n_docs").alias("metric"),
+                F.col("_n").cast("double").alias("value"),
+            )
+        )
+        if total_tokens > 0:
+            parts.append(
+                langs.select(
+                    F.lit("lang").alias("section"),
+                    F.col("_k").alias("key"),
+                    F.lit("token_share").alias("metric"),
+                    (F.col("_t") / F.lit(total_tokens)).alias("value"),
+                )
+            )
+
+    if domain_col and total_docs > 0:
+        from pyspark.sql import Window
+
+        doms = staged.groupBy(
+            F.coalesce(F.col("_dom"), F.lit("∅")).alias("_k")
+        ).agg(F.count("*").alias("_n"))
+        # top-N via orderBy+limit — Spark plans TakeOrderedAndProject
+        # (per-partition partial top-k, then a k-row merge), so NO task
+        # ever sorts the whole domain-cardinality count table (a global
+        # row_number window would); deterministic tie-break on the key
+        topk = doms.orderBy(F.desc("_n"), F.asc("_k")).limit(
+            max(top_domains, 10)
+        )
+        # ranking the ≤ max(N,10)-row top-k frame is driver-scale work
+        ranked = topk.withColumn(
+            "_rk", F.row_number().over(Window.orderBy(F.desc("_n"), F.asc("_k")))
+        )
+        parts.append(
+            ranked.filter(F.col("_rk") <= top_domains).select(
+                F.lit("domain").alias("section"),
+                F.col("_k").alias("key"),
+                F.lit("n_docs").alias("metric"),
+                F.col("_n").cast("double").alias("value"),
+            )
+        )
+        share = F.col("_n") / F.lit(total_docs)
+        top_conc = ranked.agg(
+            F.sum(F.when(F.col("_rk") == 1, share).otherwise(0.0)).alias("top1_share"),
+            F.sum(F.when(F.col("_rk") <= 10, share).otherwise(0.0)).alias("top10_share"),
+        )
+        # HHI and the domain count are plain aggregates over the full
+        # count table — no window, no sort
+        conc = doms.agg(
+            F.sum(share * share).alias("hhi"),
+            F.count("*").cast("double").alias("n_domains"),
+        ).crossJoin(top_conc)
+        stack = ", ".join(f"'{m}', {m}" for m in ("top1_share", "top10_share", "hhi", "n_domains"))
+        parts.append(
+            conc.selectExpr(f"stack(4, {stack}) AS (metric, value)").select(
+                F.lit("domain").alias("section"),
+                F.lit("").alias("key"),
+                "metric",
+                F.col("value").cast("double"),
+            )
+        )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

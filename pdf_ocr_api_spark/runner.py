@@ -136,6 +136,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="model label a turn must be assigned to survive (e.g. 'good')")
     ap.add_argument("--classifier-min-margin", type=float, default=0.0,
                     help="min mean-per-token log-odds over the runner-up class (default 0.0)")
+    ap.add_argument("--corpus-report", action="store_true",
+                    help="after a clean job, (re)write the corpus datasheet "
+                         "(ops/report.corpus_report over the STORED corpus) to "
+                         "<output>/report and include its global section in the "
+                         "job summary")
     ap.add_argument("--dedup-substrings", type=int, default=0, metavar="WIDTH",
                     help="remove duplicated ≥WIDTH-token spans (Lee et al. exact "
                          "substring dedup) after near-dup removal; persists an "
@@ -398,6 +403,8 @@ def _clean_corpus_job(args) -> int:
         summary = {"mode": "clean_corpus", "rows": n, "dedup_metrics": metrics}
         if args.dedup_substrings:
             summary["substring_tokens_removed"] = ss_removed
+        if args.corpus_report:
+            summary["report"] = _write_report(spark, args, corpus_target)
         print(json.dumps(summary))
         return 0
 
@@ -432,8 +439,29 @@ def _clean_corpus_job(args) -> int:
     }
     if args.dedup_substrings:
         summary["substring_tokens_removed"] = ss_removed
+    if args.corpus_report:
+        summary["report"] = _write_report(spark, args, corpus_target)
     print(json.dumps(summary))
     return 0
+
+
+def _write_report(spark, args, corpus_target) -> dict:
+    """(Re)write the datasheet over the STORED corpus — a release-time
+    SNAPSHOT, recomputed whole each run (it must describe the full
+    grown corpus, so the incremental job recomputes it too; one corpus
+    scan, see ops/report plan notes).  Returns the global section for
+    the job's JSON summary."""
+    from .ops import report as report_ops
+    from .sources.io import read_table, sub_target, write_table
+
+    rep = report_ops.corpus_report(read_table(spark, corpus_target)).localCheckpoint(
+        eager=True
+    )
+    write_table(rep, sub_target(args.output, "report"), mode="create")
+    return {
+        r["metric"]: r["value"]
+        for r in rep.filter("section = 'global'").collect()
+    }
 
 
 def _show_runs(args) -> int:
