@@ -54,23 +54,44 @@ def corpus_report(
     quality_col: str | None = "quality_score",
     domain_col: str | None = None,
     top_domains: int = 20,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """The corpus datasheet as a tidy ``(section, key, metric, value)``
     frame (all-scalar — driver/report-tool safe).  Pass ``None`` for
     any column the corpus lacks to skip its section; ``value`` is
     DOUBLE throughout (counts are exact integers in double — safe to
     2^53, far beyond any corpus row count).  NULL lang/domain keys
-    report under ``'∅'``."""
+    report under ``'∅'``; documents with a NULL quality score land in
+    a ``'∅'`` histogram bucket (silently dropping them would make the
+    bucket sum disagree with n_docs and read as a distribution shift).
+    ``tokens_col``: a precomputed token-count column (the stored corpus
+    carries ``n_tokens``) — skips re-tokenizing, the most expensive
+    expression here."""
     spark = df.sparkSession
+    nt = (
+        F.col(tokens_col).cast("long")
+        if tokens_col
+        else F.size(ws_tokens(F.col(text_col), lower=False)).cast("long")
+    )
     staged = df.select(
-        F.size(ws_tokens(F.col(text_col), lower=False)).alias("_nt"),
+        nt.alias("_nt"),
         F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("_nc"),
-        *([F.col(lang_col).alias("_lang")] if lang_col else []),
+        # coalesce BEFORE the rollup: after it, a NULL key must mean
+        # only "the grand-total row" (F.grouping disambiguates, but a
+        # pre-coalesced key keeps real-NULL langs as a visible '∅' row)
+        (
+            F.coalesce(F.col(lang_col), F.lit("∅")) if lang_col else F.lit("")
+        ).alias("_lang"),
         *([F.col(quality_col).alias("_q")] if quality_col else []),
         *([F.col(domain_col).alias("_dom")] if domain_col else []),
     )
 
-    # global + quality histogram: ONE full-scan aggregate, one row out
+    # global totals + percentiles + quality histogram + per-lang rows:
+    # ONE corpus scan via rollup(_lang) — per-lang rows and the
+    # grand-total row come out of the same pass, so the tokenizer (or
+    # the token column) is evaluated exactly once per document (the
+    # separate global-agg + lang-groupBy form scanned and re-tokenized
+    # the corpus twice, r5 review finding)
     aggs = [
         F.count("*").alias("n_docs"),
         F.sum("_nt").alias("n_tokens"),
@@ -80,15 +101,45 @@ def corpus_report(
         F.percentile_approx("_nt", 0.95).alias("p95_tokens"),
     ]
     if quality_col:
-        # bucket k covers [k/10, (k+1)/10); scores clamped into [0, 9]
-        bucket = F.least(
-            F.greatest(F.floor(F.col("_q") * 10), F.lit(0)), F.lit(9)
+        # bucket k covers [k/10, (k+1)/10); scores clamped into [0, 9];
+        # NULL scores counted separately (never silently dropped). The
+        # isNotNull guard is load-bearing: greatest(NULL, 0) is 0 in
+        # Spark (greatest skips NULLs), so an unguarded clamp would
+        # double-count NULL scores into bucket 0
+        bucket = F.when(
+            F.col("_q").isNotNull(),
+            F.least(F.greatest(F.floor(F.col("_q") * 10), F.lit(0)), F.lit(9)),
         )
         aggs += [
             F.sum(F.when(bucket == k, 1).otherwise(0)).alias(f"q_{k}")
             for k in range(10)
         ]
-    g = staged.agg(*aggs).collect()[0].asDict()
+        aggs.append(
+            F.sum(F.when(F.col("_q").isNull(), 1).otherwise(0)).alias("q_null")
+        )
+    rolled = (
+        staged.rollup("_lang")
+        .agg(F.grouping("_lang").alias("_total"), *aggs)
+        .collect()
+    )
+    # an EMPTY corpus rolls up to NO rows at all (unlike a plain global
+    # aggregate) — synthesize the zero-row the datasheet still owes
+    g = next(
+        (r.asDict() for r in rolled if r["_total"] == 1),
+        {
+            "n_docs": 0,
+            **{
+                m: None
+                for m in (
+                    "n_tokens", "n_chars", "mean_tokens",
+                    "p50_tokens", "p95_tokens",
+                )
+            },
+            **({f"q_{k}": None for k in range(10)} if quality_col else {}),
+            **({"q_null": None} if quality_col else {}),
+        },
+    )
+    lang_rows = [r for r in rolled if r["_total"] == 0]
 
     def _f(v):
         # sums/percentiles over an EMPTY corpus come back NULL
@@ -111,33 +162,23 @@ def corpus_report(
             )
             for k in range(10)
         ]
-    scalar = spark.createDataFrame(rows, _OUT_SCHEMA)
+        rows.append(("quality", "∅", "n_docs", _f(g["q_null"])))
 
-    parts = [scalar]
     total_tokens = float(g["n_tokens"] or 0.0)
     total_docs = float(g["n_docs"] or 0.0)
-
     if lang_col:
-        langs = staged.groupBy(
-            F.coalesce(F.col("_lang"), F.lit("∅")).alias("_k")
-        ).agg(F.count("*").alias("_n"), F.sum("_nt").alias("_t"))
-        parts.append(
-            langs.select(
-                F.lit("lang").alias("section"),
-                F.col("_k").alias("key"),
-                F.lit("n_docs").alias("metric"),
-                F.col("_n").cast("double").alias("value"),
-            )
-        )
-        if total_tokens > 0:
-            parts.append(
-                langs.select(
-                    F.lit("lang").alias("section"),
-                    F.col("_k").alias("key"),
-                    F.lit("token_share").alias("metric"),
-                    (F.col("_t") / F.lit(total_tokens)).alias("value"),
+        for r in lang_rows:
+            rows.append(("lang", r["_lang"], "n_docs", float(r["n_docs"])))
+            if total_tokens > 0:
+                rows.append(
+                    (
+                        "lang",
+                        r["_lang"],
+                        "token_share",
+                        float(r["n_tokens"] or 0) / total_tokens,
+                    )
                 )
-            )
+    parts = [spark.createDataFrame(rows, _OUT_SCHEMA)]
 
     if domain_col and total_docs > 0:
         from pyspark.sql import Window

@@ -454,9 +454,12 @@ def _write_report(spark, args, corpus_target) -> dict:
     from .ops import report as report_ops
     from .sources.io import read_table, sub_target, write_table
 
-    rep = report_ops.corpus_report(read_table(spark, corpus_target)).localCheckpoint(
-        eager=True
-    )
+    rep = report_ops.corpus_report(
+        # the stored corpus already carries an exact n_tokens column —
+        # reuse it instead of re-tokenizing every document
+        read_table(spark, corpus_target),
+        tokens_col="n_tokens",
+    ).localCheckpoint(eager=True)
     write_table(rep, sub_target(args.output, "report"), mode="create")
     return {
         r["metric"]: r["value"]
