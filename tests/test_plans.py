@@ -223,3 +223,46 @@ def test_substring_dedup_exchange_budget(spark):
     # be duplicated: count FlatMapsInPandas — expect exactly 2 (one
     # fingerprint pass + one rebuild pass)
     assert plan.count("FlatMapsInPandas") + plan.count("MapInPandas") == 2, plan[:3000]
+
+
+def test_cap_per_domain_plan_shape(spark):
+    """cap_per_domain: the partial-top-n mapInPandas appears ONCE and
+    rides the scan partitions (no pre-shuffle); only the survivor rank
+    and the key join shuffle — the corpus-scale frame crosses at most
+    one exchange before shrinking."""
+    from pdf_ocr_api_spark.ops import domains as D
+
+    d = spark.createDataFrame(
+        [(i, f"s{i % 7}", f"txt {i}") for i in range(200)],
+        "doc_id int, source string, text string",
+    )
+    q = D.cap_per_domain(d, 3)
+    plan = PI.executed_plan(q)
+    assert plan.count("FlatMapsInPandas") + plan.count("MapInPandas") == 1, plan[:3000]
+    # window rank + join: ≤ 3 exchanges total, all over survivor/key-
+    # scale frames (the naive global row_number form would sort whole
+    # domains in one task; the partial stage caps what any task sees)
+    assert PI.exchange_count(q) <= 3, plan[:3000]
+
+
+def test_score_nb_plan_shape(spark):
+    """score_nb (broadcast default): ONE token explode (Generate), the
+    model joined via BroadcastHashJoin, one per-doc aggregate — the
+    corpus-scale token stream never shuffles on the token key."""
+    from pdf_ocr_api_spark.ops import classify as C
+
+    tr = spark.createDataFrame(
+        [("good", "alpha beta gamma"), ("bad", "delta epsilon zeta")],
+        "label string, text string",
+    )
+    m = C.train_nb(tr)
+    d = spark.createDataFrame(
+        [(i, f"alpha delta word{i}") for i in range(50)], "doc_id int, text string"
+    )
+    q = C.score_nb(d, m, id_col="doc_id")
+    plan = PI.executed_plan(q)
+    assert plan.count("Generate") == 1, plan[:3000]
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+    # the only exchange over the corpus-scale frame is the per-doc
+    # aggregate's partial/final split
+    assert "SortMergeJoin" not in plan, plan[:3000]
