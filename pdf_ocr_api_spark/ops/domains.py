@@ -189,6 +189,7 @@ def cap_per_domain(
     domain_col: str = "source",
     key_col: str = "doc_id",
     salt: str = "domain-cap-v1",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Gopher-style per-domain document cap: every domain keeps at most
     ``n`` documents — the ones with the smallest portable hash of
@@ -206,6 +207,15 @@ def cap_per_domain(
     single-task giant-domain sort) → broadcast-friendly semi join on
     the key.  Skewed domains cost their n survivors per partition,
     never their full row count.
+
+    ``parallelism``: partitioning of the narrow (domain, key, hash)
+    projection the Arrow partial-top-n stage runs over — the
+    pandas-UDF-stage convention from ``dedup.simhash64``: ``None``
+    (default) repartitions to the session's ``defaultParallelism``
+    (ONE wave of cores; fewer, fuller Arrow batches ALSO shrink the
+    survivor set the global rank sees), an int overrides, ``0`` keeps
+    the input partitioning (no extra shuffle — the narrow projection
+    is the only thing shuffled, never the full rows).
     """
     if n < 1:
         raise ValueError("n must be ≥ 1")
@@ -219,6 +229,12 @@ def cap_per_domain(
     narrow = df.select(
         F.col(domain_col).alias("_d"), F.col(key_col).alias("_k"), h.alias("_h")
     )
+    if parallelism:
+        narrow = narrow.repartition(parallelism)
+    elif parallelism is None:
+        narrow = narrow.repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        )
 
     def _partial(batches):
         for b in batches:
@@ -249,6 +265,7 @@ def cap_per_domain_incremental(
     domain_col: str = "source",
     key_col: str = "doc_id",
     salt: str = "domain-cap-v1",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Incremental ``cap_per_domain`` for a corpus that GROWS: admit
     from the NEW batch only as many documents per domain as the stored
@@ -277,7 +294,7 @@ def cap_per_domain_incremental(
     NULL-domain rows always see full quota here (an equi-join cannot
     match a NULL index row) — attribute unattributable docs to a
     sentinel domain string before capping if they must share one
-    budget across batches."""
+    budget across batches.  ``parallelism``: see ``cap_per_domain``."""
     if n < 1:
         raise ValueError("n must be ≥ 1")
     from pyspark.sql import Window
@@ -290,6 +307,12 @@ def cap_per_domain_incremental(
     narrow = batch.select(
         F.col(domain_col).alias("_d"), F.col(key_col).alias("_k"), h.alias("_h")
     )
+    if parallelism:
+        narrow = narrow.repartition(parallelism)
+    elif parallelism is None:
+        narrow = narrow.repartition(
+            batch.sparkSession.sparkContext.defaultParallelism
+        )
 
     def _partial(batches):
         for b in batches:

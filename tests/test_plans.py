@@ -236,13 +236,19 @@ def test_cap_per_domain_plan_shape(spark):
         [(i, f"s{i % 7}", f"txt {i}") for i in range(200)],
         "doc_id int, source string, text string",
     )
+    # parallelism=0: NO extra shuffle — the partial stage rides the
+    # scan partitions; only the survivor rank + key join exchange
+    q0 = D.cap_per_domain(d, 3, parallelism=0)
+    plan0 = PI.executed_plan(q0)
+    assert plan0.count("FlatMapsInPandas") + plan0.count("MapInPandas") == 1, plan0[:3000]
+    assert PI.exchange_count(q0) <= 3, plan0[:3000]
+    # default (one-wave repartition of the NARROW projection, the
+    # simhash64 pandas-stage convention) adds exactly one exchange —
+    # still over (domain, key, hash) triples, never the full rows
     q = D.cap_per_domain(d, 3)
     plan = PI.executed_plan(q)
     assert plan.count("FlatMapsInPandas") + plan.count("MapInPandas") == 1, plan[:3000]
-    # window rank + join: ≤ 3 exchanges total, all over survivor/key-
-    # scale frames (the naive global row_number form would sort whole
-    # domains in one task; the partial stage caps what any task sees)
-    assert PI.exchange_count(q) <= 3, plan[:3000]
+    assert PI.exchange_count(q) <= 4, plan[:3000]
 
 
 def test_score_nb_plan_shape(spark):
