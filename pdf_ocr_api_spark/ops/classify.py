@@ -170,6 +170,12 @@ def score_nb(
         .pivot("label", labels)
         .sum("cnt")
     )
+    # positional rename: pivoted columns are the RAW label strings —
+    # a label named 'id'/'tok' collides with the join/id columns and a
+    # label containing dots breaks column parsing (r5 review finding,
+    # live-confirmed AMBIGUOUS_REFERENCE). Index names dodge the class;
+    # labels reappear only as final output aliases.
+    wide = wide.toDF("tok", *[f"_c_{i}" for i in range(len(labels))])
     if broadcast_model:
         wide = F.broadcast(wide)
 
@@ -183,49 +189,56 @@ def score_nb(
         F.sum(
             F.when(
                 F.col("tok").isNotNull(),
-                F.log(F.coalesce(F.col(l), F.lit(0)).cast("double") + F.lit(alpha)),
+                F.log(
+                    F.coalesce(F.col(f"_c_{i}"), F.lit(0)).cast("double")
+                    + F.lit(alpha)
+                ),
             ).otherwise(F.lit(0.0))
         ).alias(f"_s_{i}")
-        for i, l in enumerate(labels)
+        for i in range(len(labels))
     ]
     agg = joined.groupBy("id").agg(
         F.count(F.col("tok")).alias("n_toks"), *per_tok
     )
+    # internal _lp_{i} names (labels only reappear as OUTPUT aliases —
+    # same collision class as the pivot rename above)
     logps = [
         (
             F.lit(prior[l])
             + F.col(f"_s_{i}")
             - F.col("n_toks") * F.lit(denom[l])
-        ).alias(f"logp_{l}")
+        ).alias(f"_lp_{i}")
         for i, l in enumerate(labels)
     ]
     scored = agg.select("id", "n_toks", *logps)
+    idx = range(len(labels))
     # argmax + margin over a fixed, plan-time label list: pred is the
     # FIRST (lexically-smallest) label equal to the max — deterministic
     # on exact ties
     if len(labels) > 1:
-        best = F.greatest(*[F.col(f"logp_{l}") for l in labels])
+        best = F.greatest(*[F.col(f"_lp_{i}") for i in idx])
     else:
-        best = F.col(f"logp_{labels[0]}")
+        best = F.col("_lp_0")
     pred = None
-    for l in labels:
-        cond = F.col(f"logp_{l}") == best
+    for i, l in enumerate(labels):
+        cond = F.col(f"_lp_{i}") == best
         pred = F.when(cond, F.lit(l)) if pred is None else pred.when(cond, F.lit(l))
     if len(labels) > 1:
         # runner-up = max over the labels NOT at the max; if SEVERAL
-        # labels tie at the max the runner-up IS the max (margin 0 — a
-        # zero-confidence prediction must not clear a margin gate; the
-        # naive null-the-best-and-take-greatest form nulled ALL tied
-        # labels and fell through to a lower class, r5 review finding)
+        # labels tie at the max the runner-up IS the max, so the margin
+        # reads 0 (the naive null-the-best-and-take-greatest form
+        # nulled ALL tied labels and fell through to a lower class,
+        # r5 review finding). Note a margin of exactly 0 still
+        # satisfies min_margin=0 — classify_filter documents that.
         tie_n = None
-        for l in labels:
-            one = F.when(F.col(f"logp_{l}") == best, 1).otherwise(0)
+        for i in idx:
+            one = F.when(F.col(f"_lp_{i}") == best, 1).otherwise(0)
             tie_n = one if tie_n is None else tie_n + one
         others = [
-            F.when(F.col(f"logp_{l}") == best, F.lit(None)).otherwise(
-                F.col(f"logp_{l}")
+            F.when(F.col(f"_lp_{i}") == best, F.lit(None)).otherwise(
+                F.col(f"_lp_{i}")
             )
-            for l in labels
+            for i in idx
         ]
         runner_raw = F.greatest(*others) if len(others) > 2 else F.coalesce(*others)
         runner = F.when(tie_n > 1, best).otherwise(runner_raw)
@@ -235,8 +248,11 @@ def score_nb(
     else:
         margin = F.lit(0.0)
     return scored.select(
-        "id", "n_toks", *[f"logp_{l}" for l in labels],
-        pred.alias("pred"), margin.alias("margin"),
+        "id",
+        "n_toks",
+        *[F.col(f"_lp_{i}").alias(f"logp_{l}") for i, l in enumerate(labels)],
+        pred.alias("pred"),
+        margin.alias("margin"),
     )
 
 
@@ -251,10 +267,29 @@ def classify_filter(
 ) -> DataFrame:
     """Keep only documents the model assigns to ``keep_label`` with at
     least ``min_margin`` mean-per-token log-odds over the runner-up
-    class (0.0 = any win).  ``id_col`` must be unique and non-null.
-    Returns the input schema unchanged (semi join on the id)."""
+    class.  ``min_margin=0.0`` admits any win INCLUDING exact ties
+    (raise it to reject zero-confidence predictions).  Documents with
+    zero tokens are always dropped — with no evidence the "prediction"
+    is just the class prior, and a quality gate must not admit
+    empty/whitespace text on priors (r5 review finding; corpus
+    pipelines usually also gate on min_tokens upstream).  ``id_col``
+    must be unique and non-null.  Returns the input schema unchanged
+    (semi join on the id).  An unknown ``keep_label`` raises instead of
+    silently dropping the whole corpus (a typo'd --classifier-keep
+    would otherwise write an empty corpus with a success summary)."""
+    known = sorted(
+        r["label"]
+        for r in model.filter(F.col("kind") == "docs").select("label").collect()
+    )
+    if keep_label not in known:
+        raise ValueError(
+            f"keep_label {keep_label!r} is not one of the model's classes "
+            f"{known} — a silent empty result would look like success"
+        )
     scored = score_nb(df, model, text_col, id_col, alpha=alpha)
     kept = scored.filter(
-        (F.col("pred") == keep_label) & (F.col("margin") >= min_margin)
+        (F.col("pred") == keep_label)
+        & (F.col("margin") >= min_margin)
+        & (F.col("n_toks") > 0)
     ).select(F.col("id").alias(id_col))
     return df.join(kept, id_col, "left_semi")

@@ -123,6 +123,12 @@ def registered_domain(col, suffixes: tuple[str, ...] = MULTI_LABEL_SUFFIXES):
     multi = last2.isin(*suffixes)
     return (
         F.when(col.isNull(), F.lit(None).cast("string"))
+        # no extractable host (path-only '/about', bare 'https://',
+        # 'file:///x') → NULL, so such rows follow the module's NULL
+        # conventions instead of pooling into one '' pseudo-domain
+        # that evades blocklists and shares a single cap budget
+        # (r5 review finding — same class as the protocol-relative fix)
+        .when(host == "", F.lit(None).cast("string"))
         .when(is_ip | (n <= 1), host)
         .when(multi & (n >= 3), last3)
         .when(multi, host)  # the suffix itself ("co.uk") — nothing above it
@@ -217,9 +223,37 @@ def cap_per_domain(
     the input partitioning (no extra shuffle — the narrow projection
     is the only thing shuffled, never the full rows).
     """
+    from pyspark.sql import Window
+
+    survivors = _partial_topn(df, n, domain_col, key_col, salt, parallelism)
+    w = Window.partitionBy("_d").orderBy("_h", "_k")
+    kept = (
+        survivors.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .select(F.col("_k").alias(key_col))
+    )
+    return df.join(kept, key_col, "left_semi")
+
+
+def _partial_topn(
+    df: DataFrame,
+    n: int,
+    domain_col: str,
+    key_col: str,
+    salt: str,
+    parallelism: int | None,
+) -> DataFrame:
+    """Shared survivor stage for both cap forms: narrow (domain, key,
+    hash) projection → per-PARTITION top-n per domain in one Arrow
+    stage.  The fold accumulates across the partition's Arrow batches
+    (a per-batch head(n) would bound survivors at n·batches, not
+    n·partitions — at the module's 10^9-row-domain design point that
+    re-creates the giant single-task sort the bound exists to preclude;
+    r5 review finding, live-confirmed).  Running state stays ≤ n rows
+    per domain seen, so memory is bounded regardless of batch count."""
     if n < 1:
         raise ValueError("n must be ≥ 1")
-    from pyspark.sql import Window
+    import pandas as pd
 
     key_t = df.schema[key_col].dataType.simpleString()
     h = portable_hash(
@@ -237,25 +271,23 @@ def cap_per_domain(
         )
 
     def _partial(batches):
+        # dropna=False throughout: a NULL domain is a real group and
+        # honors the cap like any other
+        run = None
         for b in batches:
-            # dropna=False: a NULL domain is a real group and honors the
-            # cap like any other
-            yield (
-                b.sort_values(["_d", "_h", "_k"])
+            both = b if run is None else pd.concat((run, b), ignore_index=True)
+            run = (
+                both.sort_values(["_d", "_h", "_k"])
                 .groupby("_d", dropna=False)
                 .head(n)
             )
+        if run is not None:
+            yield run
 
-    survivors = narrow.mapInPandas(
-        _partial, f"_d {df.schema[domain_col].dataType.simpleString()}, _k {key_t}, _h long"
+    return narrow.mapInPandas(
+        _partial,
+        f"_d {df.schema[domain_col].dataType.simpleString()}, _k {key_t}, _h long",
     )
-    w = Window.partitionBy("_d").orderBy("_h", "_k")
-    kept = (
-        survivors.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n)
-        .select(F.col("_k").alias(key_col))
-    )
-    return df.join(kept, key_col, "left_semi")
 
 
 def cap_per_domain_incremental(
@@ -295,37 +327,9 @@ def cap_per_domain_incremental(
     match a NULL index row) — attribute unattributable docs to a
     sentinel domain string before capping if they must share one
     budget across batches.  ``parallelism``: see ``cap_per_domain``."""
-    if n < 1:
-        raise ValueError("n must be ≥ 1")
     from pyspark.sql import Window
 
-    key_t = batch.schema[key_col].dataType.simpleString()
-    h = portable_hash(
-        F.concat_ws(chr(0x1F), F.col(domain_col), F.col(key_col).cast("string")),
-        salt,
-    )
-    narrow = batch.select(
-        F.col(domain_col).alias("_d"), F.col(key_col).alias("_k"), h.alias("_h")
-    )
-    if parallelism:
-        narrow = narrow.repartition(parallelism)
-    elif parallelism is None:
-        narrow = narrow.repartition(
-            batch.sparkSession.sparkContext.defaultParallelism
-        )
-
-    def _partial(batches):
-        for b in batches:
-            yield (
-                b.sort_values(["_d", "_h", "_k"])
-                .groupby("_d", dropna=False)
-                .head(n)
-            )
-
-    survivors = narrow.mapInPandas(
-        _partial,
-        f"_d {batch.schema[domain_col].dataType.simpleString()}, _k {key_t}, _h long",
-    )
+    survivors = _partial_topn(batch, n, domain_col, key_col, salt, parallelism)
     quota = index.select(
         F.col("domain").alias("_d"),
         (F.lit(n) - F.col("n_docs")).alias("_left"),

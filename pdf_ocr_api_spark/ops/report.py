@@ -91,7 +91,12 @@ def corpus_report(
     # grand-total row come out of the same pass, so the tokenizer (or
     # the token column) is evaluated exactly once per document (the
     # separate global-agg + lang-groupBy form scanned and re-tokenized
-    # the corpus twice, r5 review finding)
+    # the corpus twice, r5 review finding). Known trade: the per-LANG
+    # histogram sums and GK percentile sketches are computed and then
+    # discarded (only the totals row's are read) — that waste is
+    # lang-cardinality × sketch state (tens of KB), which loses to the
+    # alternative (a second corpus-scale scan) by many orders of
+    # magnitude; revisit only if a per-lang histogram section is added
     aggs = [
         F.count("*").alias("n_docs"),
         F.sum("_nt").alias("n_tokens"),
@@ -102,12 +107,15 @@ def corpus_report(
     ]
     if quality_col:
         # bucket k covers [k/10, (k+1)/10); scores clamped into [0, 9];
-        # NULL scores counted separately (never silently dropped). The
-        # isNotNull guard is load-bearing: greatest(NULL, 0) is 0 in
-        # Spark (greatest skips NULLs), so an unguarded clamp would
-        # double-count NULL scores into bucket 0
+        # NULL **and NaN** scores land in the '∅' bucket (never
+        # silently dropped or mis-bucketed). Both guards are
+        # load-bearing: greatest(NULL, 0) is 0 in Spark (greatest
+        # skips NULLs) and floor(NaN*10) CASTS TO 0 — either way an
+        # unguarded clamp reports unknown scores as a mass of
+        # lowest-quality docs (r5 review findings, live-confirmed)
+        q_unknown = F.col("_q").isNull() | F.isnan(F.col("_q").cast("double"))
         bucket = F.when(
-            F.col("_q").isNotNull(),
+            ~q_unknown,
             F.least(F.greatest(F.floor(F.col("_q") * 10), F.lit(0)), F.lit(9)),
         )
         aggs += [
@@ -115,7 +123,7 @@ def corpus_report(
             for k in range(10)
         ]
         aggs.append(
-            F.sum(F.when(F.col("_q").isNull(), 1).otherwise(0)).alias("q_null")
+            F.sum(F.when(q_unknown, 1).otherwise(0)).alias("q_null")
         )
     rolled = (
         staged.rollup("_lang")

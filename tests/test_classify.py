@@ -272,3 +272,37 @@ def test_zero_vocab_model_raises(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id int, text string")
     with pytest.raises(ValueError, match="zero retained vocabulary"):
         C.score_nb(df, m, id_col="doc_id")
+
+
+def test_labels_colliding_with_internal_columns(spark):
+    """Review regression (live-confirmed): labels named 'id'/'tok' or
+    containing dots must not break the pivot join or column parsing."""
+    tr = spark.createDataFrame(
+        [("id", "alpha beta"), ("tok", "gamma delta"), ("en.us", "epsilon zeta")],
+        "label string, text string",
+    )
+    m = C.train_nb(tr)
+    df = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "epsilon zeta")], "doc_id int, text string"
+    )
+    got = {r["id"]: r for r in C.score_nb(df, m, id_col="doc_id").collect()}
+    assert got[0]["pred"] == "id"
+    assert got[1]["pred"] == "en.us"
+    assert C.classify_filter(df, m, "en.us").count() == 1
+
+
+def test_keep_label_validated(spark, model):
+    df = spark.createDataFrame([(0, "x words")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="not one of the model's classes"):
+        C.classify_filter(df, model, "goood")
+
+
+def test_zero_token_docs_never_pass_the_gate(spark, model):
+    """Review regression (live-confirmed): empty/whitespace/NULL text
+    has no evidence — the gate must not admit it on class priors."""
+    df = spark.createDataFrame(
+        [(0, "the annual report analysis"), (1, ""), (2, "   "), (3, None)],
+        "doc_id int, text string",
+    )
+    kept = {r["doc_id"] for r in C.classify_filter(df, model, "good").collect()}
+    assert kept == {0}

@@ -222,3 +222,47 @@ def test_registered_domain_protocol_relative(spark):
     }
     got = _rd(spark, list(cases))
     assert got == list(cases.values())
+
+
+def test_partial_topn_bounds_survivors_across_arrow_batches(spark):
+    """Review regression (live-confirmed defect): the partial top-n
+    must fold across a partition's Arrow batches — a per-batch head(n)
+    bounds survivors at n·batches, re-creating the giant-domain sort
+    the stage exists to preclude."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        df = spark.createDataFrame(
+            [(i, "onedomain") for i in range(1000)], "doc_id int, source string"
+        ).coalesce(1)
+        surv = D._partial_topn(df, 2, "source", "doc_id", "s", parallelism=0)
+        assert surv.count() == 2  # one partition → exactly n survivors
+        # and the cap result is still the exact global top-n
+        kept = sorted(
+            r["doc_id"] for r in D.cap_per_domain(df, 2, salt="s").collect()
+        )
+        from pdf_ocr_api_spark.ops.training import portable_hash
+
+        ranked = df.withColumn(
+            "_h",
+            portable_hash(
+                F.concat_ws(chr(31), F.col("source"), F.col("doc_id").cast("string")),
+                "s",
+            ),
+        )
+        want = sorted(
+            k for _, k in sorted(
+                (r["_h"], r["doc_id"]) for r in ranked.collect()
+            )[:2]
+        )
+        assert kept == want
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_registered_domain_empty_host_is_null(spark):
+    """Review regression: path-only / scheme-only / file URLs have no
+    host — they must be NULL (NULL conventions), not an '' pseudo-domain
+    that evades blocklists."""
+    got = _rd(spark, ["/about", "https://", "file:///tmp/x", "//", ""])
+    assert got == [None] * 5

@@ -157,3 +157,16 @@ def test_single_scan_plan(spark):
     # the distributed part of the report is only the tidy literal frame
     # — every corpus-scan aggregate was collected during construction
     assert "Scan" not in plan or "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_nan_quality_goes_to_unknown_bucket(spark):
+    """Review regression (live-confirmed): floor(NaN*10) casts to 0 in
+    Spark — NaN scores must land in '∅', not read as lowest-quality."""
+    df = spark.createDataFrame(
+        [("a b", float("nan")), ("c d", 0.95)],
+        "clean_text string, quality_score double",
+    )
+    got = _d(R.corpus_report(df, lang_col=None))
+    assert got[("quality", "∅", "n_docs")] == 1.0
+    assert got[("quality", "0.0-0.1", "n_docs")] == 0.0
+    assert got[("quality", "0.9-1.0", "n_docs")] == 1.0
