@@ -186,6 +186,11 @@ def corpus_report(
                         float(r["n_tokens"] or 0) / total_tokens,
                     )
                 )
+            # the rollup computes these per language anyway (same pass
+            # as the totals) — emitting them is free and length
+            # distributions per language are a standard datasheet cut
+            for m in ("mean_tokens", "p50_tokens", "p95_tokens"):
+                rows.append(("lang", r["_lang"], m, _f(r[m])))
     parts = [spark.createDataFrame(rows, _OUT_SCHEMA)]
 
     if domain_col and total_docs > 0:

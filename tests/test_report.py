@@ -170,3 +170,13 @@ def test_nan_quality_goes_to_unknown_bucket(spark):
     assert got[("quality", "∅", "n_docs")] == 1.0
     assert got[("quality", "0.0-0.1", "n_docs")] == 0.0
     assert got[("quality", "0.9-1.0", "n_docs")] == 1.0
+
+
+def test_per_lang_length_stats(spark, corpus):
+    """The rollup's per-language mean/percentiles are emitted (they
+    ride the same pass as the totals — free signal, standard cut)."""
+    got = _d(R.corpus_report(corpus))
+    assert got[("lang", "en", "mean_tokens")] == pytest.approx(4.0)
+    assert got[("lang", "en", "p50_tokens")] == 4.0
+    assert got[("lang", "fr", "p95_tokens")] == 2.0
+    assert got[("lang", "∅", "mean_tokens")] == 10.0
