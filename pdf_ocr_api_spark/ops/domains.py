@@ -160,33 +160,60 @@ def filter_domains(
     domains,
     domain_col: str = "source",
     mode: str = "block",
+    match: str = "exact",
 ) -> DataFrame:
     """C4-style domain list filter.  ``domains`` is a Python sequence
     or a single-column DataFrame; ``mode='block'`` drops matching rows,
     ``mode='allow'`` keeps only them.
 
-    A sequence becomes an ``isin`` predicate (a literal in the plan —
-    pushes down to the scan); a DataFrame becomes a broadcast
-    LEFT_ANTI / LEFT_SEMI join (the list is curated-size by nature —
-    never corpus-scale).  NULL domains never match a list, so
-    ``block`` keeps them and ``allow`` drops them (documented C4
-    convention: an unattributable page cannot clear an allow-list)."""
+    ``match='exact'`` (default) compares the column verbatim — right
+    when the column already holds the registered domain
+    (``registered_domain``'s output).  ``match='suffix'`` additionally
+    matches any SUBDOMAIN of a listed entry (``bad.com`` also hits
+    ``cdn.bad.com`` — the C4 blocklist convention for raw-host
+    columns) via exact-or-``.``-suffix predicates, so ``notbad.com``
+    and ``bad.com.evil.org`` never false-positive.  Entries are
+    expected lowercase (hosts from ``registered_domain`` are).
+
+    A sequence becomes a literal predicate in the plan (isin /
+    endswith-chain — pushes toward the scan); a DataFrame becomes a
+    broadcast LEFT_ANTI / LEFT_SEMI join for ``exact``, and is
+    collected to the literal path for ``suffix`` (blocklists are
+    curated-size by nature — never corpus-scale; the same
+    metadata-scale-collect contract as the ANN index layouts).  NULL
+    domains never match a list, so ``block`` keeps them and ``allow``
+    drops them (documented C4 convention: an unattributable page
+    cannot clear an allow-list)."""
     if mode not in ("block", "allow"):
         raise ValueError(f"unknown filter_domains mode: {mode!r}")
+    if match not in ("exact", "suffix"):
+        raise ValueError(f"unknown filter_domains match: {match!r}")
     if isinstance(domains, DataFrame):
         cols = domains.columns
         if len(cols) != 1:
             raise ValueError(
                 f"domain list DataFrame must have exactly one column, got {cols}"
             )
+        if match == "suffix":
+            vals = [r[0] for r in domains.select(cols[0]).distinct().collect()]
+            return filter_domains(df, vals, domain_col, mode, match)
         lst = F.broadcast(domains.select(F.col(cols[0]).alias(domain_col)).distinct())
         how = "left_anti" if mode == "block" else "left_semi"
         return df.join(lst, domain_col, how)
-    pred = F.col(domain_col).isin(list(domains))
+    entries = [str(d) for d in domains if d is not None]
+    if match == "suffix":
+        c = F.col(domain_col)
+        pred = F.lit(False)
+        for d in entries:
+            d = d.lstrip(".")
+            pred = pred | (c == d) | c.endswith("." + d)
+    else:
+        pred = F.col(domain_col).isin(entries)
     if mode == "block":
-        # isin is NULL (not False) for NULL domains — keep them explicitly
+        # the predicate is NULL (not False) for NULL domains — keep
+        # them explicitly
         return df.filter(~F.coalesce(pred, F.lit(False)))
-    return df.filter(pred)
+    return df.filter(F.coalesce(pred, F.lit(False)))
 
 
 def cap_per_domain(

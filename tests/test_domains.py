@@ -266,3 +266,32 @@ def test_registered_domain_empty_host_is_null(spark):
     that evades blocklists."""
     got = _rd(spark, ["/about", "https://", "file:///tmp/x", "//", ""])
     assert got == [None] * 5
+
+
+def test_filter_domains_suffix_match(spark):
+    """match='suffix': a listed domain blocks its subdomains too, with
+    no lookalike false positives; DataFrame lists delegate; allow mode
+    and NULL conventions hold."""
+    df = spark.createDataFrame(
+        [
+            (1, "bad.com"),
+            (2, "cdn.bad.com"),
+            (3, "a.b.bad.com"),
+            (4, "notbad.com"),
+            (5, "bad.com.evil.org"),
+            (6, None),
+        ],
+        "doc_id int, source string",
+    )
+    kept = {r["doc_id"] for r in D.filter_domains(df, ["bad.com"], match="suffix").collect()}
+    assert kept == {4, 5, 6}  # lookalikes and NULL survive
+    allowed = {
+        r["doc_id"]
+        for r in D.filter_domains(df, [".bad.com"], mode="allow", match="suffix").collect()
+    }
+    assert allowed == {1, 2, 3}  # leading-dot entries normalized
+    lst = spark.createDataFrame([("bad.com",)], "d string")
+    kept2 = {r["doc_id"] for r in D.filter_domains(df, lst, match="suffix").collect()}
+    assert kept2 == {4, 5, 6}
+    with pytest.raises(ValueError, match="match"):
+        D.filter_domains(df, ["x"], match="prefix")
