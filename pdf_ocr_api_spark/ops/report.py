@@ -187,10 +187,22 @@ def corpus_report(
                     )
                 )
             # the rollup computes these per language anyway (same pass
-            # as the totals) — emitting them is free and length
-            # distributions per language are a standard datasheet cut
+            # as the totals) — emitting them is free, and per-language
+            # length/quality distributions are standard datasheet cuts
+            # (CCNet gates quality per language)
             for m in ("mean_tokens", "p50_tokens", "p95_tokens"):
                 rows.append(("lang", r["_lang"], m, _f(r[m])))
+            if quality_col:
+                for k in range(10):
+                    rows.append(
+                        (
+                            "lang_quality",
+                            r["_lang"],
+                            f"{k / 10:.1f}-{(k + 1) / 10:.1f}",
+                            _f(r[f"q_{k}"]),
+                        )
+                    )
+                rows.append(("lang_quality", r["_lang"], "∅", _f(r["q_null"])))
     parts = [spark.createDataFrame(rows, _OUT_SCHEMA)]
 
     if domain_col and total_docs > 0:

@@ -180,3 +180,18 @@ def test_per_lang_length_stats(spark, corpus):
     assert got[("lang", "en", "p50_tokens")] == 4.0
     assert got[("lang", "fr", "p95_tokens")] == 2.0
     assert got[("lang", "∅", "mean_tokens")] == 10.0
+
+
+def test_per_lang_quality_histogram(spark, corpus):
+    """Per-language quality buckets ride the same rollup pass — free
+    CCNet-style per-language quality cuts; bucket sums per language
+    equal that language's doc count."""
+    got = _d(R.corpus_report(corpus))
+    assert got[("lang_quality", "en", "0.9-1.0")] == 6.0
+    assert got[("lang_quality", "fr", "0.4-0.5")] == 3.0
+    assert got[("lang_quality", "∅", "0.9-1.0")] == 1.0  # 1.7 clamps to 9
+    for lang in ("en", "fr", "∅"):
+        buckets = sum(
+            v for (s, k, m), v in got.items() if s == "lang_quality" and k == lang
+        )
+        assert buckets == got[("lang", lang, "n_docs")]
