@@ -80,7 +80,11 @@ def _rolling(th: np.ndarray, width: int, a: np.uint64) -> np.ndarray:
     """Stride-1 polynomial window hashes H(i) = Σ_j th[i+j]·a^(W-1-j)
     over the uint64 ring, O(T) via prefix sums with the modular inverse
     of ``a`` (odd → invertible mod 2^64).  numpy uint64 arithmetic
-    wraps silently, which here is exactly the ring semantics wanted."""
+    wraps silently, which here is exactly the ring semantics wanted.
+
+    Per-document scalar form — kept as the equivalence twin for
+    ``_batch_rolling`` (the r6 whole-batch vectorization; asserted
+    byte-equal in tests)."""
     t = len(th)
     n = t - width + 1
     if n <= 0:
@@ -99,6 +103,66 @@ def _rolling(th: np.ndarray, width: int, a: np.uint64) -> np.ndarray:
         q = np.zeros(t + 1, dtype=np.uint64)
         np.add.accumulate(th * ainvp, out=q[1:])
         return (q[width:] - q[:-width]) * apow[width - 1 :]
+
+
+# per-multiplier (apow, ainvp) power tables, grown geometrically and
+# kept in a module-level cache: the tables depend only on the multiplier
+# and the longest document seen, so a reused Python worker
+# (spark.python.worker.reuse, default on) pays the build once per task
+# at most — the r5 form rebuilt both arrays PER ROW (guide §4.5:
+# heavyweight init once per task, not per row)
+_POW_CACHE: dict = {}
+
+
+def _powers(a: np.uint64, t: int):
+    """apow[i] = a^(i+1), ainvp[i] = ainv^i for i < max(t, 1024)."""
+    key = int(a)
+    cur = _POW_CACHE.get(key)
+    if cur is None or len(cur[0]) < t:
+        n = max(t, 1024)
+        if cur is not None:
+            n = max(n, 2 * len(cur[0]))
+        ainv = np.uint64(pow(key, -1, 1 << 64))
+        with np.errstate(over="ignore"):
+            apow = np.multiply.accumulate(np.full(n, a, dtype=np.uint64))
+            ainvp = np.empty(n, dtype=np.uint64)
+            ainvp[0] = np.uint64(1)
+            ainvp[1:] = np.multiply.accumulate(
+                np.full(n - 1, ainv, dtype=np.uint64)
+            )
+        cur = (apow, ainvp)
+        _POW_CACHE[key] = cur
+    return cur
+
+
+def _batch_rolling(
+    flat: np.ndarray,
+    lens: np.ndarray,
+    pos_in_doc: np.ndarray,
+    width: int,
+    a: np.uint64,
+):
+    """``_rolling`` over EVERY document of a batch in one vectorized
+    pass: ``flat`` is the concatenation of all token-hash arrays,
+    ``pos_in_doc`` each token's 0-based index within its document.
+
+    Same prefix-sum identity as ``_rolling`` — the per-document
+    exclusive prefixes all live inside ONE global cumsum because the
+    base terms cancel in Q[i+W]−Q[i] (both prefixes share the same
+    document start, and uint64 wraparound subtraction is exact ring
+    arithmetic).  Returns (hashes, global_window_start_idx,
+    pos_within_doc) for every valid window."""
+    apow, ainvp = _powers(a, int(lens.max()) if len(lens) else 1)
+    with np.errstate(over="ignore"):
+        q = np.add.accumulate(flat * ainvp[pos_in_doc])  # inclusive prefix
+        valid = pos_in_doc + width <= np.repeat(lens, lens)
+        g = np.flatnonzero(valid)
+        i = pos_in_doc[g]
+        hi = q[g + width - 1]
+        lo = np.zeros(len(g), dtype=np.uint64)
+        nz = g > 0
+        lo[nz] = q[g[nz] - 1]
+        return (hi - lo) * apow[i + width - 1], g, i
 
 
 def _tokens_col(text_col: str):
@@ -133,28 +197,47 @@ def window_fingerprints(
     )
 
     def _fp(batches):
+        # whole-batch vectorization (r6): concatenate every document's
+        # token hashes and run ONE ``_batch_rolling`` pass per stream —
+        # the per-row loop cost ~25 µs/doc in numpy alloc overhead alone
+        # (measured: 2.9 s → 2.3 s warm on the 58k-doc bench table,
+        # byte-equal output; guide §4.2 — batches to vectorized numpy,
+        # never per-row Python)
         for b in batches:
-            ids, poss, h1s, h2s = [], [], [], []
-            for i, th_list, th2_list in zip(b["id"], b["_th"], b["_th2"]):
-                th = np.asarray(th_list, dtype=np.int64).view(np.uint64)
-                w1 = _rolling(th, width, _A1)
-                if len(w1) == 0:
-                    continue
-                th2 = np.asarray(th2_list, dtype=np.int64).view(np.uint64)
-                w2 = _rolling(th2, width, _A2)
-                ids.append(np.full(len(w1), i, dtype=object))
-                poss.append(np.arange(len(w1), dtype=np.int64))
-                h1s.append(w1.view(np.int64))
-                h2s.append(w2.view(np.int64))
-            if not ids:
-                yield pd.DataFrame({"id": [], "pos": [], "h1": [], "h2": []})
+            n_rows = len(b)
+            lens = np.fromiter(
+                (len(a) for a in b["_th"]), dtype=np.int64, count=n_rows
+            )
+            if n_rows == 0 or not (lens >= width).any():
+                yield pd.DataFrame(
+                    {
+                        "id": pd.Series(dtype=object),
+                        "pos": pd.Series(dtype=np.int64),
+                        "h1": pd.Series(dtype=np.int64),
+                        "h2": pd.Series(dtype=np.int64),
+                    }
+                )
                 continue
+            flat1 = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in b["_th"]]
+            ).view(np.uint64)
+            flat2 = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in b["_th2"]]
+            ).view(np.uint64)
+            starts = np.zeros(n_rows, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            pos_in_doc = np.arange(len(flat1), dtype=np.int64) - np.repeat(
+                starts, lens
+            )
+            h1, _, pos = _batch_rolling(flat1, lens, pos_in_doc, width, _A1)
+            h2, _, _ = _batch_rolling(flat2, lens, pos_in_doc, width, _A2)
+            n_win = np.maximum(lens - width + 1, 0)
             yield pd.DataFrame(
                 {
-                    "id": np.concatenate(ids),
-                    "pos": np.concatenate(poss),
-                    "h1": np.concatenate(h1s),
-                    "h2": np.concatenate(h2s),
+                    "id": np.repeat(b["id"].to_numpy(), n_win),
+                    "pos": pos,
+                    "h1": h1.view(np.int64),
+                    "h2": h2.view(np.int64),
                 }
             )
 
@@ -218,20 +301,35 @@ def dedup_substrings(
     16g JVM to 281 s).  The occurrence count and the min-(id,pos)
     keeper are instead computed as window aggregates over
     ``partitionBy(h1, h2)``: ONE shuffle, the window table streams
-    through exactly once, nothing is cached.  ``reliable_checkpoint_dir``
-    is accepted for API symmetry with the dedup family but unused in
-    this single-pass form.
+    through exactly once, nothing is cached.  (The r6 groupBy+
+    collect_list+explode re-expression was bench-marked against this
+    window form and lost — 2.7 s vs 2.4 s warm — the hash-aggregate's
+    per-group buffers cost more than the long-key sort.)
+    ``reliable_checkpoint_dir`` backs the cut-table materialization in
+    ``_apply_cuts`` (default localCheckpoint — the dedup-family
+    convention).
 
     Boundary slack: removal is the union of duplicated windows, so a
     duplicated span's first/last partial-window tokens (< ``width``)
     at the edges of a LONGER non-duplicated context are kept — the
     paper's suffix-array form has the same ±1-token edge convention.
     """
+    wins = window_fingerprints(df, text_col, id_col, width)
+    remove = _remove_table(wins, min_count)
+    return _apply_cuts(
+        df, remove, text_col, id_col, width, reliable_checkpoint_dir
+    )
+
+
+def _remove_table(wins: DataFrame, min_count: int) -> DataFrame:
+    """Per-doc sorted cut positions ``(id, _cut_pos)`` from the window
+    table: ONE window-aggregate shuffle over ``partitionBy(h1, h2)``
+    (count + min-(id,pos) keeper), filter to non-keeper occurrences of
+    ≥``min_count`` fingerprints, regroup per document."""
     from pyspark.sql import Window
 
-    wins = window_fingerprints(df, text_col, id_col, width)
     w = Window.partitionBy("h1", "h2")
-    remove = (
+    return (
         wins.withColumn("_c", F.count("*").over(w))
         .withColumn("_k", F.min(F.struct("id", "pos")).over(w))
         .filter(
@@ -244,30 +342,62 @@ def dedup_substrings(
         .groupBy("id")
         .agg(F.sort_array(F.collect_list("pos")).alias("_cut_pos"))
     )
-    return _apply_cuts(df, remove, text_col, id_col, width)
 
 
 def _apply_cuts(
-    df: DataFrame, remove: DataFrame, text_col: str, id_col: str, width: int
+    df: DataFrame,
+    remove: DataFrame,
+    text_col: str,
+    id_col: str,
+    width: int,
+    reliable_dir: str | None = None,
 ) -> DataFrame:
     """Join per-doc sorted cut positions (``remove``: (id, _cut_pos))
     back to the corpus and rebuild affected documents: numpy interval
     marking (+1/-1 diff, cumsum>0 = covered token) drops covered
-    tokens; untouched docs pass through with their original bytes."""
-    joined = df.join(remove.withColumnRenamed("id", id_col), id_col, "left")
+    tokens; untouched docs pass through with their original bytes.
+
+    r6 shape: only AFFECTED documents cross the Python boundary.  The
+    r5 form shipped the ENTIRE corpus through the rebuild mapInPandas
+    just to pass untouched rows back out — at 85-95 % untouched rows
+    that Arrow round-trip (full text, both directions) was the single
+    largest cost of the operator (measured: 3.3 s → 1.2 s warm on the
+    58k-doc bench table; guide §4.1 — the Python boundary is paid per
+    byte crossing it).  Untouched rows now take a pure-JVM anti-join
+    branch.  The cut table is materialized once (``_materialize`` —
+    localCheckpoint, or a reliable checkpoint under ``reliable_dir``)
+    because both branches consume it and Catalyst has no cross-branch
+    subplan sharing: without the cut the token-scale fingerprint
+    pipeline would execute twice.  The cut table is affected-doc-scale
+    (only true repeats) — cheap to pin by construction."""
+    from .dedup import _materialize
+
+    remove = _materialize(remove.withColumnRenamed("id", id_col), reliable_dir)
+    # the cut table is already materialized, so sizing it costs one
+    # metadata-cheap job — broadcast both branch joins when it fits
+    # (neither branch then shuffles the CORPUS by id; with a giant cut
+    # table both joins fall back to shuffle joins, the r5 cost times
+    # two).  Size estimate: 8 B per cut position + ~48 B per row of id/
+    # struct overhead, capped well under the 8 GB broadcast hard limit.
+    stats = remove.agg(
+        F.count("*").alias("n"), F.sum(F.size("_cut_pos")).alias("c")
+    ).first()
+    est_bytes = (stats["n"] or 0) * 48 + (stats["c"] or 0) * 8
+    small = est_bytes <= 256 * 1024 * 1024
+    cuts_side = F.broadcast(remove) if small else remove
+    ids_side = remove.select(id_col)
+    if small:
+        ids_side = F.broadcast(ids_side)
 
     out_fields = df.schema.fieldNames()
-    out_schema = joined.drop("_cut_pos").schema.add("n_tokens_removed", "long")
+    affected_in = df.join(cuts_side, id_col, "inner")
+    out_schema = affected_in.drop("_cut_pos").schema.add("n_tokens_removed", "long")
 
     def _rebuild(batches):
         for b in batches:
             texts = []
             removed = []
             for t, cuts in zip(b[text_col], b["_cut_pos"]):
-                if cuts is None or len(cuts) == 0:
-                    texts.append(t)
-                    removed.append(0)
-                    continue
                 toks = [w for w in _WS_SPLIT.split(t or "") if w]
                 cover = np.zeros(len(toks) + 1, dtype=np.int32)
                 starts = np.asarray(cuts, dtype=np.int64)
@@ -283,9 +413,11 @@ def _apply_cuts(
             out["n_tokens_removed"] = removed
             yield out
 
-    return joined.mapInPandas(_rebuild, out_schema).select(
-        *out_fields, "n_tokens_removed"
+    untouched = df.join(ids_side, id_col, "left_anti").withColumn(
+        "n_tokens_removed", F.lit(0).cast("long")
     )
+    affected = affected_in.mapInPandas(_rebuild, out_schema)
+    return untouched.unionByName(affected).select(*out_fields, "n_tokens_removed")
 
 
 def substring_index(

@@ -204,11 +204,15 @@ def test_repetition_ops_shuffle_free(spark):
 
 
 def test_substring_dedup_exchange_budget(spark):
-    """dedup_substrings: the token-scale window table crosses exactly
-    ONE exchange (the window aggregate over (h1,h2)); the remaining
-    exchanges only carry per-doc cut lists and the corpus join — 3
-    total, and the fingerprint mapInPandas stage appears ONCE (the
-    bake-off regression guard: the join-back form evaluated it twice)."""
+    """dedup_substrings, r6 two-phase shape.  Phase 1 (the cut table,
+    materialized once): the token-scale window table crosses exactly
+    ONE exchange (the window aggregate over (h1,h2)), the per-doc
+    regroup is the only other exchange, and the fingerprint mapInPandas
+    appears ONCE (bake-off regression guard: the join-back form
+    evaluated it twice).  Phase 2 (the output): untouched rows take a
+    pure-JVM anti-join branch — only AFFECTED rows cross the Python
+    boundary (exactly one rebuild MapInPandas), and with a
+    broadcastable cut table the corpus is never shuffled at all."""
     from pdf_ocr_api_spark.ops import substrings as S
 
     span = " ".join(f"z{i}" for i in range(8))
@@ -216,13 +220,19 @@ def test_substring_dedup_exchange_budget(spark):
         [(i, f"head{i} " + span + f" tail{i}") for i in range(40)],
         "doc_id int, text string",
     )
+    # phase 1: the pre-materialization cut-table pipeline
+    remove = S._remove_table(S.window_fingerprints(d, width=8), min_count=2)
+    rplan = PI.executed_plan(remove)
+    assert PI.exchange_count(remove) <= 2, rplan[:3000]
+    assert (
+        rplan.count("FlatMapsInPandas") + rplan.count("MapInPandas") == 1
+    ), rplan[:3000]
+    # phase 2: the output plan
     q = S.dedup_substrings(d, width=8)
     plan = PI.executed_plan(q)
-    assert PI.exchange_count(q) <= 3, plan[:3000]
-    # the fingerprint UDF stage (first mapInPandas over _th) must not
-    # be duplicated: count FlatMapsInPandas — expect exactly 2 (one
-    # fingerprint pass + one rebuild pass)
-    assert plan.count("FlatMapsInPandas") + plan.count("MapInPandas") == 2, plan[:3000]
+    assert PI.exchange_count(q) == 0, plan[:3000]
+    assert plan.count("FlatMapsInPandas") + plan.count("MapInPandas") == 1, plan[:3000]
+    assert "LeftAnti" in plan, plan[:3000]
 
 
 def test_cap_per_domain_plan_shape(spark):

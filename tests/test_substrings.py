@@ -264,3 +264,40 @@ def test_runner_dedup_substrings_flag(spark, tmp_path):
     bad = [k if k != "10" else "12" for k in knobs]
     with pytest.raises(SystemExit, match="width"):
         runner.main(["--clean-incremental", "--input", in2, "--output", root] + bad)
+
+
+def test_batch_rolling_equals_scalar_rolling():
+    """The r6 whole-batch vectorized rolling pass (`_batch_rolling`)
+    must be byte-identical to the per-document scalar form
+    (`_rolling`) for every document in a batch, including empty and
+    shorter-than-width documents."""
+    import numpy as np
+
+    rng = random.Random(7)
+    width = 5
+    docs = [
+        np.array(
+            [rng.getrandbits(64) for _ in range(rng.choice([0, 1, 3, width - 1, width, 17, 64]))],
+            dtype=np.uint64,
+        )
+        for _ in range(50)
+    ]
+    lens = np.array([len(d) for d in docs], dtype=np.int64)
+    flat = (
+        np.concatenate([d for d in docs if len(d)])
+        if lens.sum()
+        else np.empty(0, dtype=np.uint64)
+    )
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    pos_in_doc = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
+    for a in (S._A1, S._A2):
+        h, g, pos = S._batch_rolling(flat, lens, pos_in_doc, width, a)
+        expected = [S._rolling(d, width, a) for d in docs]
+        exp_flat = np.concatenate([e for e in expected]) if expected else np.empty(0)
+        assert np.array_equal(h, exp_flat)
+        # window positions are per-doc 0-based indices
+        exp_pos = np.concatenate(
+            [np.arange(max(len(d) - width + 1, 0)) for d in docs]
+        )
+        assert np.array_equal(pos, exp_pos)
