@@ -225,18 +225,28 @@ def conversation_scalars(extracted: DataFrame, chunk_turns: int = 512) -> DataFr
       partial combine, nothing conversation-sized anywhere.
     * the J6 normalize strips every non-[A-Z0-9] char INCLUDING the join
       separators, so a token CAN straddle turn (and chunk) boundaries.
-      Turns are grouped into chunks of ``chunk_turns``; each chunk's
-      normalized text (chunk-bounded) is probed directly, and cross-chunk
-      matches are caught via a per-conversation *boundary stream*: each
-      chunk contributes its whole normalized text when shorter than
+      The straddle machinery is the *boundary stream*: a unit (turn, or
+      chunk) contributes its whole normalized text when shorter than
       2·(maxlen−1), else its first and last (maxlen−1) chars fenced by a
       '#' (outside the [A-Z0-9] alphabet, so the fence can never sit
-      inside a token match). Every adjacency in the stream is a real
+      inside a token match). Every adjacency in such a stream is a real
       adjacency in the full normalized text, and any straddling token
-      lies within suffix_k ++ (whole short chunks) ++ prefix_m — so
-      ``bool_or(chunk contains) OR stream contains`` is exact. The stream
-      is #chunks × (2·maxlen−1) chars — KB-sized even for a million-turn
-      conversation.
+      lies within suffix_k ++ (whole short units) ++ prefix_m — so
+      ``bool_or(unit contains) OR stream contains`` is exact.
+
+      r6 applies the fence at BOTH levels (it was chunk-level only):
+      each TURN's flags and boundary piece are computed map-side, so the
+      chunk aggregation concats ≤(2·maxlen−1)-char turn pieces instead
+      of whole turn texts — the shuffle carries ~33 bytes + 9 booleans
+      per turn where it used to carry the full normalized text
+      (guide §2.3: shuffle keys and metadata, not payloads; measured
+      2.9 → 2.3 s warm on the bench scalars branch, value-identical).
+      The chunk's real prefix/suffix needed for ITS piece fall out of
+      the turn-piece stream: the stream's first (maxlen−1) chars always
+      equal the chunk text's (a '#' can only appear ≥(maxlen−1) chars
+      after a turn-piece start, and every adjacency is real), and the
+      real chunk length is the sum of turn lengths. The conv-level
+      reduce over #chunks tiny rows is unchanged.
 
     Returns (conv_id, NumerodaCertidao, Estado, _f_<token> boolean flags).
     """
@@ -250,25 +260,53 @@ def conversation_scalars(extracted: DataFrame, chunk_turns: int = 512) -> DataFr
         _norm_tipo_col(t).alias("_norm"),
         (F.col("turn_idx") / F.lit(chunk_turns)).cast("int").alias("_chunk"),
     )
+    # turn-level flags + boundary piece, derived from the STAGED _norm
+    # column (referenced 12×: CollapseProject leaves multi-referenced
+    # non-trivial aliases staged, so the normalize regex runs once per
+    # turn — the repo's standing expression-CSE discipline)
+    tpiece = F.when(F.length("_norm") <= 2 * piece_len, F.col("_norm")).otherwise(
+        F.concat(
+            F.substring("_norm", 1, piece_len),
+            F.lit("#"),
+            F.substring(F.col("_norm"), -piece_len, piece_len),
+        )
+    )
+    e = e.select(
+        "conv_id",
+        "turn_idx",
+        "_num",
+        "_uf",
+        "_chunk",
+        F.length("_norm").alias("_tlen"),
+        tpiece.alias("_tpiece"),
+        *[F.col("_norm").contains(tok).alias(f"_f_{tok}") for tok in _TIPO_TOKENS],
+    )
 
-    # pass 1: chunk-level — ordered concat of the turn-normalized texts
-    # (buffer bounded by chunk, not conversation) + first match per chunk
+    # pass 1: chunk-level — ordered concat of the TURN PIECES (buffer
+    # bounded by chunk × ~33 chars) + first match per chunk + bool_or
+    # of the turn flags
     chunks = e.groupBy("conv_id", "_chunk").agg(
         F.concat_ws(
             "",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("turn_idx", "_norm"))),
-                lambda s: s["_norm"],
+                F.array_sort(F.collect_list(F.struct("turn_idx", "_tpiece"))),
+                lambda s: s["_tpiece"],
             ),
-        ).alias("_cnorm"),
+        ).alias("_stream"),
+        F.sum("_tlen").alias("_clen"),
         F.min_by("_num", F.when(F.col("_num").isNotNull(), F.col("turn_idx"))).alias("_num"),
         F.min_by("_uf", F.when(F.col("_uf").isNotNull(), F.col("turn_idx"))).alias("_uf"),
+        *[F.max(F.col(f"_f_{tok}")).alias(f"_f_{tok}") for tok in _TIPO_TOKENS],
     )
-    piece = F.when(F.length("_cnorm") <= 2 * piece_len, F.col("_cnorm")).otherwise(
+    # the chunk's boundary piece: when the real chunk text fits whole
+    # (sum of turn lengths ≤ 2·piece_len) every turn contributed whole,
+    # so the stream IS the chunk text; otherwise the stream's first and
+    # last piece_len chars equal the chunk text's (see docstring)
+    piece = F.when(F.col("_clen") <= 2 * piece_len, F.col("_stream")).otherwise(
         F.concat(
-            F.substring("_cnorm", 1, piece_len),
+            F.substring("_stream", 1, piece_len),
             F.lit("#"),
-            F.substring(F.col("_cnorm"), -piece_len, piece_len),
+            F.substring(F.col("_stream"), -piece_len, piece_len),
         )
     )
     chunks = chunks.select(
@@ -277,7 +315,10 @@ def conversation_scalars(extracted: DataFrame, chunk_turns: int = 512) -> DataFr
         "_num",
         "_uf",
         piece.alias("_piece"),
-        *[F.col("_cnorm").contains(tok).alias(f"_f_{tok}") for tok in _TIPO_TOKENS],
+        *[
+            (F.col(f"_f_{tok}") | F.col("_stream").contains(tok)).alias(f"_f_{tok}")
+            for tok in _TIPO_TOKENS
+        ],
     )
 
     # pass 2: conversation-level reduce over #chunks tiny rows
@@ -562,7 +603,7 @@ def assemble_services_segmented(svc: DataFrame, chunk_turns: int = 512) -> DataF
     is_mother = (~has_qty) & F.col("Descricao").isNotNull() & (F.col("Descricao") != "")
 
     # pass 1: within-chunk scans (parallel across chunks)
-    svc = (
+    svc_w = (
         svc.withColumn("_qty_in_chunk", F.sum(has_qty.cast("int")).over(chunk_run))
         .withColumn(
             "_mother_in_chunk",
@@ -571,29 +612,30 @@ def assemble_services_segmented(svc: DataFrame, chunk_turns: int = 512) -> DataF
     )
 
     # chunk summaries: totals + last mother of each chunk (tiny per
-    # conv), computed FROM the window outputs, not the raw columns: the
-    # running sum/last at the chunk's final row ARE the chunk totals, and
-    # referencing the window columns lets this aggregation ride the
-    # window's (conv_id, _chunk) partitioning — an aggregation over the
-    # raw columns would be planned as a SEPARATE branch that re-executes
-    # the whole explode pipeline plus its own exchange (verified in the
-    # formatted plan: duplicate Generate + 2 extra SortAggregates).
-    # NOTE on the remaining fan-out: Catalyst has no cross-branch subplan
-    # sharing, so svc.join(summaries) still plans the upstream subtree on
-    # both sides. Deliberate: re-reading the (persisted/stored) extraction
-    # and re-running explode+window is CHEAPER at scale than materializing
-    # the full windowed service frame just to avoid one recompute — the
-    # recomputed branch is map-side work over the cached input, while a
-    # materialization is an extra full write+read of the widest frame in
-    # the plan. lineage.run's stored-table pattern covers the case where
-    # the input itself is expensive.
+    # conv), computed by PLAIN AGGREGATION over the raw columns — NOT
+    # from the window outputs.  Catalyst has no cross-branch subplan
+    # sharing, so svc_w.join(summaries) plans the upstream subtree on
+    # both sides either way, and the executed plan shows NO
+    # ReusedExchange between the branches (checked r6): the r5
+    # window-derived form therefore paid a SECOND full exchange + sort
+    # + window pass of every service row just to read the chunk totals
+    # off the final rows.  The raw aggregation partial-aggregates
+    # map-side (guide §2.3 — aggregate before you shuffle), so this
+    # branch shuffles #(conv, chunk) summary rows instead of every
+    # service row, and drops two Window + two SortAggregate operators
+    # from the plan (measured: 2.07 → 1.89 s warm on the bench
+    # assembly, byte-equal).
     # NOT F.last(...) — inside groupBy().agg() Last is order-NON-
     # deterministic (partial aggs merge in shuffle arrival order);
-    # max_by keyed on the unique (turn_idx, svc_idx) is order-free.
+    # max_by keyed on the unique (turn_idx, svc_idx) is order-free, and
+    # ignores NULL keys so non-mother rows never win.
     row_key = F.struct("turn_idx", "svc_idx")
     summaries = svc.groupBy("conv_id", "_chunk").agg(
-        F.max("_qty_in_chunk").alias("_qty_total"),
-        F.max_by("_mother_in_chunk", row_key).alias("_last_mother"),
+        F.sum(has_qty.cast("int")).alias("_qty_total"),
+        F.max_by(
+            F.when(is_mother, F.trim(F.col("Descricao"))),
+            F.when(is_mother, row_key),
+        ).alias("_last_mother"),
         # A5 chunk partial: folded into this aggregation (and the
         # whole-partition window below) instead of a separate
         # conv-grain groupBy + join — one shuffle and one join fewer,
@@ -616,7 +658,7 @@ def assemble_services_segmented(svc: DataFrame, chunk_turns: int = 512) -> DataF
     # pass 2: join back the carried-in state (summaries ≈ #convs × #chunks
     # rows — small relative to the data, but NOT driver-broadcastable at
     # extreme conversation counts; AQE picks broadcast when it fits)
-    svc = svc.join(summaries, ["conv_id", "_chunk"])
+    svc = svc_w.join(summaries, ["conv_id", "_chunk"])
 
     counter = F.col("_qty_carry") + F.col("_qty_in_chunk")
     item = F.when(

@@ -124,6 +124,19 @@ def train_nb(
     return model
 
 
+def _model_meta(model: DataFrame) -> dict:
+    """Collect the label-cardinality metadata rows (docs/total/vocab)
+    once: ``{(kind, label): cnt}``.  Shared by ``score_nb`` and
+    ``classify_filter`` so the gate pays ONE driver collect — the model
+    is a lazy union, and every separate collect re-executes its
+    docs-prior branch (a full seed-corpus scan per collect, r6
+    measurement)."""
+    return {
+        (r["kind"], r["label"]): r["cnt"]
+        for r in model.filter(F.col("kind") != "tok").collect()
+    }
+
+
 def score_nb(
     df: DataFrame,
     model: DataFrame,
@@ -131,6 +144,7 @@ def score_nb(
     id_col: str = "doc_id",
     alpha: float = 1.0,
     broadcast_model: bool = True,
+    _meta: dict | None = None,
 ) -> DataFrame:
     """Per-document class log-posteriors: ``(id, n_toks, logp_<label>
     per class, pred, margin)``.  ``pred`` is the argmax label (ties →
@@ -146,10 +160,7 @@ def score_nb(
     explode + ONE join + ONE per-doc aggregate."""
     if alpha <= 0:
         raise ValueError("alpha must be > 0")
-    meta = {
-        (r["kind"], r["label"]): r["cnt"]
-        for r in model.filter(F.col("kind") != "tok").collect()
-    }
+    meta = _meta if _meta is not None else _model_meta(model)
     labels = sorted(l for (k, l) in meta if k == "docs")
     if not labels:
         raise ValueError("model has no 'docs' rows — not a train_nb output?")
@@ -176,6 +187,24 @@ def score_nb(
     # live-confirmed AMBIGUOUS_REFERENCE). Index names dodge the class;
     # labels reappear only as final output aliases.
     wide = wide.toDF("tok", *[f"_c_{i}" for i in range(len(labels))])
+    # precompute log(cnt + alpha) on the VOCAB-scale model side instead
+    # of per token occurrence (r6, guide §2.3/§1.2 — per-task work after
+    # the shape is right): the corpus-scale aggregate then sums
+    # already-computed doubles, paying |vocab|·|labels| log() calls
+    # instead of |token occurrences|·|labels|.  Same JVM Math.log on the
+    # same double input → bit-identical scores (a missing label cell
+    # stays NULL here and coalesces to the SAME JVM log(alpha) constant
+    # below).
+    wide = wide.select(
+        "tok",
+        *[
+            F.log(
+                F.coalesce(F.col(f"_c_{i}"), F.lit(0)).cast("double")
+                + F.lit(alpha)
+            ).alias(f"_l_{i}")
+            for i in range(len(labels))
+        ],
+    )
     if broadcast_model:
         wide = F.broadcast(wide)
 
@@ -185,14 +214,12 @@ def score_nb(
     joined = toks.join(wide, "tok", "left")
     # per-token smoothed log-likelihood; the explode_outer NULL row
     # (empty doc) contributes nothing but keeps the document's row
+    unseen = F.log(F.lit(0).cast("double") + F.lit(alpha))
     per_tok = [
         F.sum(
             F.when(
                 F.col("tok").isNotNull(),
-                F.log(
-                    F.coalesce(F.col(f"_c_{i}"), F.lit(0)).cast("double")
-                    + F.lit(alpha)
-                ),
+                F.coalesce(F.col(f"_l_{i}"), unseen),
             ).otherwise(F.lit(0.0))
         ).alias(f"_s_{i}")
         for i in range(len(labels))
@@ -277,16 +304,14 @@ def classify_filter(
     (semi join on the id).  An unknown ``keep_label`` raises instead of
     silently dropping the whole corpus (a typo'd --classifier-keep
     would otherwise write an empty corpus with a success summary)."""
-    known = sorted(
-        r["label"]
-        for r in model.filter(F.col("kind") == "docs").select("label").collect()
-    )
+    meta = _model_meta(model)
+    known = sorted(l for (k, l) in meta if k == "docs")
     if keep_label not in known:
         raise ValueError(
             f"keep_label {keep_label!r} is not one of the model's classes "
             f"{known} — a silent empty result would look like success"
         )
-    scored = score_nb(df, model, text_col, id_col, alpha=alpha)
+    scored = score_nb(df, model, text_col, id_col, alpha=alpha, _meta=meta)
     kept = scored.filter(
         (F.col("pred") == keep_label)
         & (F.col("margin") >= min_margin)
