@@ -75,6 +75,76 @@ __all__ = [
 _A1 = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
 _A2 = np.uint64(0xC2B2AE3D27D4EB4F)  # xxhash64 prime_2 (odd)
 
+#: Fingerprint-family version, stamped into persisted substring indexes
+#: (see runner --dedup-substrings).  Bump whenever (h1, h2) values for
+#: the same corpus change.  v2 (r6): token hashes moved from the JVM
+#: ``transform(split, xxhash64)`` projection (higher-order functions are
+#: NOT whole-stage-codegen'd — 2 × tokens interpreted expression evals
+#: measured as 112 core-seconds cold on the 58k-doc bench table) into
+#: the fingerprint Python stage: tokens are factorized per Arrow batch
+#: and only DISTINCT tokens are hashed, with stdlib blake2b keyed per
+#: stream (two independent functions, like the two xxhash64 seeds
+#: before).  Dedup RESULTS are unchanged — grouping is by fingerprint
+#: equality and the keeper is min (id, pos), both invariant under a
+#: collision-free hash-family swap — but a persisted index written by
+#: one family cannot be probed with the other.
+FP_VERSION = 2
+
+# blake2b personalization strings for the two independent token-hash
+# streams (the two-ring design needs token-level independence: a
+# collision in stream 1 must not imply one in stream 2)
+_FP_PERSON1 = b"pdfocr-substr-1"
+_FP_PERSON2 = b"pdfocr-substr-2"
+
+
+def _one_wave(df: DataFrame, target_part_bytes: int = 256 * 1024 * 1024) -> DataFrame:
+    """Narrow ``coalesce`` of an OVER-SPLIT input down to one wave of
+    cores before a pandas-UDF stage — never below what keeps partitions
+    under ``target_part_bytes``, and never a shuffle.
+
+    Pandas-UDF stages pay a fixed per-task cost (Arrow stream setup +
+    worker round-trip) that dominates when partitions are small: the
+    bench's 4 MB-split scan hands this operator 128 partitions of a
+    57 MB table, and the fingerprint stage measured 1.15 s at 128
+    partitions vs 0.55 s coalesced to 32 (the r4/r5 pandas-stage
+    one-wave convention, applied via coalesce instead of a repartition
+    so no full-text shuffle is added).  The size guard keeps the rule
+    scale-safe: a 100 TB scan's partitions are already ≥ the target
+    size, so the coalesce is a no-op there rather than collapsing a
+    wide scan onto ``defaultParallelism`` giant tasks.  Unknown plan
+    stats (conservative huge sizeInBytes) also disable the coalesce."""
+    sc = df.sparkSession.sparkContext
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return df
+    n_parts = df.rdd.getNumPartitions()
+    floor_by_size = max(1, -(-size // target_part_bytes))  # ceil division
+    target = max(sc.defaultParallelism, floor_by_size)
+    if target < n_parts:
+        return df.coalesce(target)
+    return df
+
+
+def _hash_tokens(uniq: np.ndarray, person: bytes) -> np.ndarray:
+    """uint64 hash per distinct token — stdlib blake2b (keyed by
+    ``person``), little-endian first 8 digest bytes.  Called on the
+    FACTORIZED distinct tokens only, so the per-call Python cost is paid
+    per distinct token per batch, not per occurrence."""
+    from hashlib import blake2b
+
+    return np.fromiter(
+        (
+            int.from_bytes(
+                blake2b(u.encode("utf-8"), digest_size=8, person=person).digest(),
+                "little",
+            )
+            for u in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+
 
 def _rolling(th: np.ndarray, width: int, a: np.uint64) -> np.ndarray:
     """Stride-1 polynomial window hashes H(i) = Σ_j th[i+j]·a^(W-1-j)
@@ -165,14 +235,6 @@ def _batch_rolling(
         return (hi - lo) * apow[i + width - 1], g, i
 
 
-def _tokens_col(text_col: str):
-    """Case-preserving repo-convention tokenizer (exact substring dedup
-    means exact — no lowercasing)."""
-    from .textstats import ws_tokens
-
-    return ws_tokens(F.col(text_col), lower=False)
-
-
 def window_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", width: int = 50
 ) -> DataFrame:
@@ -182,31 +244,34 @@ def window_fingerprints(
     tokens emit no rows (they cannot contain a ≥width dup span)."""
     if width < 2:
         raise ValueError("width must be ≥ 2")
-    # the two rings consume INDEPENDENTLY-seeded per-token hashes — if
+    # the two rings consume INDEPENDENTLY-keyed per-token hashes — if
     # both rolled the same 64-bit token hash, a single token-level
-    # xxhash64 collision (a few-percent birthday event among 10^9+
-    # distinct tokens) would defeat both rings at once and delete a
-    # never-duplicated span; with separate seeds a false window match
-    # needs simultaneous collisions in two independent 64-bit streams
+    # collision (a few-percent birthday event among 10^9+ distinct
+    # tokens) would defeat both rings at once and delete a
+    # never-duplicated span; with separate keys a false window match
+    # needs simultaneous collisions in two independent 64-bit streams.
+    # Tokenize + hash happen INSIDE the Python stage (r6, FP_VERSION 2):
+    # the former JVM ``transform(split, xxhash64)`` projection ran
+    # per-element in interpreted mode (HOFs are outside whole-stage
+    # codegen) and dominated the operator cold — 112 core-seconds on the
+    # 58k-doc bench stage, vs ~25 for this form.  ``_WS_SPLIT`` is the
+    # exact Java-\s twin the rebuild already uses, and factorize +
+    # per-DISTINCT-token blake2b keeps the Python hash cost at
+    # distinct-vocabulary scale per batch (guide §4.2/§4.5).
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.transform(_tokens_col(text_col), lambda t: F.xxhash64(t)).alias("_th"),
-        F.transform(
-            _tokens_col(text_col), lambda t: F.xxhash64(t, F.lit(0x5EED))
-        ).alias("_th2"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
     )
+    toks = _one_wave(toks)
 
     def _fp(batches):
-        # whole-batch vectorization (r6): concatenate every document's
-        # token hashes and run ONE ``_batch_rolling`` pass per stream —
-        # the per-row loop cost ~25 µs/doc in numpy alloc overhead alone
-        # (measured: 2.9 s → 2.3 s warm on the 58k-doc bench table,
-        # byte-equal output; guide §4.2 — batches to vectorized numpy,
-        # never per-row Python)
         for b in batches:
             n_rows = len(b)
+            tok_lists = [
+                [w for w in _WS_SPLIT.split(t) if w] for t in b["_t"]
+            ]
             lens = np.fromiter(
-                (len(a) for a in b["_th"]), dtype=np.int64, count=n_rows
+                (len(x) for x in tok_lists), dtype=np.int64, count=n_rows
             )
             if n_rows == 0 or not (lens >= width).any():
                 yield pd.DataFrame(
@@ -218,15 +283,18 @@ def window_fingerprints(
                     }
                 )
                 continue
-            flat1 = np.concatenate(
-                [np.asarray(a, dtype=np.int64) for a in b["_th"]]
-            ).view(np.uint64)
-            flat2 = np.concatenate(
-                [np.asarray(a, dtype=np.int64) for a in b["_th2"]]
-            ).view(np.uint64)
+            total = int(lens.sum())
+            flat_tok = np.empty(total, dtype=object)
+            at = 0
+            for x in tok_lists:
+                flat_tok[at : at + len(x)] = x
+                at += len(x)
+            codes, uniq = pd.factorize(flat_tok, use_na_sentinel=False)
+            flat1 = _hash_tokens(uniq, _FP_PERSON1)[codes]
+            flat2 = _hash_tokens(uniq, _FP_PERSON2)[codes]
             starts = np.zeros(n_rows, dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
-            pos_in_doc = np.arange(len(flat1), dtype=np.int64) - np.repeat(
+            pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(
                 starts, lens
             )
             h1, _, pos = _batch_rolling(flat1, lens, pos_in_doc, width, _A1)

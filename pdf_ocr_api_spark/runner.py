@@ -276,12 +276,15 @@ def _clean_corpus_job(args) -> int:
         """Optional exact-substring-dedup stage over the cleaned rows.
 
         Returns (rows_without_helper_cols, tokens_removed).  The index
-        store is APPEND-ONLY (h1, h2, n_occ, width) deltas — crash-safe
-        like the signature store: a missing/partial index only costs
-        recall on later batches, never corrupts text; probes aggregate
-        on read.  Width is stamped per row and checked on every
-        incremental probe (a mixed-width index would silently match
-        nothing)."""
+        store is APPEND-ONLY (h1, h2, n_occ, width, fp_version) deltas —
+        crash-safe like the signature store: a missing/partial index
+        only costs recall on later batches, never corrupts text; probes
+        aggregate on read.  Width AND the fingerprint-family version
+        (``substrings.FP_VERSION``) are stamped per row and checked on
+        every incremental probe — a mixed-width index, or one written by
+        an older fingerprint family (absent/different ``fp_version``
+        column), would silently match nothing and cost recall without a
+        trace."""
         from .ops import corpus as _c
         from .ops import substrings as _ss
 
@@ -295,9 +298,13 @@ def _clean_corpus_job(args) -> int:
                 kept_c = read_table(spark, corpus_target).withColumn(
                     "_sid", _c.turn_id()
                 )
-                boot = _ss.substring_index(
-                    kept_c, text_col="clean_text", id_col="_sid", width=width
-                ).withColumn("width", F.lit(width))
+                boot = (
+                    _ss.substring_index(
+                        kept_c, text_col="clean_text", id_col="_sid", width=width
+                    )
+                    .withColumn("width", F.lit(width))
+                    .withColumn("fp_version", F.lit(_ss.FP_VERSION))
+                )
                 write_table(boot, ss_target, mode="create")
             raw_idx = read_table(spark, ss_target)
             widths = [r[0] for r in raw_idx.select("width").distinct().collect()]
@@ -305,6 +312,20 @@ def _clean_corpus_job(args) -> int:
                 raise SystemExit(
                     f"--dedup-substrings {width} does not match the stored "
                     f"index width(s) {widths} at {ss_target}"
+                )
+            if "fp_version" in raw_idx.columns:
+                vers = [
+                    r[0] for r in raw_idx.select("fp_version").distinct().collect()
+                ]
+            else:  # store written before fingerprint versioning existed
+                vers = [1]
+            if vers and vers != [_ss.FP_VERSION]:
+                raise SystemExit(
+                    f"substring index at {ss_target} was written by "
+                    f"fingerprint family {vers}, this build is "
+                    f"{_ss.FP_VERSION} — probing it would silently match "
+                    "nothing; rebuild the index (delete the store or "
+                    "re-run without --clean-incremental)"
                 )
             idx = raw_idx.groupBy("h1", "h2").agg(F.sum("n_occ").alias("n_occ"))
             cleaned = _ss.dedup_substrings_incremental(
@@ -316,9 +337,13 @@ def _clean_corpus_job(args) -> int:
             )
         cleaned = cleaned.localCheckpoint(eager=True)
         removed = cleaned.agg(F.sum("n_tokens_removed")).collect()[0][0] or 0
-        delta = _ss.substring_index(
-            cleaned, text_col="clean_text", id_col="_sid", width=width
-        ).withColumn("width", F.lit(width))
+        delta = (
+            _ss.substring_index(
+                cleaned, text_col="clean_text", id_col="_sid", width=width
+            )
+            .withColumn("width", F.lit(width))
+            .withColumn("fp_version", F.lit(_ss.FP_VERSION))
+        )
         write_table(delta, ss_target, mode="append" if incremental else "create")
         out = cleaned.drop("_sid", "n_tokens_removed")
         for attr in ("_dedup_metrics", "_lsh_metrics"):

@@ -252,8 +252,9 @@ def test_runner_dedup_substrings_flag(spark, tmp_path):
     assert "cli0" not in stored["a1"]      # batch-internal repeat cut
     assert "nothing shared" in stored["a2"]
     idx = spark.read.parquet(f"{root}/substring_index")
-    assert idx.columns == ["h1", "h2", "n_occ", "width"]
+    assert idx.columns == ["h1", "h2", "n_occ", "width", "fp_version"]
     assert idx.select("width").distinct().collect()[0][0] == 10
+    assert idx.select("fp_version").distinct().collect()[0][0] == S.FP_VERSION
 
     assert runner.main(["--clean-incremental", "--input", in2, "--output", root] + knobs) == 0
     stored2 = {r.conv_id: r.clean_text for r in spark.read.parquet(f"{root}/corpus").collect()}
@@ -301,3 +302,30 @@ def test_batch_rolling_equals_scalar_rolling():
             [np.arange(max(len(d) - width + 1, 0)) for d in docs]
         )
         assert np.array_equal(pos, exp_pos)
+
+
+def test_runner_rejects_stale_fingerprint_index(spark, tmp_path):
+    """An index written by an older fingerprint family (different or
+    absent fp_version) must hard-error on incremental probes — probing
+    it would silently match nothing and cost recall without a trace."""
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_api_spark import runner
+
+    mk = lambda cid, txt: (cid, 0, "user", txt, None)
+    schema = "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING"
+    words = " ".join(f"w{i}" for i in range(30))
+    b1 = spark.createDataFrame([mk("a0", words)], schema)
+    in1 = str(tmp_path / "b1")
+    b1.write.parquet(in1)
+    root = str(tmp_path / "run")
+    knobs = ["--min-quality", "0.0", "--min-tokens", "1", "--dedup-threshold",
+             "0.6", "--buckets", "8", "--dedup-substrings", "10"]
+    assert runner.main(["--clean-corpus", "--input", in1, "--output", root] + knobs) == 0
+    # rewrite the index with a stale version stamp
+    idx_path = f"{root}/substring_index"
+    idx = spark.read.parquet(idx_path).withColumn("fp_version", F.lit(1))
+    idx.write.mode("overwrite").parquet(str(tmp_path / "stale"))
+    spark.read.parquet(str(tmp_path / "stale")).write.mode("overwrite").parquet(idx_path)
+    with pytest.raises(SystemExit, match="fingerprint family"):
+        runner.main(["--clean-incremental", "--input", in1, "--output", root] + knobs)
