@@ -779,7 +779,13 @@ def simhash64(
     if parallelism:
         df = df.repartition(parallelism)
     elif parallelism is None:
-        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        # r6: the one-wave rule moved to the shared helper — an
+        # over-split input now COALESCES (no shuffle of the text) and
+        # an under-split small file still repartitions to a full wave;
+        # signatures are per-row, so output is partitioning-invariant
+        from .stage import one_wave
+
+        df = one_wave(df)
     th = df.select(
         F.col(id_col).alias("id"),
         F.transform(

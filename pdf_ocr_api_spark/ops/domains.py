@@ -293,9 +293,17 @@ def _partial_topn(
     if parallelism:
         narrow = narrow.repartition(parallelism)
     elif parallelism is None:
-        narrow = narrow.repartition(
-            df.sparkSession.sparkContext.defaultParallelism
-        )
+        # r6: the shared one-wave convention (ops/stage.one_wave) —
+        # over-split inputs coalesce (narrow, no shuffle; the former
+        # default REPARTITIONED the projection, a full shuffle of it at
+        # any scale), under-split small inputs still repartition to a
+        # full wave.  Fewer, fuller partitions also shrink the survivor
+        # set the global rank sees (≤ n · n_partitions).  The selection
+        # is partitioning-invariant (md5 hashes), so results are
+        # byte-identical under any of these choices (tested).
+        from .stage import one_wave
+
+        narrow = one_wave(narrow)
 
     def _partial(batches):
         # dropna=False throughout: a NULL domain is a real group and

@@ -97,35 +97,6 @@ _FP_PERSON1 = b"pdfocr-substr-1"
 _FP_PERSON2 = b"pdfocr-substr-2"
 
 
-def _one_wave(df: DataFrame, target_part_bytes: int = 256 * 1024 * 1024) -> DataFrame:
-    """Narrow ``coalesce`` of an OVER-SPLIT input down to one wave of
-    cores before a pandas-UDF stage — never below what keeps partitions
-    under ``target_part_bytes``, and never a shuffle.
-
-    Pandas-UDF stages pay a fixed per-task cost (Arrow stream setup +
-    worker round-trip) that dominates when partitions are small: the
-    bench's 4 MB-split scan hands this operator 128 partitions of a
-    57 MB table, and the fingerprint stage measured 1.15 s at 128
-    partitions vs 0.55 s coalesced to 32 (the r4/r5 pandas-stage
-    one-wave convention, applied via coalesce instead of a repartition
-    so no full-text shuffle is added).  The size guard keeps the rule
-    scale-safe: a 100 TB scan's partitions are already ≥ the target
-    size, so the coalesce is a no-op there rather than collapsing a
-    wide scan onto ``defaultParallelism`` giant tasks.  Unknown plan
-    stats (conservative huge sizeInBytes) also disable the coalesce."""
-    sc = df.sparkSession.sparkContext
-    try:
-        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:
-        return df
-    n_parts = df.rdd.getNumPartitions()
-    floor_by_size = max(1, -(-size // target_part_bytes))  # ceil division
-    target = max(sc.defaultParallelism, floor_by_size)
-    if target < n_parts:
-        return df.coalesce(target)
-    return df
-
-
 def _hash_tokens(uniq: np.ndarray, person: bytes) -> np.ndarray:
     """uint64 hash per distinct token — stdlib blake2b (keyed by
     ``person``), little-endian first 8 digest bytes.  Called on the
@@ -262,7 +233,9 @@ def window_fingerprints(
         F.col(id_col).alias("id"),
         F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
     )
-    toks = _one_wave(toks)
+    from .stage import one_wave
+
+    toks = one_wave(toks)
 
     def _fp(batches):
         for b in batches:

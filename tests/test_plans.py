@@ -282,3 +282,22 @@ def test_score_nb_plan_shape(spark):
     # the only exchange over the corpus-scale frame is the per-doc
     # aggregate's partial/final split
     assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_one_wave_partitioning_rule(spark):
+    """ops/stage.one_wave: over-split inputs COALESCE (no exchange in
+    the plan), under-split small inputs repartition to one wave, and
+    unknown-stats frames pass through untouched."""
+    from pdf_ocr_api_spark.ops import stage as ST
+
+    dp = spark.sparkContext.defaultParallelism
+    small = spark.range(1000).repartition(max(dp * 4, 16))
+    out = ST.one_wave(small.selectExpr("id", "id * 2 as v"))
+    assert out.rdd.getNumPartitions() <= max(dp, 1)
+    # coalesce is narrow: no shuffle exchange on top of the input's own
+    plan = PI.executed_plan(out)
+    assert "Coalesce" in plan, plan[:2000]
+
+    under = spark.range(1000).coalesce(1)
+    out2 = ST.one_wave(under.selectExpr("id"))
+    assert out2.rdd.getNumPartitions() == dp
