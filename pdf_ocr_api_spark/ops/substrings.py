@@ -432,6 +432,18 @@ def _apply_cuts(
 
     out_fields = df.schema.fieldNames()
     affected_in = df.join(cuts_side, id_col, "inner")
+    if small:
+        # the affected set is bounded by the (measured-small) cut table,
+        # but the join output inherits the corpus scan's partitioning —
+        # on an over-split scan that means one Python task per scan
+        # partition for a handful of rows each.  Join-output plan stats
+        # are join-estimate garbage (84 TB measured for a 9k-row output
+        # on the bench table), so ``one_wave`` cannot see this; the cut
+        # table's own measured size is the honest bound, and we only
+        # coalesce in the regime where it is known small.
+        affected_in = affected_in.coalesce(
+            df.sparkSession.sparkContext.defaultParallelism
+        )
     out_schema = affected_in.drop("_cut_pos").schema.add("n_tokens_removed", "long")
 
     def _rebuild(batches):
