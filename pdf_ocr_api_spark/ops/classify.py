@@ -53,10 +53,29 @@ from pyspark.sql import functions as F
 __all__ = ["train_nb", "score_nb", "classify_filter"]
 
 
-def _tokens(text_col: str):
-    from .textstats import ws_tokens
-
-    return ws_tokens(F.col(text_col))
+def _exploded_tokens(df: DataFrame, text_col: str, id_col, outer: bool):
+    """``(id, tok)`` token stream — row-for-row identical to
+    ``explode[_outer](ws_tokens(text))`` but WITHOUT the array
+    higher-order ``filter``: HOFs run interpreted per element (outside
+    whole-stage codegen — the r6 substring finding), and on a corpus
+    explode that interpreted pass measured 2.2 s cold vs 0.5 s for a
+    plain split + codegen'd ROW filter on the bench table.  Exactness:
+    Java ``split`` only emits ``""`` elements for leading/repeated
+    separators, so dropping empty-string rows post-explode equals
+    dropping them pre-explode; documents with no non-whitespace char
+    (``rlike('\\S')`` — the same Java ``\\s`` class the split uses) get
+    a NULL array so ``explode_outer`` still emits their single NULL
+    row."""
+    base = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    arr = F.when(base.rlike(r"\S"), F.split(base, r"\s+")).otherwise(
+        F.lit(None).cast("array<string>")
+    )
+    ex = F.explode_outer(arr) if outer else F.explode(arr)
+    out = df.select(F.col(id_col), ex.alias("tok"))
+    keep = F.col("tok") != ""
+    if outer:
+        keep = F.col("tok").isNull() | keep
+    return out.filter(keep)
 
 
 def train_nb(
@@ -88,9 +107,9 @@ def train_nb(
     checked = F.when(F.col(label_col).isNotNull(), F.col(label_col)).otherwise(
         F.raise_error(F.lit("train_nb: NULL label in the training frame"))
     )
-    base = df.select(checked.alias("label"), _tokens(text_col).alias("_tk"))
+    base = df.select(checked.alias("label"), F.col(text_col).alias("_txt"))
     counts = (
-        base.select("label", F.explode("_tk").alias("tok"))
+        _exploded_tokens(base, "_txt", "label", outer=False)
         .groupBy("tok", "label")
         .agg(F.count("*").alias("cnt"))
     )
@@ -208,8 +227,11 @@ def score_nb(
     if broadcast_model:
         wide = F.broadcast(wide)
 
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode_outer(_tokens(text_col)).alias("tok")
+    toks = _exploded_tokens(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt")),
+        "_txt",
+        "id",
+        outer=True,
     )
     joined = toks.join(wide, "tok", "left")
     # per-token smoothed log-likelihood; the explode_outer NULL row
