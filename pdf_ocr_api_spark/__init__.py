@@ -17,3 +17,11 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Py4j overhead: PySpark 4's per-call debug-origin capture costs ~4 py4j
+# round trips per DataFrame API call and halves the driver-side build
+# time of expression-heavy queries when disabled (see _pydriver module
+# docstring; opt out with PDF_OCR_SPARK_DF_DEBUGGING=1).
+from ._pydriver import disable_dataframe_debug_origin as _disable_df_debug_origin
+
+_disable_df_debug_origin()
